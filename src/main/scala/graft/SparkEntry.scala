@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY.md §2), one named
+  * DataFrame builder per operator; `oracleSql` carries the DuckDB twin the
+  * driver hash-compares against at sf0.01. Ops whose values are
+  * implementation-defined (HLL sketches) appear in `queries` only.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full WNV pipeline (geocode → zones → erase → per-zone targets).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("wnv_pipeline_e2e")(spark, "/root/testdata/sf0.001")
+
+  private val modules: Seq[(
+      Seq[(String, (SparkSession, String) => DataFrame)],
+      Seq[(String, String)])] = Seq(
+    (ops.Wnv.queries, ops.Wnv.oracles),
+    (ops.Relational.queries, ops.Relational.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_._1).toMap
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  val oracleSql: Map[String, String] = modules.flatMap(_._2).toMap
+
+  require(oracleSql.keySet.subsetOf(queries.keySet),
+    s"oracle without query: ${oracleSql.keySet -- queries.keySet}")
 }

@@ -1,0 +1,505 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.XF._
+import graft.sources.Tables.t
+
+/** The standard relational operator surface (SURVEY.md §2.3-2.4) declared
+  * over the driver testdata: scans with pushdown, projections/filters,
+  * equi joins of every type, aggregations (incl. distinct / rollup / cube),
+  * window functions, sort/limit top-k, set ops, and the scalar function
+  * families (string / date / math / conditional / null-handling).
+  *
+  * Everything is Spark built-ins — Catalyst gets full freedom to push
+  * filters into the parquet scan, prune columns, pick broadcast vs
+  * sort-merge (AQE), and keep the whole pipeline in whole-stage codegen.
+  * Small dimensions (region/nation/customer/supplier) carry explicit
+  * `broadcast` hints where the optimizer statistics may not see it:
+  * at 100 TB the fact side (lineitem/orders) never fits a shuffle-free
+  * plan unless the dimension side broadcasts.
+  */
+object Relational {
+
+  private val ship2000 = "TIMESTAMP '2000-01-01 00:00:00'"
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // TPC-H Q1 shape: scan → pushed filter → hash agg (partial+final).
+    "q1_agg" -> ((s: SparkSession, d: String) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-01-01 00:00:00").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(disc).as("sum_disc_price"),
+          dsum(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q3 shape: 3-way join, agg, top-10 by measure.
+    "q3_top_orders" -> ((s: SparkSession, d: String) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast(TimestampType))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), dateS(col("o_orderdate")).as("o_date"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 5-way star join → per-nation revenue.
+    "q5_region_revenue" -> ((s: SparkSession, d: String) => {
+      val dims = broadcast(t(s, d, "region"))
+        .join(broadcast(t(s, d, "nation")), col("n_regionkey") === col("r_regionkey"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+                  col("o_orderdate") <  lit("1999-01-01 00:00:00").cast(TimestampType)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(dims, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // scan with pushed filters + pruned columns (PushedFilters/ReadSchema).
+    "scan_pushdown" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-06-01 00:00:00").cast(TimestampType) &&
+                col("l_quantity") < 5.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "join_inner_basic" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    "join_left_orders" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        .orderBy(col("c_custkey"))),
+
+    "join_semi" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "join_anti" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000.0),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))),
+
+    "join_full_nation" -> ((s: SparkSession, d: String) => {
+      val c = t(s, d, "customer").groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_customers"))
+      val sup = t(s, d, "supplier").groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(sup, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          col("n_customers"), col("n_suppliers"))
+        .orderBy(col("nationkey"))
+    }),
+
+    "agg_stats" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer").groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          davg(col("c_acctbal")).as("avg_bal"))
+        .orderBy(col("c_mktsegment"))),
+
+    "agg_count_distinct" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))),
+
+    // HLL sketch — implementation-specific values, so no SQL oracle
+    // (driver records a rows-only check); correctness vs exact count is
+    // asserted in ScalaTest with the 5% default error bound.
+    "agg_approx_distinct" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+        .orderBy(col("o_orderstatus"))),
+
+    "agg_rollup" -> ((s: SparkSession, d: String) =>
+      broadcast(t(s, d, "region"))
+        .join(broadcast(t(s, d, "nation")), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    "agg_cube" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    "win_rank" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rn") <= 100)
+        .orderBy(col("o_orderstatus"), col("rn"))
+    }),
+
+    "win_lag_lead" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), dateS(col("o_orderdate")).as("d"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "win_running" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(28, 6))).over(w)
+            .cast(DoubleType).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "topk_sort" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(50)),
+
+    "set_union" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .union(t(s, d, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey")))
+        .distinct()
+        .orderBy(col("c_custkey"))),
+
+    "set_intersect" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .intersect(t(s, d, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    "set_except" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer").select(col("c_custkey"))
+        .except(t(s, d, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    "distinct_pairs" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders").select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+
+    "string_funcs" -> ((s: SparkSession, d: String) =>
+      t(s, d, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("pre"),
+          length(col("p_name")).as("len"),
+          regexp_replace(col("p_type"), " ", "_").as("ty"),
+          lpad(col("p_size").cast(StringType), 4, "0").as("sz"),
+          reverse(col("p_name")).as("rev"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cat"))
+        .orderBy(col("p_partkey"))),
+
+    "date_funcs" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          quarter(col("o_orderdate")).as("q"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          datediff(lit("2002-01-01").cast(DateType),
+            col("o_orderdate").cast(DateType)).as("days_to_2002"))
+        .orderBy(col("o_orderkey"))),
+
+    "math_funcs" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - lit(0.05)).as("ab"),
+          ceil(col("l_extendedprice")).as("ce"),
+          floor(col("l_extendedprice")).as("fl"),
+          round(col("l_tax") * lit(100.0)).as("rnd"),
+          sqrt(col("l_quantity")).as("sq"),
+          (col("l_partkey") % 7).as("md"),
+          (col("l_discount") * col("l_discount")).as("pw"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "case_when_buckets" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 100000.0, "small")
+            .when(col("o_totalprice") < 300000.0, "mid")
+            .otherwise("large"))
+        .groupBy(col("bucket"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("bucket"), col("o_orderstatus"))),
+
+    "null_handling" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st"),
+          nullif(col("o_orderpriority"), lit("5-LOW")).as("prio_or_null"),
+          when(col("o_totalprice") > 200000.0, col("o_totalprice")).as("big_or_null"))
+        .orderBy(col("o_orderkey")))
+  )
+
+  private def dS(e: String) = dsumSql(e)
+  private val rev = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)"
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dS("l_quantity")} AS sum_qty,
+         |  ${dS("l_extendedprice")} AS sum_base_price,
+         |  ${dS(rev)} AS sum_disc_price,
+         |  ${dS(s"($rev) * (CAST(1 AS DOUBLE) + l_tax)")} AS sum_charge,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  ${davgSql("l_extendedprice")} AS avg_price,
+         |  ${davgSql("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= $ship2000
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+         |  ${dS(rev)} AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT r_name, n_name, ${dS(rev)} AS revenue, COUNT(*) AS n_items
+         |FROM region JOIN nation ON n_regionkey = r_regionkey
+         |  JOIN customer ON c_nationkey = n_nationkey
+         |  JOIN orders ON o_custkey = c_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+
+    "scan_pushdown" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'
+         |  AND l_quantity < CAST(5 AS DOUBLE)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "join_inner_basic" ->
+      s"""SELECT o_orderkey, c_name, o_totalprice
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE o_totalprice > CAST(400000 AS DOUBLE)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "join_left_orders" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         |  COALESCE(${dS("o_totalprice")}, CAST(0 AS DOUBLE)) AS total_spent
+         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         |GROUP BY c_custkey
+         |ORDER BY c_custkey""".stripMargin,
+
+    "join_semi" ->
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders
+         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      s"""SELECT c_custkey, c_acctbal FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey AND o_totalprice > CAST(300000 AS DOUBLE))
+         |ORDER BY c_custkey""".stripMargin,
+
+    "join_full_nation" ->
+      s"""WITH c AS (SELECT c_nationkey AS ck, COUNT(*) AS n_customers
+         |           FROM customer GROUP BY c_nationkey),
+         |     s AS (SELECT s_nationkey AS sk, COUNT(*) AS n_suppliers
+         |           FROM supplier GROUP BY s_nationkey)
+         |SELECT COALESCE(ck, sk) AS nationkey, n_customers, n_suppliers
+         |FROM c FULL OUTER JOIN s ON ck = sk
+         |ORDER BY nationkey""".stripMargin,
+
+    "agg_stats" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+         |  ${davgSql("c_acctbal")} AS avg_bal
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_count_distinct" ->
+      s"""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${dS("c_acctbal")} AS bal
+         |FROM region JOIN nation ON n_regionkey = r_regionkey
+         |  JOIN customer ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${dS("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "win_rank" ->
+      s"""SELECT * FROM (
+         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         |    row_number() OVER w AS rn, rank() OVER w AS rnk,
+         |    dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_orderstatus
+         |               ORDER BY o_totalprice DESC, o_orderkey))
+         |WHERE rn <= 100
+         |ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "win_lag_lead" ->
+      s"""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
+         |  lag(o_totalprice) OVER w AS prev_price,
+         |  lead(o_totalprice) OVER w AS next_price
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_running" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS running_total
+         |FROM orders
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "topk_sort" ->
+      s"""SELECT l_orderkey, l_linenumber, l_extendedprice
+         |FROM lineitem
+         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         |LIMIT 50""".stripMargin,
+
+    "set_union" ->
+      s"""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         |UNION
+         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         |ORDER BY c_custkey""".stripMargin,
+
+    "set_intersect" ->
+      s"""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         |INTERSECT
+         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         |ORDER BY c_custkey""".stripMargin,
+
+    "set_except" ->
+      s"""SELECT c_custkey FROM customer
+         |EXCEPT
+         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         |ORDER BY c_custkey""".stripMargin,
+
+    "distinct_pairs" ->
+      s"""SELECT DISTINCT o_orderstatus, o_orderpriority
+         |FROM orders ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "string_funcs" ->
+      s"""SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+         |  substr(p_name, 1, 5) AS pre, length(p_name) AS len,
+         |  replace(p_type, ' ', '_') AS ty,
+         |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS sz,
+         |  reverse(p_name) AS rev,
+         |  concat_ws('|', p_brand, p_type) AS cat
+         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "date_funcs" ->
+      s"""SELECT o_orderkey,
+         |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+         |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+         |  CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+         |  CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom,
+         |  strftime(o_orderdate, '%Y-%m') AS ym,
+         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+         |       AS INTEGER) AS days_to_2002
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "math_funcs" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  abs(l_discount - CAST(0.05 AS DOUBLE)) AS ab,
+         |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+         |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+         |  round(l_tax * CAST(100 AS DOUBLE)) AS rnd,
+         |  sqrt(l_quantity) AS sq,
+         |  l_partkey % 7 AS md,
+         |  l_discount * l_discount AS pw
+         |FROM lineitem WHERE l_orderkey % 50 = 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "case_when_buckets" ->
+      s"""SELECT CASE WHEN o_totalprice < CAST(100000 AS DOUBLE) THEN 'small'
+         |            WHEN o_totalprice < CAST(300000 AS DOUBLE) THEN 'mid'
+         |            ELSE 'large' END AS bucket,
+         |  o_orderstatus, COUNT(*) AS n, ${dS("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY 1, 2
+         |ORDER BY bucket, o_orderstatus""".stripMargin,
+
+    "null_handling" ->
+      s"""SELECT o_orderkey,
+         |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS st,
+         |  NULLIF(o_orderpriority, '5-LOW') AS prio_or_null,
+         |  CASE WHEN o_totalprice > CAST(200000 AS DOUBLE)
+         |       THEN o_totalprice END AS big_or_null
+         |FROM orders WHERE o_orderkey % 100 = 0
+         |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.XF
+import graft.geo.Geo
+import graft.sources.Tables.t
+
+/** The reference's WNV ETL surface (SURVEY.md §2.1-2.5), re-expressed as
+  * lazy DataFrame plans over the driver testdata.
+  *
+  * Mapping of reference stages → operators here (file:line into
+  * /root/reference):
+  *   - P1 concat enrichment (Lab2ETL.py:69)              → `addr` column
+  *   - P2 geocode (Lab2ETL.py:22-45)                     → [[Geo]] mock
+  *   - P3 clean/cast/drop (Lab2ETL.py:76-80)             → wnv_clean_cast
+  *   - P4 null filter (Lab2ETL.py:74)                    → geocodeHit filter
+  *   - P6 constant Type tag (Lab2ETL.py:78)              → lit("Residential")
+  *   - S4 XY→point load (Lab2ETL.py:83-94)               → x/y columns
+  *   - J3 Buffer 1500ft (GSheetsETL_Lab2.py:129)         → implicit radius
+  *   - J1 SpatialJoin+Join_Count (final_project2.py:226) → wnv_spatial_join_count
+  *   - J2 Erase (GSheetsETL_Lab2.py:133)                 → wnv_erase_selection
+  *   - P8 definition query Join_Count=1 (final_project.py:202)
+  *                                                       → wnv_target_report
+  *   - S5 report export (final_project2.py:244-265)      → wnv_target_report
+  *
+  * Scale design: the zone side is a tiny dimension (25 rows; it stays tiny
+  * even at 100 TB of facts) → broadcast theta join. The opt-out buffer side
+  * grows with the data → the Erase anti-join is a grid-cell equi-join
+  * (cell = buffer radius; each buffer is exploded to its 3×3 covering
+  * cells) so Catalyst plans a hash anti-join on (gx, gy) with the exact
+  * distance predicate as a residual filter — no O(N·M) theta join.
+  */
+object Wnv {
+
+  val BufferFt = 1500.0 // GSheetsETL_Lab2.py:129 "1500 feet"
+
+  /** Geocoded customer points (the opt-out-address analogue on testdata):
+    * concat enrichment → deterministic geocode → miss-drop → constant tag
+    * → planar feet projection. One lazy plan, no stage materialization
+    * (the reference writes a CSV between each step).
+    */
+  def points(spark: SparkSession, dir: String): DataFrame = {
+    val addr = concat(col("c_name"), lit(" Boulder CO"))
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), addr.as("addr"))
+      .filter(Geo.geocodeHit(col("addr")))
+      .select(
+        col("c_custkey"),
+        Geo.geocodeLon(col("addr")).as("lon"),
+        Geo.geocodeLat(col("addr")).as("lat"),
+        lit("Residential").as("addr_type"))
+      .withColumn("x_ft", Geo.xFt(col("lon")))
+      .withColumn("y_ft", Geo.yFt(col("lat")))
+  }
+
+  /** SQL twin of [[points]] as a WITH-clause body (DuckDB dialect). */
+  private val addrSql = "(c_name || ' Boulder CO')"
+  private val pointsSql: String =
+    s"""SELECT c_custkey,
+       |       ${Geo.geocodeLonSql(addrSql)} AS lon,
+       |       ${Geo.geocodeLatSql(addrSql)} AS lat,
+       |       'Residential' AS addr_type,
+       |       ${Geo.xFtSql(Geo.geocodeLonSql(addrSql))} AS x_ft,
+       |       ${Geo.yFtSql(Geo.geocodeLatSql(addrSql))} AS y_ft
+       |FROM customer
+       |WHERE ${Geo.geocodeHitSql(addrSql)}""".stripMargin
+
+  /** Spray-planning zones derived from `nation` (the High_Risk_Intersect
+    * analogue): implicit-buffer form, center + radius feet.
+    */
+  def zones(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation").select(
+      col("n_nationkey").as("zone_id"),
+      ((col("n_nationkey") % 5).cast(DoubleType) * lit(28000.0) + lit(14000.0)).as("cx_ft"),
+      (floor(col("n_nationkey") / lit(5.0)).cast(DoubleType) * lit(21000.0) + lit(10000.0)).as("cy_ft"),
+      (col("n_nationkey").cast(DoubleType) * lit(400.0) + lit(5280.0)).as("radius_ft"),
+      (col("n_nationkey") % 3 =!= 1).as("high_risk"))
+
+  private val zonesSql: String =
+    """SELECT n_nationkey AS zone_id,
+      |       CAST(n_nationkey % 5 AS DOUBLE) * CAST(28000 AS DOUBLE) + CAST(14000 AS DOUBLE) AS cx_ft,
+      |       CAST(FLOOR(n_nationkey / CAST(5 AS DOUBLE)) AS DOUBLE) * CAST(21000 AS DOUBLE) + CAST(10000 AS DOUBLE) AS cy_ft,
+      |       CAST(n_nationkey AS DOUBLE) * CAST(400 AS DOUBLE) + CAST(5280 AS DOUBLE) AS radius_ft,
+      |       (n_nationkey % 3) <> 1 AS high_risk
+      |FROM nation""".stripMargin
+
+  /** Opt-out subset: every 10th customer (deterministic stand-in for the
+    * Google-Sheet opt-out list), buffered implicitly at 1500 ft.
+    */
+  def optOut(spark: SparkSession, dir: String): DataFrame =
+    points(spark, dir).filter(col("c_custkey") % 10 === 0)
+
+  private def inZone(px: Column, py: Column): Column =
+    Geo.dist2(px, py, col("cx_ft"), col("cy_ft")) <= col("radius_ft") * col("radius_ft")
+
+  private def inZoneSql(px: String, py: String): String =
+    s"${Geo.dist2Sql(px, py, "z.cx_ft", "z.cy_ft")} <= z.radius_ft * z.radius_ft"
+
+  /** J1: spatial inner join (KEEP_COMMON) + per-address Join_Count. */
+  def spatialJoinCount(spark: SparkSession, dir: String): DataFrame =
+    points(spark, dir)
+      .join(
+        broadcast(zones(spark, dir).filter(col("high_risk"))),
+        inZone(col("x_ft"), col("y_ft")),
+        "inner")
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("join_count"))
+
+  /** J2: Erase selection semantics — in-risk addresses minus 1500-ft
+    * opt-out buffers, planned as a grid-cell hash anti-join (see header).
+    */
+  def eraseSelection(spark: SparkSession, dir: String): DataFrame = {
+    val cell = BufferFt
+    val pts = points(spark, dir)
+    val inRisk = pts
+      .join(broadcast(zones(spark, dir).filter(col("high_risk"))),
+        inZone(col("x_ft"), col("y_ft")), "left_semi")
+      .withColumn("gx", floor(col("x_ft") / cell))
+      .withColumn("gy", floor(col("y_ft") / cell))
+    val bufCells = optOut(spark, dir)
+      .select(col("x_ft").as("ox"), col("y_ft").as("oy"))
+      .withColumn("gx", explode(sequence(
+        floor((col("ox") - BufferFt) / cell), floor((col("ox") + BufferFt) / cell))))
+      .withColumn("gy", explode(sequence(
+        floor((col("oy") - BufferFt) / cell), floor((col("oy") + BufferFt) / cell))))
+    inRisk.join(
+        bufCells,
+        inRisk("gx") === bufCells("gx") && inRisk("gy") === bufCells("gy") &&
+          (Geo.dist2(col("x_ft"), col("y_ft"), col("ox"), col("oy"))
+            <= lit(BufferFt * BufferFt)),
+        "left_anti")
+      .drop("gx", "gy")
+  }
+
+  // ------------------------------------------------------------------
+  // driver-contract query surface
+  // ------------------------------------------------------------------
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "wnv_geocode_points" -> ((s: SparkSession, d: String) =>
+      points(s, d)
+        .select(col("c_custkey"), col("lon").as("x"), col("lat").as("y"), col("addr_type"))
+        .orderBy(col("c_custkey"))),
+
+    "wnv_clean_cast" -> ((s: SparkSession, d: String) => {
+      // P3: strip quotes/whitespace, try_cast, drop failures (ANSI-safe).
+      val dirty = when(col("c_custkey") % 7 === 0, lit(" N/A "))
+        .otherwise(concat(lit(" \""),
+          floor(col("c_acctbal") * 100).cast(LongType).cast(StringType), lit("\" ")))
+      t(s, d, "customer")
+        .select(col("c_custkey"), dirty.as("dirty"))
+        .withColumn("cleaned",
+          regexp_replace(trim(col("dirty")), "['\"]", "").try_cast("double"))
+        .filter(col("cleaned").isNotNull)
+        .select(col("c_custkey"), (col("cleaned") / 100.0).as("acctbal_cents"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "wnv_zones" -> ((s: SparkSession, d: String) =>
+      zones(s, d).orderBy(col("zone_id"))),
+
+    "wnv_spatial_join_count" -> ((s: SparkSession, d: String) =>
+      spatialJoinCount(s, d).orderBy(col("c_custkey"))),
+
+    "wnv_erase_selection" -> ((s: SparkSession, d: String) =>
+      eraseSelection(s, d)
+        .select(col("c_custkey"), col("x_ft"), col("y_ft"))
+        .orderBy(col("c_custkey"))),
+
+    "wnv_target_report" -> ((s: SparkSession, d: String) =>
+      // P8 definition query Join_Count = 1, then the S5 report projection.
+      spatialJoinCount(s, d).filter(col("join_count") === 1)
+        .join(t(s, d, "customer"), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name").as("fulladdr"),
+          col("c_mktsegment").as("segment"))
+        .orderBy(col("c_custkey"))),
+
+    "wnv_pipeline_e2e" -> ((s: SparkSession, d: String) => {
+      // flagship: zones × erase-selection → per-zone target counts
+      val sel = eraseSelection(s, d)
+      sel.join(broadcast(zones(s, d).filter(col("high_risk"))),
+          inZone(col("x_ft"), col("y_ft")), "inner")
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_targets"))
+        .orderBy(col("zone_id"))
+    })
+  )
+
+  private val px = "p.x_ft"
+  private val py = "p.y_ft"
+
+  val oracles: Seq[(String, String)] = Seq(
+    "wnv_geocode_points" ->
+      s"""WITH pts AS ($pointsSql)
+         |SELECT c_custkey, lon AS x, lat AS y, addr_type
+         |FROM pts ORDER BY c_custkey""".stripMargin,
+
+    "wnv_clean_cast" ->
+      s"""SELECT c_custkey,
+         |       TRY_CAST(replace(replace(trim(dirty), '''', ''), '"', '') AS DOUBLE)
+         |         / CAST(100 AS DOUBLE) AS acctbal_cents
+         |FROM (
+         |  SELECT c_custkey,
+         |         CASE WHEN c_custkey % 7 = 0 THEN ' N/A '
+         |              ELSE ' "' || CAST(CAST(FLOOR(c_acctbal * CAST(100 AS DOUBLE)) AS BIGINT) AS VARCHAR) || '" '
+         |         END AS dirty
+         |  FROM customer)
+         |WHERE TRY_CAST(replace(replace(trim(dirty), '''', ''), '"', '') AS DOUBLE) IS NOT NULL
+         |ORDER BY c_custkey""".stripMargin,
+
+    "wnv_zones" ->
+      s"""$zonesSql ORDER BY zone_id""",
+
+    "wnv_spatial_join_count" ->
+      s"""WITH pts AS ($pointsSql), z AS ($zonesSql)
+         |SELECT p.c_custkey, COUNT(*) AS join_count
+         |FROM pts p JOIN z ON z.high_risk AND ${inZoneSql(px, py)}
+         |GROUP BY p.c_custkey
+         |ORDER BY p.c_custkey""".stripMargin,
+
+    "wnv_erase_selection" ->
+      s"""WITH pts AS ($pointsSql), z AS ($zonesSql)
+         |SELECT p.c_custkey, p.x_ft, p.y_ft
+         |FROM pts p
+         |WHERE EXISTS (SELECT 1 FROM z WHERE z.high_risk AND ${inZoneSql(px, py)})
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM pts o
+         |    WHERE o.c_custkey % 10 = 0
+         |      AND ${Geo.dist2Sql(px, py, "o.x_ft", "o.y_ft")}
+         |          <= CAST(2250000 AS DOUBLE))
+         |ORDER BY p.c_custkey""".stripMargin,
+
+    "wnv_target_report" ->
+      s"""WITH pts AS ($pointsSql), z AS ($zonesSql),
+         |jc AS (
+         |  SELECT p.c_custkey, COUNT(*) AS join_count
+         |  FROM pts p JOIN z ON z.high_risk AND ${inZoneSql(px, py)}
+         |  GROUP BY p.c_custkey)
+         |SELECT c.c_custkey, c.c_name AS fulladdr, c.c_mktsegment AS segment
+         |FROM jc JOIN customer c ON jc.c_custkey = c.c_custkey
+         |WHERE jc.join_count = 1
+         |ORDER BY c.c_custkey""".stripMargin,
+
+    "wnv_pipeline_e2e" ->
+      s"""WITH pts AS ($pointsSql), z AS ($zonesSql),
+         |sel AS (
+         |  SELECT p.c_custkey, p.x_ft, p.y_ft
+         |  FROM pts p
+         |  WHERE EXISTS (SELECT 1 FROM z WHERE z.high_risk AND ${inZoneSql(px, py)})
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM pts o
+         |      WHERE o.c_custkey % 10 = 0
+         |        AND ${Geo.dist2Sql(px, py, "o.x_ft", "o.y_ft")}
+         |            <= CAST(2250000 AS DOUBLE)))
+         |SELECT z.zone_id, COUNT(*) AS n_targets
+         |FROM sel p JOIN z ON z.high_risk AND ${inZoneSql(px, py)}
+         |GROUP BY z.zone_id
+         |ORDER BY z.zone_id""".stripMargin
+  )
+}
