@@ -21,7 +21,12 @@ object SparkEntry {
       Seq[(String, (SparkSession, String) => DataFrame)],
       Seq[(String, String)])] = Seq(
     (ops.Wnv.queries, ops.Wnv.oracles),
-    (ops.Relational.queries, ops.Relational.oracles))
+    (ops.Relational.queries, ops.Relational.oracles),
+    (ops.Text.queries, ops.Text.oracles),
+    (ops.Events.queries, ops.Events.oracles),
+    (ops.Dedup.queries, ops.Dedup.oracles),
+    (ops.Similarity.queries, ops.Similarity.oracles),
+    (ops.Multimodal.queries, ops.Multimodal.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   val queries: Map[String, (SparkSession, String) => DataFrame] =

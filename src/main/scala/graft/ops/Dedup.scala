@@ -1,0 +1,327 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.XF
+import graft.sources.Tables.t
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * training-data-pipeline dedup family: exact, canonical-key, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  * (The reference has no dedup at all; this is the beyond-reference
+  * surface from SURVEY.md §2.8.)
+  *
+  * Scale design notes:
+  *   - Exact/canonical dedup: hash-groupBy on a derived key — one shuffle,
+  *     map-side partial agg; the canonical key (sorted distinct token set)
+  *     is computed per-row, codegen'd.
+  *   - n-gram Jaccard and MinHash verification use an INVERTED-INDEX
+  *     equi-join on the shingle string (never a crossJoin): join fan-out
+  *     is bounded by shingle document frequency. At 100 TB, drop
+  *     ultra-frequent shingles (doc-freq cap) before the self-join —
+  *     the classic "stop-shingle" trick; not needed at test scale.
+  *   - MinHash/LSH: signatures are a groupBy-min over 12 md5-derived hash
+  *     functions; banding (4 bands × 3 rows) turns candidate generation
+  *     into an equi-join on (band, signature) that Catalyst plans as a
+  *     plain shuffled hash join — the sub-quadratic path that survives
+  *     100 TB. Candidates are then verified with exact Jaccard.
+  *   - SimHash: 32-bit signature via per-bit ±1 sums over shingle hashes;
+  *     near-dup candidates via 4×8-bit band equality (Hamming ≤ 6 ⇒ at
+  *     least one of 4 byte-bands equal by pigeonhole when ≤ 3... we use
+  *     band-match as a recall-oriented prefilter and verify with exact
+  *     bit_count), all integer arithmetic — bit-exact across engines.
+  *   - Embedding near-dup: vectors are quantized to BIGINT (floor(x·2^20))
+  *     so dot products and norms are EXACT integer sums — order-independent
+  *     and engine-independent; one sqrt+division at the end. Brute-force
+  *     pair generation here (correctness form, n² bounded at test scale);
+  *     the sub-quadratic bucketed form lives in [[Similarity]].
+  */
+object Dedup {
+
+  // ---- shingling ------------------------------------------------------
+
+  /** Distinct 3-token shingles of `text` (docs with <3 tokens excluded). */
+  def shingleDf(spark: SparkSession, d: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    t(spark, d, "documents")
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(ws) - 3),
+          i => concat_ws(" ", slice(ws, i + lit(1), lit(3)))))).as("s"))
+  }
+
+  /** DuckDB twin of [[shingleDf]] as a CTE body. */
+  val shingleSql: String =
+    """SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text,' ') ws FROM documents) tk,
+      |       unnest(range(1, len(ws)-1)) t(i)""".stripMargin
+
+  /** Exact Jaccard over distinct-shingle sets for doc pairs sharing ≥1
+    * shingle, via inverted-index self-join.
+    */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("i"), col("s"))
+    val b = sh.select(col("doc_id").as("j"), col("s"))
+    a.join(b, Seq("s")).filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
+      .join(sz.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
+      .withColumn("jac", col("inter").cast(DoubleType) /
+        (col("ni") + col("nj") - col("inter")).cast(DoubleType))
+  }
+
+  private val jaccardPairsSql: String =
+    s"""sh AS ($shingleSql),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |jp AS (
+       |  SELECT a.doc_id i, b.doc_id j, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT i, j, CAST(inter AS DOUBLE) /
+       |         CAST(x.n + y.n - inter AS DOUBLE) AS jac
+       |  FROM jp JOIN sz x ON x.doc_id = i JOIN sz y ON y.doc_id = j)""".stripMargin
+
+  // ---- MinHash --------------------------------------------------------
+
+  val K = 12        // minhash functions
+  val Bands = 4     // 4 bands × 3 rows
+  val Rows = 3
+
+  // ---- SimHash --------------------------------------------------------
+
+  val SimBits = 32
+
+  /** 32-bit simhash column set: per-bit ±1 sums over shingle hashes. */
+  private def simhashDf(spark: SparkSession, d: String): DataFrame = {
+    val h = XF.h32(col("s"))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b"))
+    val sim = (0 until SimBits).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    shingleDf(spark, d)
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  private val simhashSql: String = {
+    val h = XF.h32Sql("s")
+    val sums = (0 until SimBits).map(b =>
+      s"SUM(CASE WHEN (($h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n    ")
+    val sim = (0 until SimBits).map(b =>
+      s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""sh AS ($shingleSql),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM sh GROUP BY doc_id),
+       |simh AS (SELECT doc_id, $sim AS simhash FROM bits)""".stripMargin
+  }
+
+  // ---- quantized embeddings ------------------------------------------
+
+  /** floor(x·2^20) per element: integer vectors whose dot products and
+    * norms are exact (order-independent) BIGINT sums.
+    */
+  def qvec(c: Column): Column =
+    transform(c, x => floor(x.cast(DoubleType) * lit(1048576.0)).cast(LongType))
+  val qvecSql: String =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  def idotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2])) AS BIGINT)"
+
+  /** Quantized cosine: exact integer dot / product of exact-integer norms;
+    * one sqrt + one division at the end keeps it bit-identical everywhere.
+    */
+  def qcos(dot: Column, na2: Column, nb2: Column): Column =
+    dot.cast(DoubleType) /
+      (sqrt(na2.cast(DoubleType)) * sqrt(nb2.cast(DoubleType)))
+  def qcosSql(dot: String, na2: String, nb2: String): String =
+    s"(CAST($dot AS DOUBLE) / (sqrt(CAST($na2 AS DOUBLE)) * sqrt(CAST($nb2 AS DOUBLE))))"
+
+  def qEmb(spark: SparkSession, d: String): DataFrame =
+    t(spark, d, "embeddings")
+      .select(col("vec_id"), qvec(col("embedding")).as("q"))
+      .withColumn("n2", idot(col("q"), col("q")))
+
+  val qEmbSql: String =
+    s"""qe AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+       |qn AS (SELECT vec_id, q, ${idotSql("q", "q")} AS n2 FROM qe)""".stripMargin
+
+  // ---- driver-contract queries ---------------------------------------
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // exact dedup: hash-groupBy on full-content hash, keep min doc_id.
+    "dedup_exact" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("key"))
+        .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("kept_doc_id"), col("n_copies"))
+        .orderBy(col("kept_doc_id"))),
+
+    // canonical-key dedup: order/multiplicity-insensitive token-set key —
+    // catches shuffled/repeated-word copies that exact hashing misses.
+    "dedup_canonical" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .groupBy(XF.h32(concat_ws(" ",
+          array_sort(array_distinct(split(col("text"), " "))))).as("key"))
+        .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("group_n"))
+        .select(col("kept_doc_id"), col("group_n"))
+        .orderBy(col("kept_doc_id"))),
+
+    // n-gram Jaccard near-dup: inverted-index join, threshold 0.8.
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+      jaccardPairs(shingleDf(s, d))
+        .filter(col("jac") >= 0.8)
+        .select(col("i"), col("j"), col("jac"))
+        .orderBy(col("i"), col("j"))),
+
+    // MinHash + LSH banding: sub-quadratic candidate generation, exact
+    // Jaccard verification at threshold 0.7.
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => {
+      val sh = shingleDf(s, d)
+      val mins = (0 until K).map(k =>
+        min(XF.h32(concat(col("s"), lit(s"#$k")))).as(s"m$k"))
+      val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val bandStructs = (0 until Bands).map { b =>
+        val sig = concat_ws("_",
+          (0 until Rows).map(r => col(s"m${b * Rows + r}")): _*)
+        struct(lit(b).as("band"), sig.as("sig"))
+      }
+      val bands = mh.select(col("doc_id"),
+          explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val cand = bands.select(col("doc_id").as("i"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("j"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j")).distinct()
+      // verify candidates with exact Jaccard (shingles pre-filtered to
+      // candidate docs so verification cost tracks candidate volume).
+      val candDocs = cand.select(col("i").as("doc_id"))
+        .union(cand.select(col("j").as("doc_id"))).distinct()
+      val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      jaccardPairs(shC)
+        .join(cand, Seq("i", "j"), "left_semi")
+        .filter(col("jac") >= 0.7)
+        .select(col("i"), col("j"), col("jac"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // SimHash signatures per document.
+    "dedup_simhash" -> ((s: SparkSession, d: String) =>
+      simhashDf(s, d).orderBy(col("doc_id"))),
+
+    // SimHash near-dup pairs: byte-band candidate join + Hamming ≤ 6.
+    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => {
+      val sim = simhashDf(s, d)
+      val bands = sim.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(k =>
+            struct(lit(k).as("band"),
+              shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("byte"))): _*))
+            .as("bs"))
+        .select(col("doc_id"), col("simhash"),
+          col("bs.band").as("band"), col("bs.byte").as("byte"))
+      bands.select(col("doc_id").as("i"), col("simhash").as("sa"),
+          col("band"), col("byte"))
+        .join(bands.select(col("doc_id").as("j"), col("simhash").as("sb"),
+          col("band"), col("byte")), Seq("band", "byte"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // embedding-cosine near-dup: quantized-integer cosine ≥ 0.45.
+    "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => {
+      val e = qEmb(s, d)
+      val a = e.select(col("vec_id").as("i"), col("q").as("qa"), col("n2").as("na2"))
+      val b = e.select(col("vec_id").as("j"), col("q").as("qb"), col("n2").as("nb2"))
+      a.crossJoin(b).filter(col("i") < col("j"))
+        .withColumn("cos", qcos(idot(col("qa"), col("qb")), col("na2"), col("nb2")))
+        .filter(col("cos") >= 0.45)
+        .select(col("i"), col("j"), col("cos"))
+        .orderBy(col("i"), col("j"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "dedup_exact" ->
+      s"""SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+         |FROM documents GROUP BY md5(text) ORDER BY kept_doc_id""".stripMargin,
+
+    "dedup_canonical" ->
+      s"""SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS group_n
+         |FROM documents
+         |GROUP BY ${XF.h32Sql("array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')")}
+         |ORDER BY kept_doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $jaccardPairsSql
+         |SELECT i, j, jac FROM jac WHERE jac >= CAST(0.8 AS DOUBLE)
+         |ORDER BY i, j""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val mins = (0 until K).map(k =>
+        s"MIN(${XF.h32Sql(s"(s || '#$k')")}) AS m$k").mkString(",\n    ")
+      val bandSelects = (0 until Bands).map { b =>
+        val sig = (0 until Rows).map(r => s"CAST(m${b * Rows + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $jaccardPairsSql,
+         |mh AS (
+         |  SELECT doc_id,
+         |    $mins
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id i, b.doc_id j
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT jac.i, jac.j, jac.jac
+         |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
+         |WHERE jac.jac >= CAST(0.7 AS DOUBLE)
+         |ORDER BY jac.i, jac.j""".stripMargin
+    },
+
+    "dedup_simhash" ->
+      s"""WITH $simhashSql
+         |SELECT doc_id, simhash FROM simh ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashSql,
+         |bands AS (
+         |  SELECT doc_id, simhash, b.band,
+         |         (simhash >> (8 * b.band)) & 255 AS byte
+         |  FROM simh, (SELECT unnest(range(0, 4)) AS band) b)
+         |SELECT DISTINCT a.doc_id i, b.doc_id j,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY i, j""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH $qEmbSql
+         |SELECT a.vec_id i, b.vec_id j,
+         |  ${qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")} AS cos
+         |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+         |WHERE ${qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")} >= CAST(0.45 AS DOUBLE)
+         |ORDER BY i, j""".stripMargin
+  )
+}

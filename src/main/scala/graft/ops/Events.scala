@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.XF
+import graft.sources.Tables.t
+
+/** Event-stream operators over the `events` table, batch-form.
+  *
+  * These are the batch-equivalent formulations of the streaming surface in
+  * [[graft.streaming.Streams]] — same windows, same session gap, same
+  * dedup key — so the DuckDB oracle can check the semantics that streaming
+  * state would compute incrementally (the reference has no streaming at
+  * all; its closest analogue is the JSON field extraction from the
+  * geocoder response, Lab2ETL.py:35-39, exercised here as P7 over
+  * `events.props`).
+  *
+  * Scale design: tumbling/sliding windows are groupBy on a derived bucket
+  * column — one shuffle, map-side partial aggs; sliding emits exactly
+  * width/slide rows per event (2 here) before aggregation. Sessionization
+  * is one shuffle on user_id (window lag + running sum), the standard
+  * scalable gap-session plan; per-user event counts are bounded, so no
+  * skew treatment is needed beyond AQE.
+  */
+object Events {
+
+  private val gapUs = 30L * 60 * 1000000 // 30-min session gap
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // P7: JSON field extraction (reference parses data[0]['lon'] from the
+    // Nominatim response; here get_json_object over events.props).
+    "events_json_extract" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .filter(col("k") % 3 === 0)
+        .orderBy(col("event_id"))),
+
+    // tumbling 10-minute windows per event type.
+    "events_tumbling" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), XF.dsum(col("value")).as("total"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy(col("bucket"), col("event_type"))),
+
+    // sliding 10-minute windows every 5 minutes (each event in 2 windows).
+    "events_sliding" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+          col("n"))
+        .orderBy(col("bucket"))),
+
+    // gap-based sessionization: 30-min inactivity closes a session.
+    "events_sessions" -> ((s: SparkSession, d: String) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = XF.epochUs(col("ts"))
+      val newSess = when(
+        us - lag(us, 1).over(byUser) > gapUs || lag(us, 1).over(byUser).isNull, 1L)
+        .otherwise(0L)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"), us.as("us"),
+          sum(newSess).over(byUser).as("session_no"))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(min(col("us")).as("session_start_us"),
+          max(col("us")).as("session_end_us"),
+          count(lit(1)).as("n_events"),
+          XF.dsum(col("value")).as("total_value"))
+        .orderBy(col("user_id"), col("session_no"))
+    }),
+
+    // first event per (user, type) — batch form of
+    // dropDuplicatesWithinWatermark keyed on (user_id, event_type).
+    "events_dedup_first" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // pivot: per-user event-type count matrix (explicit value list keeps
+    // the plan one-pass; no extra distinct-values job).
+    "events_pivot" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")))
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "events_json_extract" ->
+      s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k
+         |FROM events
+         |WHERE CAST(json_extract_string(props, '$$.k') AS INTEGER) % 3 = 0
+         |ORDER BY event_id""".stripMargin,
+
+    "events_tumbling" ->
+      s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS bucket,
+         |  event_type, COUNT(*) AS n, ${XF.dsumSql("value")} AS total
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "events_sliding" ->
+      s"""WITH b AS (
+         |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS w FROM events
+         |  UNION ALL
+         |  SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes') AS w
+         |  FROM events)
+         |SELECT strftime(w, '%Y-%m-%d %H:%M') AS bucket, COUNT(*) AS n
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "events_sessions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $gapUs
+         |           OR lag(epoch_us(ts)) OVER w IS NULL
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT user_id, event_id, value, us,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         |  FROM e)
+         |SELECT user_id, session_no,
+         |  MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+         |  COUNT(*) AS n_events, ${XF.dsumSql("value")} AS total_value
+         |FROM s GROUP BY user_id, session_no
+         |ORDER BY user_id, session_no""".stripMargin,
+
+    "events_dedup_first" ->
+      s"""SELECT user_id, event_type, event_id FROM (
+         |  SELECT user_id, event_type, event_id,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |                       ORDER BY ts, event_id) AS rn
+         |  FROM events)
+         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "events_pivot" ->
+      s"""SELECT user_id,
+         |  COUNT(*) FILTER (event_type = 'click') AS click,
+         |  COUNT(*) FILTER (event_type = 'error') AS error,
+         |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+         |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+         |  COUNT(*) FILTER (event_type = 'view') AS view
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.XF
+import graft.sources.Tables.t
+
+/** Multimodal-column operators (SURVEY.md §2.8): media treated as opaque
+  * `binary` payloads with typed metadata, plus decode / feature-extract /
+  * frame-sample plumbing.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB (md5-derived features, clearly marked below); the
+  * Spark-side plumbing — binary columns, metadata schema, per-batch
+  * `mapPartitions` decode, frame explode — is real and is what matters
+  * structurally: swap `stubDecode` for a codec call and nothing else
+  * changes.
+  *
+  * Scale design: payloads stay opaque bytes until the decode stage;
+  * metadata predicates (mime, size) push down to the parquet scan so
+  * decode only ever sees selected rows. `mapPartitions` amortizes any
+  * per-codec init across a whole partition (the reason it beats a per-row
+  * UDF for real decoders), and frame sampling explodes AFTER the sample
+  * filter is applied to the index sequence, never materializing skipped
+  * frames.
+  */
+object Multimodal {
+
+  val FrameBytes = 64
+
+  /** Documents with a synthetic binary payload + typed media metadata.
+    * (Payload = UTF-8 bytes of `text`; real pipelines read these bytes
+    * from object storage — the column shape is identical.)
+    */
+  def media(spark: SparkSession, d: String): DataFrame =
+    t(spark, d, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      when(col("source") === "src0", "image/png")
+        .when(col("source") === "src1", "audio/wav")
+        .otherwise("video/mp4").as("mime"),
+      (lit(64) + XF.h32(col("text"), 1) % 192).cast(IntegerType).as("width"),
+      (lit(64) + XF.h32(col("text"), 9) % 192).cast(IntegerType).as("height"),
+      (floor(col("n_chars") / FrameBytes) + 1).cast(IntegerType).as("n_frames"),
+      col("text"))
+
+  private val mimeSql =
+    """CASE WHEN source = 'src0' THEN 'image/png'
+      |     WHEN source = 'src1' THEN 'audio/wav'
+      |     ELSE 'video/mp4' END""".stripMargin
+
+  /** DETERMINISTIC STUB for media decode → 8-dim feature vector.
+    * A real implementation replaces the body with a codec call over
+    * `payload`; signature and call sites stay as-is.
+    */
+  def stubDecode(payload: Array[Byte]): Array[Float] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(payload).map("%02x".format(_)).mkString
+    (0 until 8).map { j =>
+      (java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16) % 1000)
+        .toFloat / 1000f
+    }.toArray
+  }
+
+  /** Per-partition batch decode: the real multimodal plumbing (schema in,
+    * schema out, one decoder instance per partition).
+    */
+  def decodeFeatures(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    df.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (codec handles, model)
+        rows.map { r =>
+          Row(r.getLong(0), stubDecode(r.getAs[Array[Byte]](1)))
+        }
+      }(RowEncoder.encoderFor(outSchema))
+  }
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // metadata extraction over binary payloads (pushdown-friendly: only
+    // metadata columns are touched, payload bytes never deserialize).
+    "mm_meta" -> ((s: SparkSession, d: String) =>
+      media(s, d)
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          octet_length(col("payload")).as("payload_bytes"), col("n_frames"))
+        .orderBy(col("doc_id"))),
+
+    // frame sampling: every 4th frame index, fingerprint of frame bytes.
+    // The sample filter runs on the index sequence BEFORE substring
+    // extraction — skipped frames are never materialized.
+    "mm_frame_sample" -> ((s: SparkSession, d: String) =>
+      media(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(filter(sequence(lit(0), col("n_frames") - 1),
+            i => i % 4 === 0)).as("frame_no"))
+        .select(col("doc_id"), col("frame_no").cast(LongType).as("frame_no"),
+          XF.h32(col("text")
+            .substr(col("frame_no") * FrameBytes + lit(1), lit(FrameBytes)))
+            .as("frame_fp"))
+        .orderBy(col("doc_id"), col("frame_no"))),
+
+    // feature extraction via the stub decoder, flattened to scalar
+    // columns so the oracle can hash-compare (md5-derived fake features).
+    "mm_features" -> ((s: SparkSession, d: String) => {
+      val feats = (0 until 8).map(j =>
+        ((XF.h32(col("text"), j * 4 + 1) % 1000).cast(DoubleType) / 1000.0)
+          .as(s"feat_$j"))
+      media(s, d).select(col("doc_id") +: feats: _*).orderBy(col("doc_id"))
+    }),
+
+    // mapPartitions decode plumbing — no SQL oracle (array output +
+    // imperative decode); driver records the rows-only check.
+    "mm_decode_batch" -> ((s: SparkSession, d: String) =>
+      decodeFeatures(media(s, d)).orderBy(col("doc_id")))
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "mm_meta" ->
+      s"""SELECT doc_id, $mimeSql AS mime,
+         |  CAST(64 + ${XF.h32Sql("text", 1)} % 192 AS INTEGER) AS width,
+         |  CAST(64 + ${XF.h32Sql("text", 9)} % 192 AS INTEGER) AS height,
+         |  CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+         |  CAST(floor(n_chars / $FrameBytes) + 1 AS INTEGER) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""SELECT doc_id, frame_no,
+         |  ${XF.h32Sql(s"substr(text, frame_no * $FrameBytes + 1, $FrameBytes)")} AS frame_fp
+         |FROM (
+         |  SELECT doc_id, text, unnest(range(0, CAST(floor(n_chars / $FrameBytes) + 1 AS BIGINT))) AS frame_no
+         |  FROM documents)
+         |WHERE frame_no % 4 = 0
+         |ORDER BY doc_id, frame_no""".stripMargin,
+
+    "mm_features" -> {
+      val feats = (0 until 8).map(j =>
+        s"CAST(${XF.h32Sql("text", j * 4 + 1)} % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) AS feat_$j")
+        .mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $feats
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
+  )
+}

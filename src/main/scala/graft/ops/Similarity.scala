@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Dedup.{idot, idotSql, qcos, qcosSql, qEmb, qEmbSql}
+import graft.sources.Tables.t
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.8):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * sign-quantization bucketed variant as the sub-quadratic scale path.
+  *
+  * All cosine arithmetic uses the quantized-integer scheme from [[Dedup]]
+  * (floor(x·2^20) per element): dot products and squared norms are exact
+  * BIGINT sums, so ranking is deterministic and bit-identical across
+  * engines — no float-accumulation-order hazards in the oracle compare.
+  *
+  * Scale design: brute force is a broadcast of the (small) query set
+  * against a scan of the candidate corpus — ranking via per-query window
+  * top-k, which Spark executes as partial top-k per partition before the
+  * shuffle when the filter on row_number is pushed (WindowGroupLimit).
+  * At 100 TB the bucketed form bounds each probe to one quantization cell;
+  * recall is tuned by adding probe cells (multiprobe) — the classic
+  * IVF/LSH trade, documented here and tested for the 1-cell case.
+  */
+object Similarity {
+
+  private val TopK = 5
+
+  /** Query subset: every 50th vector. Stays tiny relative to the corpus
+    * (the realistic ANN shape: few queries, huge candidate side).
+    */
+  private def queriesSide(s: SparkSession, d: String): DataFrame =
+    qEmb(s, d).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("n2").as("qn2"))
+
+  /** 4-bit sign-quantization bucket over the first 4 dimensions (a fixed
+    * coarse quantizer; a trained IVF codebook replaces this at scale, same
+    * plan shape — derive cell id, equi-join on it).
+    */
+  private def bucket(vcol: String): org.apache.spark.sql.Column =
+    (0 until 4).map(k =>
+      when(element_at(col(vcol), k + 1) >= 0L, lit(1 << k)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  private def bucketSql(v: String): String =
+    (0 until 4).map(k =>
+      s"CASE WHEN $v[${k + 1}] >= 0 THEN ${1 << k} ELSE 0 END")
+      .mkString(" + ")
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // brute-force cosine top-k: broadcast queries × corpus scan → window
+    // top-k per query.
+    "sim_topk_bruteforce" -> ((s: SparkSession, d: String) => {
+      val cand = qEmb(s, d)
+        .select(col("vec_id").as("cid"), col("q").as("cv"), col("n2").as("cn2"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      broadcast(queriesSide(s, d))
+        .join(cand, col("qid") =!= col("cid"))
+        .withColumn("cos", qcos(idot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // bucketed ANN: quantization-cell equi-join restricts each probe to
+    // its own cell (recall < 1 by construction; multiprobe widens it).
+    "sim_ann_bucketed" -> ((s: SparkSession, d: String) => {
+      val cand = qEmb(s, d)
+        .select(col("vec_id").as("cid"), col("q").as("cv"), col("n2").as("cn2"))
+        .withColumn("cell", bucket("cv"))
+      val qs = queriesSide(s, d).withColumn("cell", bucket("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      broadcast(qs)
+        .join(cand, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cos", qcos(idot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // pairwise similarity matrix for a tiny id range — the exhaustive
+    // debugging view (bounded output: 20×20).
+    "sim_pair_matrix" -> ((s: SparkSession, d: String) => {
+      val e = qEmb(s, d).filter(col("vec_id") < 20)
+      val a = e.select(col("vec_id").as("i"), col("q").as("qa"), col("n2").as("na2"))
+      val b = e.select(col("vec_id").as("j"), col("q").as("qb"), col("n2").as("nb2"))
+      a.crossJoin(b).filter(col("i") < col("j"))
+        .select(col("i"), col("j"),
+          qcos(idot(col("qa"), col("qb")), col("na2"), col("nb2")).as("cos"))
+        .orderBy(col("i"), col("j"))
+    })
+  )
+
+  private val cosAB = qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")
+
+  val oracles: Seq[(String, String)] = Seq(
+    "sim_topk_bruteforce" ->
+      s"""WITH $qEmbSql,
+         |scored AS (
+         |  SELECT a.vec_id qid, b.vec_id cid, $cosAB AS cos
+         |  FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |  FROM scored)
+         |SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_ann_bucketed" ->
+      s"""WITH $qEmbSql,
+         |cells AS (SELECT vec_id, q, n2, ${bucketSql("q")} AS cell FROM qn),
+         |scored AS (
+         |  SELECT a.vec_id qid, b.vec_id cid, $cosAB AS cos
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |  FROM scored)
+         |SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_pair_matrix" ->
+      s"""WITH $qEmbSql
+         |SELECT a.vec_id i, b.vec_id j, $cosAB AS cos
+         |FROM qn a JOIN qn b ON a.vec_id < b.vec_id AND b.vec_id < 20
+         |WHERE a.vec_id < 20
+         |ORDER BY i, j""".stripMargin
+  )
+}

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.XF
+import graft.sources.Tables.t
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language-ID, quality scoring, token
+  * counting, document fingerprinting) mandated beyond the reference's own
+  * operators (reference has no text ops at all; its only string work is
+  * the address concat at Lab2ETL.py:69).
+  *
+  * Scale design: everything here is a single scan + narrow per-row
+  * expressions (codegen'd `functions._`, no UDFs) or one explode+groupBy
+  * (token frequency — partial aggregation map-side, one shuffle on the
+  * token key). At 100 TB the explode output is bounded by total token
+  * count; the groupBy key space (vocab) is small, so partial aggs collapse
+  * almost everything before the shuffle.
+  */
+object Text {
+
+  /** Tokens of `text` (single-space separated in the testdata). */
+  def toks(c: Column): Column = split(c, " ")
+  def toksSql(e: String): String = s"string_split($e, ' ')"
+
+  /** Occurrence count of exactly-equal token `w`. */
+  private def tokCount(c: Column, w: String): Column =
+    size(filter(toks(c), x => x === lit(w)))
+  private def tokCountSql(e: String, w: String): String =
+    s"len(list_filter(${toksSql(e)}, x -> x = '$w'))"
+
+  // Stopword-profile language-ID: score = stopword hits per token.
+  // (Deterministic n-gram-free heuristic; real corpora would use char
+  // n-gram profiles — same plan shape, more markers.)
+  private val markers = Seq("the", "a", "data", "spark")
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // token counting: whitespace tokenization + distinct counts, pure
+    // per-row array expressions (single scan, no shuffle until sort).
+    "text_token_stats" -> ((s: SparkSession, d: String) => {
+      val ws = toks(col("text"))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(ws).as("n_tokens"),
+          size(array_distinct(ws)).as("n_distinct"),
+          ((col("n_chars") - (size(ws) - lit(1))).cast(DoubleType) /
+            size(ws).cast(DoubleType)).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus token frequency: explode → hash agg (map-side partial
+    // collapses to vocab size before the single shuffle).
+    "text_token_freq" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))),
+
+    // quality scoring: length / distinct-ratio / stopword-ratio buckets.
+    "text_quality" -> ((s: SparkSession, d: String) => {
+      val ws = toks(col("text"))
+      val nTok = size(ws).cast(DoubleType)
+      val stopRatio =
+        (tokCount(col("text"), "the") + tokCount(col("text"), "a"))
+          .cast(DoubleType) / nTok
+      val distinctRatio = size(array_distinct(ws)).cast(DoubleType) / nTok
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          nTok.as("n_tokens"),
+          round(stopRatio, 6).as("stopword_ratio"),
+          round(distinctRatio, 6).as("distinct_ratio"),
+          when(nTok < 32.0, "short")
+            .when(distinctRatio < 0.35, "repetitive")
+            .otherwise("ok").as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language-ID: argmax over marker-word scores, compared to the label.
+    "text_langid" -> ((s: SparkSession, d: String) => {
+      val scores = markers.map(w => tokCount(col("text"), w))
+      val best = greatest(scores: _*)
+      // first marker attaining the max wins (deterministic tie-break)
+      val pred = markers.zip(scores).foldRight(lit("unk")) {
+        case ((w, sc), acc) => when(sc === best, lit(w)).otherwise(acc)
+      }
+      t(s, d, "documents")
+        .select(col("lang"), pred.as("pred_marker"))
+        .groupBy(col("lang"), col("pred_marker"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_marker"))
+    }),
+
+    // fingerprinting: raw content hash + order/dup-insensitive canonical
+    // hash (sorted distinct token set).
+    "text_fingerprint" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          XF.h32(col("text")).as("fp"),
+          XF.h32(concat_ws(" ",
+            array_sort(array_distinct(toks(col("text")))))).as("canon_fp"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val avgLenSql =
+    "(CAST(n_chars - (len(string_split(text,' ')) - 1) AS DOUBLE) / " +
+      "CAST(len(string_split(text,' ')) AS DOUBLE))"
+
+  val oracles: Seq[(String, String)] = Seq(
+    "text_token_stats" ->
+      s"""SELECT doc_id, n_chars,
+         |  len(string_split(text,' ')) AS n_tokens,
+         |  len(list_distinct(string_split(text,' '))) AS n_distinct,
+         |  $avgLenSql AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_token_freq" ->
+      s"""SELECT token, COUNT(*) AS n
+         |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token""".stripMargin,
+
+    "text_quality" -> {
+      val nTok = "CAST(len(string_split(text,' ')) AS DOUBLE)"
+      val stop = s"CAST(${tokCountSql("text", "the")} + ${tokCountSql("text", "a")} AS DOUBLE) / $nTok"
+      val dr = s"CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / $nTok"
+      s"""SELECT doc_id, lang, $nTok AS n_tokens,
+         |  round($stop, 6) AS stopword_ratio,
+         |  round($dr, 6) AS distinct_ratio,
+         |  CASE WHEN $nTok < CAST(32 AS DOUBLE) THEN 'short'
+         |       WHEN $dr < CAST(0.35 AS DOUBLE) THEN 'repetitive'
+         |       ELSE 'ok' END AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "text_langid" -> {
+      val scores = markers.map(w => s"${tokCountSql("text", w)}")
+      val best = s"greatest(${scores.mkString(", ")})"
+      val pred = markers.zip(scores).reverse
+        .foldLeft("'unk'") { case (acc, (w, sc)) =>
+          s"CASE WHEN $sc = $best THEN '$w' ELSE $acc END"
+        }
+      s"""SELECT lang, pred_marker, COUNT(*) AS n FROM (
+         |  SELECT lang, $pred AS pred_marker FROM documents)
+         |GROUP BY lang, pred_marker ORDER BY lang, pred_marker""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${XF.h32Sql("text")} AS fp,
+         |  ${XF.h32Sql("array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')")} AS canon_fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -20,9 +20,20 @@ object Tables {
 
   /** Read one testdata table. Plain `spark.read.parquet` keeps the scan a
     * v1/v2 FileSourceScan with full filter pushdown + column pruning.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses to read
+    * as a timestamp; we read it as a long (nanos) via the legacy conf and
+    * truncate to microseconds — exactly what DuckDB's parquet reader does
+    * (ns → µs TIMESTAMP, floor), so oracle compares stay bit-identical.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Header CSV scan with a declared schema (reference Lab2ETL.py:66-68:
     * `csv.DictReader` keys rows by the header). PERMISSIVE mode keeps
