@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{FloatCosine, LongDot}
+
+/** Session extensions: expose the native array kernels to SQL users
+  * (`SELECT graft_long_dot(a, b)`), the SparkSessionExtensions route.
+  * Column-API callers go through [[graft.functions.ArrayExprs]] and need
+  * no registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_long_dot"),
+      new ExpressionInfo(classOf[LongDot].getName, "graft_long_dot"),
+      (args: Seq[Expression]) => LongDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_float_cosine"),
+      new ExpressionInfo(classOf[FloatCosine].getName, "graft_float_cosine"),
+      (args: Seq[Expression]) => FloatCosine(args(0), args(1))))
+  }
+}
+
+/** One place to build the engine's SparkSession: local[n] with n shuffle
+  * partitions (sized to cores on a single node; a cluster deploy sets
+  * these to executor-count-scaled values), UTC, AQE on (default in 4.x,
+  * kept explicit — it handles skew splits and partition coalescing at
+  * runtime), and the graft extensions.
+  */
+object GraftSession {
+  def build(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

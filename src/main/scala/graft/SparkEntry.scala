@@ -26,7 +26,9 @@ object SparkEntry {
     (ops.Events.queries, ops.Events.oracles),
     (ops.Dedup.queries, ops.Dedup.oracles),
     (ops.Similarity.queries, ops.Similarity.oracles),
-    (ops.Multimodal.queries, ops.Multimodal.oracles))
+    (ops.Multimodal.queries, ops.Multimodal.oracles),
+    (ops.Sql.queries, ops.Sql.oracles),
+    (streaming.Streams.queries, streaming.Streams.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   val queries: Map[String, (SparkSession, String) => DataFrame] =

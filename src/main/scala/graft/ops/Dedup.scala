@@ -135,8 +135,13 @@ object Dedup {
   val qvecSql: String =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
 
+  /** Exact integer dot product — native codegen kernel (see
+    * [[graft.functions.ArrayExprs]]); semantically equal to
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)` but runs as a fused loop
+    * inside whole-stage codegen.
+    */
   def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.ArrayExprs.longDot(a, b)
   def idotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2])) AS BIGINT)"
 

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.XF._
+import graft.sources.Tables.t
+
+/** The SQL entry path: tables registered as temp views (the analogue of
+  * the reference's `addDataFromPath` layer registration,
+  * final_project.py:200) and queried through `spark.sql` — exercising the
+  * parser/analyzer front end end-to-end, including correlated subqueries
+  * that Catalyst must decorrelate into joins.
+  *
+  * The Spark SQL text and the DuckDB oracle text stay dialect-compatible
+  * except for the documented determinism casts (XF).
+  */
+object Sql {
+
+  private def reg(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+
+  private val q6 =
+    s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+       |       COUNT(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+       |  AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+       |  AND l_quantity < CAST(24 AS DOUBLE)""".stripMargin
+
+  // correlated scalar subquery: customers spending above their nation's
+  // average total — Catalyst decorrelates into an aggregate + join.
+  private val corr =
+    s"""SELECT c_custkey, c_nationkey
+       |FROM customer c
+       |WHERE c_acctbal > (SELECT ${davgSql("c2.c_acctbal")}
+       |                   FROM customer c2
+       |                   WHERE c2.c_nationkey = c.c_nationkey)
+       |ORDER BY c_custkey""".stripMargin
+
+  // uncorrelated IN subquery → left-semi join after rewrite.
+  private val inSub =
+    s"""SELECT o_orderkey, o_totalprice
+       |FROM orders
+       |WHERE o_custkey IN (SELECT c_custkey FROM customer
+       |                    WHERE c_mktsegment = 'MACHINERY')
+       |  AND o_totalprice > CAST(350000 AS DOUBLE)
+       |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sql_q6_forecast" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "lineitem"); s.sql(q6)
+    }),
+    "sql_corr_subquery" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "customer"); s.sql(corr)
+    }),
+    "sql_in_subquery" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "customer", "orders"); s.sql(inSub)
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "sql_q6_forecast" -> q6,
+    "sql_corr_subquery" -> corr,
+    "sql_in_subquery" -> inSub
+  )
+}

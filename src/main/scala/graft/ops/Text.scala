@@ -104,6 +104,29 @@ object Text {
           XF.h32(col("text")).as("fp"),
           XF.h32(concat_ws(" ",
             array_sort(array_distinct(toks(col("text")))))).as("canon_fp"))
+        .orderBy(col("doc_id"))),
+
+    // BPE-ish regex tokenizer: letter-runs / digit-runs / punctuation-runs
+    // (the pre-tokenization split every BPE vocabulary starts from).
+    "text_bpe_tokens" -> ((s: SparkSession, d: String) => {
+      val bpe = regexp_extract_all(col("text"),
+        lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]+"), lit(0))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(bpe).as("n_bpe_tokens"),
+          size(array_distinct(bpe)).as("n_bpe_distinct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // rolling-hash fingerprint: order-SENSITIVE polynomial hash over the
+    // token stream (complements canon_fp, which is order-insensitive) —
+    // one fold over the token array, no shuffle.
+    "text_rolling_fp" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          aggregate(transform(toks(col("text")), t => XF.h32(t)),
+            lit(0L),
+            (acc, h) => (acc * 31L + h) % 2147483647L).as("roll_fp"))
         .orderBy(col("doc_id")))
   )
 
@@ -153,6 +176,22 @@ object Text {
       s"""SELECT doc_id,
          |  ${XF.h32Sql("text")} AS fp,
          |  ${XF.h32Sql("array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')")} AS canon_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_tokens" -> {
+      val bpe = "regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]+')"
+      s"""SELECT doc_id,
+         |  len($bpe) AS n_bpe_tokens,
+         |  len(list_distinct($bpe)) AS n_bpe_distinct
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "text_rolling_fp" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text,' '), t -> ${XF.h32Sql("t")})),
+         |    (acc, h) -> (acc * 31 + h) % 2147483647) AS roll_fp
          |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.functions.XF
+import graft.sources.Tables.t
+
+/** Structured Streaming surface over the `events` schema (SURVEY.md §2.6).
+  *
+  * The reference is a manually-triggered batch pipeline with no streaming
+  * at all (reference Lab2ETL.py:100-108); this is the beyond-reference
+  * stream surface, built so that EVERY transform is a pure function
+  * `DataFrame => DataFrame` applicable to either a batch frame or a
+  * `readStream` frame — the Spark-idiomatic way to keep streaming logic
+  * testable (batch equivalence) and oracle-checkable (the batch form of
+  * each query lives in [[graft.ops.Events]] / the `stream_*` queries
+  * below).
+  *
+  * Scale design: watermarks bound all state. Windowed aggs keep one row
+  * of state per (window, key) and drop it `delay` past the watermark;
+  * session windows merge in-state; dedup state is one key per
+  * (user, type) inside the watermark horizon. With ~1e9 active keys per
+  * hour at 100 TB/day, state lives in the HDFS/RocksDB state store,
+  * partitioned by groupBy key — the same shuffle partitioning as the
+  * batch plan, so nothing here changes shape between modes.
+  */
+object Streams {
+
+  val WatermarkDelay = "30 minutes"
+  val SessionGap = "30 minutes"
+
+  // ---- transform builders (mode-agnostic: batch or streaming input) ----
+
+  /** Tumbling 10-minute per-type counts+totals (streaming twin of
+    * `events_tumbling`).
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), XF.dsum(col("value")).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Sliding 10-minute windows every 5 (twin of `events_sliding`). */
+  def sliding(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+        col("n"))
+
+  /** Gap-based sessions via the native session_window operator: a session
+    * closes after [[SessionGap]] of per-user inactivity. State merges
+    * in-place in the state store; emits on watermark close.
+    */
+  def sessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WatermarkDelay)
+      .groupBy(session_window(col("ts"), SessionGap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), XF.dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming dedup: first event per (user_id, event_type) within the
+    * watermark horizon — state is dropped once the watermark passes, so
+    * memory is bounded (twin of `events_dedup_first` when all data is in
+    * horizon).
+    */
+  def dedupFirst(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WatermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
+  // ---- custom state: flatMapGroupsWithState ---------------------------
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Per-user running totals with explicit state — the
+    * `flatMapGroupsWithState` shape for semantics windows can't express
+    * (here: emit an updated running total on every micro-batch).
+    * ProcessingTimeTimeout + no timeout set = state lives for the run;
+    * a production deployment sets an event-time timeout off the watermark.
+    */
+  def runningTotals(events: Dataset[Ev]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n
+          var tot = prev.total
+          evs.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  // ---- driver-contract batch-runnable queries -------------------------
+
+  /** `session_window` also runs in batch mode — the same operator the
+    * stream uses, hash-checkable against a DuckDB gaps-and-islands CTE.
+    */
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "stream_session_window" -> ((s: SparkSession, d: String) =>
+      sessions(t(s, d, "events"))
+        .orderBy(col("user_id"), col("session_start_us"))),
+
+    "stream_tumbling_batch" -> ((s: SparkSession, d: String) =>
+      tumbling(t(s, d, "events"))
+        .orderBy(col("bucket"), col("event_type")))
+  )
+
+  private val gapUs = 30L * 60 * 1000000
+
+  val oracles: Seq[(String, String)] = Seq(
+    // session_window semantics: a new session starts when the gap since
+    // the previous event is >= the session gap (session_window intervals
+    // are half-open [t, t+gap), so an exactly-gap-length pause closes).
+    "stream_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, value, epoch_us(ts) AS us,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+         |           OVER (PARTITION BY user_id ORDER BY ts) >= $gapUs
+         |           OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, value, us,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |  FROM e)
+         |SELECT user_id, MIN(us) AS session_start_us,
+         |  COUNT(*) AS n_events, ${XF.dsumSql("value")} AS total_value
+         |FROM s GROUP BY user_id, sess
+         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "stream_tumbling_batch" ->
+      s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS bucket,
+         |  event_type, COUNT(*) AS n, ${XF.dsumSql("value")} AS total
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+  )
+}

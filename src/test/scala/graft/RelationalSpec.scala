@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("approx_count_distinct is within 5% of exact per group") {
+    val exact = graft.SparkEntry.queries("agg_count_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05,
+        s"group $k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("top-k is invariant under input repartitioning") {
+    val base = graft.sources.Tables.t(spark, sf, "lineitem")
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10).collect().toSeq
+    assert(topk(base) === topk(base.repartition(13)))
+  }
+
+  test("rollup row count = groups + subtotals + grand total") {
+    val detail = graft.SparkEntry.queries("agg_rollup")(spark, sf).collect()
+    val nGrand = detail.count(r => r.isNullAt(0) && r.isNullAt(1))
+    val nSub = detail.count(r => !r.isNullAt(0) && r.isNullAt(1))
+    val nLeaf = detail.count(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(nGrand === 1)
+    assert(detail.length === nGrand + nSub + nLeaf)
+    // subtotal level: one row per region present
+    assert(nSub === 5)
+  }
+
+  test("full outer join keeps keys present on either side") {
+    val out = graft.SparkEntry.queries("join_full_nation")(spark, sf)
+    assert(out.filter(col("nationkey").isNull).count() === 0)
+    val nKeys = out.count()
+    val cKeys = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_nationkey")).distinct().count()
+    assert(nKeys >= cKeys)
+  }
+
+  test("scan with selective filter pushes predicates into parquet scan") {
+    val df = graft.SparkEntry.queries("scan_pushdown")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") ||
+      plan.contains("LessThan(l_quantity"), plan.take(2000))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Wnv
+
+class WnvSpec extends SparkSpec {
+
+  private val fixture =
+    getClass.getResource("/opt_out_addresses.csv").getPath
+
+  test("csvPipeline reproduces the reference x,y,Type output shape") {
+    val out = Wnv.csvPipeline(spark, fixture).cache()
+    assert(out.columns.toSeq === Seq("x", "y", "Type"))
+    val rows = out.collect()
+    // 10 fixture rows; the mock geocoder drops ~5% — all misses are
+    // deterministic, so the count is stable run-to-run.
+    assert(rows.length >= 8 && rows.length <= 10)
+    assert(rows.forall(_.getString(2) == "Residential"))
+    assert(rows.forall { r =>
+      val x = r.getDouble(0); val y = r.getDouble(1)
+      x >= -105.5 && x <= -105.0 && y >= 39.9 && y <= 40.2
+    })
+    // duplicate address geocodes identically (pure function of string)
+    val dup = out.groupBy(col("x"), col("y")).count()
+      .filter(col("count") > 1).count()
+    assert(dup >= 1, "duplicate fixture address should collide exactly")
+    out.unpersist()
+  }
+
+  test("geocode matches an independent JVM-side md5 implementation") {
+    // Cross-check the Column-expression geocoder against plain-JVM math —
+    // the same role the DuckDB oracle plays, without Spark expressions.
+    val addr = "825 Walnut St, Boulder, CO Boulder CO"
+    def h32(s: String, off: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(off - 1, off - 1 + 8), 16)
+    }
+    val expLon = -105.5 + (h32(addr, 9) % 100000).toDouble / 200000.0
+    val expLat = 39.9 + (h32(addr, 17) % 100000).toDouble / 333333.0
+    import spark.implicits._
+    val got = Seq(addr).toDF("addr")
+      .select(graft.geo.Geo.geocodeLon(col("addr")),
+        graft.geo.Geo.geocodeLat(col("addr"))).head()
+    assert(got.getDouble(0) === expLon)
+    assert(got.getDouble(1) === expLat)
+  }
+
+  test("erase selection = in-risk minus opt-out buffers (brute force)") {
+    val pts = Wnv.points(spark, sf).select("c_custkey", "x_ft", "y_ft")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val zones = Wnv.zones(spark, sf)
+      .filter(col("high_risk"))
+      .select("cx_ft", "cy_ft", "radius_ft")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val optOut = pts.filter(_._1 % 10 == 0)
+    def d2(ax: Double, ay: Double, bx: Double, by: Double) =
+      (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+    val expected = pts.filter { case (_, x, y) =>
+      zones.exists { case (cx, cy, r) => d2(x, y, cx, cy) <= r * r } &&
+        !optOut.exists { case (_, ox, oy) =>
+          d2(x, y, ox, oy) <= Wnv.BufferFt * Wnv.BufferFt }
+    }.map(_._1).toSet
+    val got = Wnv.eraseSelection(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  test("spatial join_count equals brute-force zone membership count") {
+    val pts = Wnv.points(spark, sf).select("c_custkey", "x_ft", "y_ft")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val zones = Wnv.zones(spark, sf).filter(col("high_risk"))
+      .select("cx_ft", "cy_ft", "radius_ft")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val expected = pts.map { case (k, x, y) =>
+      k -> zones.count { case (cx, cy, r) =>
+        (x - cx) * (x - cx) + (y - cy) * (y - cy) <= r * r }
+    }.filter(_._2 > 0).toMap
+    val got = Wnv.spatialJoinCount(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got === expected)
+  }
+}
