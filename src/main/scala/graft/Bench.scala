@@ -14,6 +14,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // untimed warmup: file-index + parquet footers + first codegen, so
+    // the alphabetically-first query doesn't absorb session startup.
+    graft.sources.Tables.names.foreach { n =>
+      try graft.sources.Tables.t(spark, sfDir, n).limit(1).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).queryExecution.toRdd.count()

@@ -41,35 +41,75 @@ object Dedup {
 
   // ---- shingling ------------------------------------------------------
 
-  /** Distinct 3-token shingles of `text` (docs with <3 tokens excluded). */
-  def shingleDf(spark: SparkSession, d: String): DataFrame = {
-    val ws = split(col("text"), " ")
+  /** Distinct 3-token shingle HASHES of `text` (docs with <3 tokens emit
+    * nothing): the [[graft.functions.ShingleHashes]] generator — one JVM
+    * loop per document. All downstream set operations (freq counts,
+    * minhash, banding, intersection) run on 8-byte longs instead of
+    * shingle strings, which cuts shuffle width and per-element compare
+    * cost — the representation that survives 100 TB.
+    */
+  def shingleDf(spark: SparkSession, d: String): DataFrame =
     t(spark, d, "documents")
-      .filter(size(ws) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(sequence(lit(0), size(ws) - 3),
-          i => concat_ws(" ", slice(ws, i + lit(1), lit(3)))))).as("s"))
-  }
+      .select(col("doc_id"), graft.functions.ShingleHashes(col("text"), 3))
 
-  /** DuckDB twin of [[shingleDf]] as a CTE body. */
+  /** DuckDB twin of [[shingleDf]] as a CTE body (same md5-derived 32-bit
+    * hash; DISTINCT over hashes, matching the generator's set semantics).
+    */
   val shingleSql: String =
-    """SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+    """SELECT DISTINCT doc_id,
+      |       CAST(('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]), 1, 8)) AS BIGINT) AS s
       |  FROM (SELECT doc_id, string_split(text,' ') ws FROM documents) tk,
       |       unnest(range(1, len(ws)-1)) t(i)""".stripMargin
 
-  /** Exact Jaccard over distinct-shingle sets for doc pairs sharing ≥1
-    * shingle, via inverted-index self-join.
+  /** Per-doc distinct-shingle sets as arrays + sizes (one shuffle). */
+  private def docSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("ss"), count(lit(1)).as("n"))
+
+  /** Exact Jaccard for a given (i, j) candidate-pair frame: join each
+    * side's shingle array and intersect per pair — verification cost
+    * tracks candidate volume, never corpus size.
     */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("i"), col("s"))
-    val b = sh.select(col("doc_id").as("j"), col("s"))
-    a.join(b, Seq("s")).filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
-      .join(sz.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
-      .join(sz.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame =
+    cand
+      .join(docs.select(col("doc_id").as("i"), col("ss").as("si"),
+        col("n").as("ni")), Seq("i"))
+      .join(docs.select(col("doc_id").as("j"), col("ss").as("sj"),
+        col("n").as("nj")), Seq("j"))
+      .withColumn("inter", size(array_intersect(col("si"), col("sj"))).cast(LongType))
       .withColumn("jac", col("inter").cast(DoubleType) /
         (col("ni") + col("nj") - col("inter")).cast(DoubleType))
+
+  /** PPJoin-style EXACT candidate generation for Jaccard ≥ t.
+    *
+    * Order shingles rarest-first (global total order on (doc-freq, s));
+    * keep each doc's prefix of n - floor(t·n) + 1 shingles (conservative
+    * — floor, not ceil, so float rounding can only widen the prefix,
+    * never lose a true pair); any pair with J ≥ t must collide inside
+    * both prefixes (take the globally-smallest common shingle: if it sat
+    * outside a prefix, the prefix would hold more distinct non-shared
+    * shingles than |A\B| allows). A length-ratio filter (min ≥ t·max,
+    * with epsilon slack) prunes the rest. Exact ⇒ same oracle as the
+    * naive inverted-index join, but candidates scale with true-near-dup
+    * density instead of shingle document frequency².
+    */
+  private def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefixes = sh.join(freq, Seq("s"))
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("rk") <= col("n") - floor(col("n") * t) + 1)
+      .select(col("doc_id"), col("s"), col("n"))
+    prefixes.select(col("doc_id").as("i"), col("s"), col("n").as("ni"))
+      .join(prefixes.select(col("doc_id").as("j"), col("s"), col("n").as("nj")),
+        Seq("s"))
+      .filter(col("i") < col("j") &&
+        col("ni").cast(DoubleType) >= col("nj").cast(DoubleType) * t - 1e-9 &&
+        col("nj").cast(DoubleType) >= col("ni").cast(DoubleType) * t - 1e-9)
+      .select(col("i"), col("j")).distinct()
   }
 
   private val jaccardPairsSql: String =
@@ -90,13 +130,27 @@ object Dedup {
   val Bands = 4     // 4 bands × 3 rows
   val Rows = 3
 
+  /** Universal-hash family over the 32-bit shingle hash: h_k(s) =
+    * (s·A_k + B_k) mod P, P prime > 2^32. s < 2^32 and A_k < 2^21 keep
+    * the product < 2^53 — exact in both engines' BIGINT (and even in a
+    * double). Replaces re-hashing the shingle STRING per k (K md5 calls
+    * per shingle → K integer mults).
+    */
+  val MinhashP = 4294967311L
+  private def mhA(k: Int): Long = 104729L * (k + 1) + 12345L
+  private def mhB(k: Int): Long = 7919L * (k + 1) + 271L
+  private def mhCol(k: Int): Column =
+    (col("s") * mhA(k) + mhB(k)) % MinhashP
+  private def mhSql(k: Int): String =
+    s"(s * ${mhA(k)} + ${mhB(k)}) % $MinhashP"
+
   // ---- SimHash --------------------------------------------------------
 
   val SimBits = 32
 
   /** 32-bit simhash column set: per-bit ±1 sums over shingle hashes. */
   private def simhashDf(spark: SparkSession, d: String): DataFrame = {
-    val h = XF.h32(col("s"))
+    val h = col("s")
     val bitSums = (0 until SimBits).map(b =>
       sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$b"))
@@ -110,7 +164,7 @@ object Dedup {
   }
 
   private val simhashSql: String = {
-    val h = XF.h32Sql("s")
+    val h = "s"
     val sums = (0 until SimBits).map(b =>
       s"SUM(CASE WHEN (($h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
       .mkString(",\n    ")
@@ -185,19 +239,21 @@ object Dedup {
         .select(col("kept_doc_id"), col("group_n"))
         .orderBy(col("kept_doc_id"))),
 
-    // n-gram Jaccard near-dup: inverted-index join, threshold 0.8.
-    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) =>
-      jaccardPairs(shingleDf(s, d))
+    // n-gram Jaccard near-dup, threshold 0.8: exact prefix-filtered
+    // set-similarity self-join + per-candidate array intersection.
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => {
+      val sh = shingleDf(s, d)
+      verifyJaccard(prefixCandidates(sh, 0.8), docSets(sh))
         .filter(col("jac") >= 0.8)
         .select(col("i"), col("j"), col("jac"))
-        .orderBy(col("i"), col("j"))),
+        .orderBy(col("i"), col("j"))
+    }),
 
     // MinHash + LSH banding: sub-quadratic candidate generation, exact
     // Jaccard verification at threshold 0.7.
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => {
       val sh = shingleDf(s, d)
-      val mins = (0 until K).map(k =>
-        min(XF.h32(concat(col("s"), lit(s"#$k")))).as(s"m$k"))
+      val mins = (0 until K).map(k => min(mhCol(k)).as(s"m$k"))
       val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       val bandStructs = (0 until Bands).map { b =>
         val sig = concat_ws("_",
@@ -212,13 +268,8 @@ object Dedup {
           Seq("band", "sig"))
         .filter(col("i") < col("j"))
         .select(col("i"), col("j")).distinct()
-      // verify candidates with exact Jaccard (shingles pre-filtered to
-      // candidate docs so verification cost tracks candidate volume).
-      val candDocs = cand.select(col("i").as("doc_id"))
-        .union(cand.select(col("j").as("doc_id"))).distinct()
-      val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
-      jaccardPairs(shC)
-        .join(cand, Seq("i", "j"), "left_semi")
+      // verify candidates with exact Jaccard per pair.
+      verifyJaccard(cand, docSets(sh))
         .filter(col("jac") >= 0.7)
         .select(col("i"), col("j"), col("jac"))
         .orderBy(col("i"), col("j"))
@@ -281,7 +332,7 @@ object Dedup {
 
     "dedup_minhash_lsh" -> {
       val mins = (0 until K).map(k =>
-        s"MIN(${XF.h32Sql(s"(s || '#$k')")}) AS m$k").mkString(",\n    ")
+        s"MIN(${mhSql(k)}) AS m$k").mkString(",\n    ")
       val bandSelects = (0 until Bands).map { b =>
         val sig = (0 until Rows).map(r => s"CAST(m${b * Rows + r} AS VARCHAR)")
           .mkString(" || '_' || ")

@@ -189,13 +189,17 @@ object Relational {
     }),
 
     "win_running" -> ((s: SparkSession, d: String) => {
+      // exact long-cents accumulation: o_totalprice has 2 decimals, so
+      // round(x*100) is an exact integer — order-independent running sum
+      // ~4x cheaper than a Decimal window (the global-sort sampling pass
+      // re-evaluates the window, doubling any per-row cost).
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(DecimalType(28, 6))).over(w)
-            .cast(DoubleType).as("running_total"))
+          (sum(round(col("o_totalprice") * 100.0).cast(LongType)).over(w)
+            .cast(DoubleType) / 100.0).as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
@@ -417,10 +421,10 @@ object Relational {
 
     "win_running" ->
       s"""SELECT o_custkey, o_orderkey,
-         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+         |  CAST(SUM(CAST(round(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)) OVER (
          |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-         |    AS running_total
+         |    / CAST(100 AS DOUBLE) AS running_total
          |FROM orders
          |ORDER BY o_custkey, o_orderkey""".stripMargin,
 

@@ -33,8 +33,14 @@ class DedupSpec extends SparkSpec {
       .filter(col("doc_id").isin(i, j))
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    def shingles(t: String): Set[String] =
-      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    def shingles(t: String): Set[Long] =
+      t.split(" ").sliding(3).map(w => h32(w.mkString(" "))).toSet
     val (a, b) = (shingles(docs(i)), shingles(docs(j)))
     val expected = a.intersect(b).size.toDouble / a.union(b).size
     assert(math.abs(jac - expected) < 1e-12)
