@@ -89,6 +89,33 @@ object Events {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // as-of join: each purchase matched to the user's most recent view
+    // at-or-before the purchase time. ONE window over ONE shuffle on
+    // user_id — the formulation that survives 100 TB (a naive theta/range
+    // join is O(views x purchases) per user). Views sort before purchases
+    // at equal timestamps, matching ASOF's ts <= semantics.
+    "events_asof_join" -> ((s: SparkSession, d: String) => {
+      val us = XF.epochUs(col("ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("sort_tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), us.as("us"))
+        .withColumn("sort_tag",
+          when(col("event_type") === "view", 0).otherwise(1))
+        .withColumn("view_event",
+          last(when(col("event_type") === "view", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("view_us",
+          last(when(col("event_type") === "view", col("us")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("view_event"),
+          (col("us") - col("view_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // pivot: per-user event-type count matrix (explicit value list keeps
     // the plan one-pass; no extra distinct-values job).
     "events_pivot" -> ((s: SparkSession, d: String) =>
@@ -149,6 +176,16 @@ object Events {
          |                       ORDER BY ts, event_id) AS rn
          |  FROM events)
          |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // oracle uses DuckDB's NATIVE ASOF JOIN — an independent
+    // implementation of the semantics our window formulation computes.
+    "events_asof_join" ->
+      s"""SELECT p.event_id, p.user_id, v.event_id AS view_event,
+         |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         |  ON p.user_id = v.user_id AND p.ts >= v.ts
+         |ORDER BY p.event_id""".stripMargin,
 
     "events_pivot" ->
       s"""SELECT user_id,

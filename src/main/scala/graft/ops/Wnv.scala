@@ -156,7 +156,17 @@ object Wnv {
   // driver-contract query surface
   // ------------------------------------------------------------------
 
+  /** Checked-in opt-out fixture (FIXTURES.md §1.1) — the S1 extract
+    * snapshot; absolute path so the DuckDB oracle reads the same bytes.
+    */
+  val FixtureCsv = "/root/repo/src/main/resources/opt_out_addresses.csv"
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // S1-S3: header-CSV extract → transform, the reference's E3 slice
+    // over the real CSV source (sfDir unused; fixture is the snapshot).
+    "wnv_csv_extract" -> ((s: SparkSession, _: String) =>
+      csvPipeline(s, FixtureCsv).orderBy(col("x"), col("y"))),
+
     "wnv_geocode_points" -> ((s: SparkSession, d: String) =>
       points(s, d)
         .select(col("c_custkey"), col("lon").as("x"), col("lat").as("y"), col("addr_type"))
@@ -210,6 +220,17 @@ object Wnv {
   private val py = "p.y_ft"
 
   val oracles: Seq[(String, String)] = Seq(
+    "wnv_csv_extract" -> {
+      val a = """("Street Address" || ' Boulder CO')"""
+      s"""SELECT ${Geo.geocodeLonSql(a)} AS x,
+         |       ${Geo.geocodeLatSql(a)} AS y,
+         |       'Residential' AS "Type"
+         |FROM read_csv('$FixtureCsv', header=true,
+         |  columns={'Timestamp':'VARCHAR','Street Address':'VARCHAR','Zipcode':'VARCHAR'})
+         |WHERE ${Geo.geocodeHitSql(a)}
+         |ORDER BY x, y""".stripMargin
+    },
+
     "wnv_geocode_points" ->
       s"""WITH pts AS ($pointsSql)
          |SELECT c_custkey, lon AS x, lat AS y, addr_type
