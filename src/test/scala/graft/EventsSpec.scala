@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class EventsSpec extends SparkSpec {
+
+  test("as-of join matches a brute-force per-purchase scan") {
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = evs.filter(_._3 == "view").groupBy(_._2)
+    val expected = evs.filter(_._3 == "purchase").map { case (id, u, _, us) =>
+      val prior = views.getOrElse(u, Array.empty).filter(_._4 <= us)
+      val best = if (prior.isEmpty) None
+        else Some(prior.maxBy(v => (v._4, v._1)))
+      id -> best.map(v => (v._1, us - v._4))
+    }.toMap
+    val got = graft.SparkEntry.queries("events_asof_join")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some((r.getLong(2), r.getLong(3))))).toMap
+    assert(got === expected)
+  }
+
+  test("sessionization: every gap inside a session is <= 30 min") {
+    val sess = graft.SparkEntry.queries("events_sessions")(spark, sf)
+      .select("user_id", "session_no", "session_start_us", "session_end_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sessions of one user are disjoint and ordered with > 30min gaps
+    val gapUs = 30L * 60 * 1000000
+    sess.groupBy(_._1).foreach { case (_, ss) =>
+      val ordered = ss.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array((_, _, _, prevEnd), (_, _, nextStart, _)) =>
+          assert(nextStart - prevEnd > gapUs)
+        case _ =>
+      }
+    }
+  }
+}
