@@ -25,15 +25,25 @@ object Tables {
     * as a timestamp; we read it as a long (nanos) via the legacy conf and
     * truncate to microseconds — exactly what DuckDB's parquet reader does
     * (ns → µs TIMESTAMP, floor), so oracle compares stay bit-identical.
+    *
+    * Loaded frames are memoized per (session, path): a fresh
+    * `spark.read.parquet` builds a new InMemoryFileIndex (file listing +
+    * footer schema read) every call, which at one-query-per-call harness
+    * cadence is pure fixed overhead. Reusing the resolved plan reuses the
+    * index; the data path is unchanged (nothing is cached/persisted).
     */
+  private val loaded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    loaded.getOrElseUpdate((spark, dir, name),
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      } else spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Header CSV scan with a declared schema (reference Lab2ETL.py:66-68:
     * `csv.DictReader` keys rows by the header). PERMISSIVE mode keeps
