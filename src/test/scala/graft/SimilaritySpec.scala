@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs: Map[Long, Array[Float]] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def qcos(a: Array[Float], b: Array[Float]): Double = {
+    def q(x: Array[Float]): Array[Long] =
+      x.map(v => math.floor(v.toDouble * 1048576.0).toLong)
+    val (qa, qb) = (q(a), q(b))
+    def dot(x: Array[Long], y: Array[Long]): Long =
+      x.zip(y).map { case (i, j) => i * j }.sum
+    dot(qa, qb).toDouble / (math.sqrt(dot(qa, qa).toDouble) *
+      math.sqrt(dot(qb, qb).toDouble))
+  }
+
+  test("brute-force top-k matches a JVM-side ranking") {
+    val vs = vecs
+    val got = graft.SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    val queries = vs.keys.filter(_ % 50 == 0)
+    assert(got.keySet === queries.toSet)
+    queries.foreach { q =>
+      val expected = vs.toSeq.filter(_._1 != q)
+        .map { case (c, v) => (c, qcos(vs(q), v)) }
+        .sortBy { case (c, s) => (-s, c) }
+        .take(5)
+      assert(got(q) === expected, s"query $q")
+    }
+  }
+
+  test("bucketed ANN results are a subset of same-cell brute force") {
+    val ann = graft.SparkEntry.queries("sim_ann_bucketed")(spark, sf)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cell(v: Array[Float]): Int =
+      (0 until 4).map(k => if (math.floor(v(k).toDouble * 1048576.0) >= 0) 1 << k else 0).sum
+    val vs = vecs
+    ann.foreach { case (q, c) =>
+      assert(cell(vs(q)) === cell(vs(c)), s"($q,$c) cross-cell leak")
+    }
+  }
+
+  test("pair matrix is upper-triangular and complete for vec_id < 20") {
+    val got = graft.SparkEntry.queries("sim_pair_matrix")(spark, sf).collect()
+    val n = vecs.keys.count(_ < 20)
+    assert(got.length === n * (n - 1) / 2)
+    assert(got.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}

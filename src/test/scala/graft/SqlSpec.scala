@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SqlSpec extends SparkSpec {
+
+  test("correlated subquery decorrelates to the groupBy+join formulation") {
+    val viaSql = graft.SparkEntry.queries("sql_corr_subquery")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val cust = graft.sources.Tables.t(spark, sf, "customer")
+    val avgByNation = cust.groupBy(col("c_nationkey").as("nk"))
+      .agg((graft.functions.XF.dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val viaJoin = cust.join(avgByNation, col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select("c_custkey").orderBy("c_custkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql === viaJoin)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("IN subquery equals the left-semi join formulation") {
+    val viaSql = graft.SparkEntry.queries("sql_in_subquery")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val viaSemi = graft.sources.Tables.t(spark, sf, "orders")
+      .filter(col("o_totalprice") > 350000.0)
+      .join(graft.sources.Tables.t(spark, sf, "customer")
+        .filter(col("c_mktsegment") === "MACHINERY"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql === viaSemi)
+  }
+
+  test("q6 revenue equals the DataFrame formulation") {
+    val viaSql = graft.SparkEntry.queries("sql_q6_forecast")(spark, sf).head()
+    val li = graft.sources.Tables.t(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2001-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(graft.functions.XF.dsum(col("l_extendedprice") * col("l_discount")),
+        count(lit(1)))
+      .head()
+    assert(viaSql.getDouble(0) === li.getDouble(0))
+    assert(viaSql.getLong(1) === li.getLong(1))
+  }
+}
