@@ -230,6 +230,39 @@ object Relational {
           .select(col("o_custkey")))
         .orderBy(col("c_custkey"))),
 
+    // UNION ALL keeps duplicates (bag semantics) — distinct from the
+    // set-union above.
+    "set_union_all" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .union(t(s, d, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    // exact interpolated percentiles (same linear-interpolation
+    // definition as quantile_cont); rounded to 4 digits because the
+    // (1-f)*lo + f*hi interpolation is transcendental-free but
+    // engine-order-sensitive in the last ulp.
+    "agg_percentiles" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25D)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9D)"), 4).as("p90"))
+        .orderBy(col("o_orderstatus"))),
+
+    // array function family over a real array column.
+    "array_funcs" -> ((s: SparkSession, d: String) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          array_max(col("embedding")).as("mx"),
+          array_min(col("embedding")).as("mn"),
+          element_at(col("embedding"), 1).as("first_el"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType)), 6).as("el_sum"))
+        .orderBy(col("vec_id"))),
+
     "distinct_pairs" -> ((s: SparkSession, d: String) =>
       t(s, d, "orders").select(col("o_orderstatus"), col("o_orderpriority"))
         .distinct()
@@ -451,6 +484,26 @@ object Relational {
          |EXCEPT
          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
          |ORDER BY c_custkey""".stripMargin,
+
+    "set_union_all" ->
+      s"""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         |UNION ALL
+         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         |ORDER BY c_custkey""".stripMargin,
+
+    "agg_percentiles" ->
+      s"""SELECT o_orderstatus,
+         |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "array_funcs" ->
+      s"""SELECT vec_id, len(embedding) AS dim,
+         |  list_max(embedding) AS mx, list_min(embedding) AS mn,
+         |  embedding[1] AS first_el,
+         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS el_sum
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "distinct_pairs" ->
       s"""SELECT DISTINCT o_orderstatus, o_orderpriority

@@ -46,9 +46,21 @@ object Sql {
        |  AND o_totalprice > CAST(350000 AS DOUBLE)
        |ORDER BY o_orderkey""".stripMargin
 
+  // GROUPING SETS is SQL-only surface in Spark (rollup/cube cover the
+  // DataFrame API side, see Relational).
+  private val gsets =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "sql_q6_forecast" -> ((s: SparkSession, d: String) => {
       reg(s, d, "lineitem"); s.sql(q6)
+    }),
+    "sql_grouping_sets" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "orders"); s.sql(gsets)
     }),
     "sql_corr_subquery" -> ((s: SparkSession, d: String) => {
       reg(s, d, "customer"); s.sql(corr)
@@ -60,6 +72,7 @@ object Sql {
 
   val oracles: Seq[(String, String)] = Seq(
     "sql_q6_forecast" -> q6,
+    "sql_grouping_sets" -> gsets,
     "sql_corr_subquery" -> corr,
     "sql_in_subquery" -> inSub
   )
