@@ -85,6 +85,28 @@ object Wnv {
         lit("Residential").as("Type"))
   }
 
+  /** S5 + J1 + P8 over an address table with the reference's exact
+    * 7-column report schema (final_project2.py:252): spatial-join the
+    * addresses against selection zones (KEEP_COMMON), keep Join_Count=1,
+    * project the 7 attribute fields — the `export_target_addresses_report`
+    * analogue as a reusable library function.
+    *
+    * @param addresses frame with the 7 report columns + x/y (degrees)
+    * @param zones     frame with cx_ft/cy_ft/radius_ft
+    */
+  def targetAddressReport(addresses: DataFrame, zones: DataFrame): DataFrame = {
+    val reportCols = Seq("FULLADDR", "ADDRNUM", "UNITID", "PREDIR",
+      "STREETNAME", "STREETSUFF", "POSTDIR")
+    addresses
+      .withColumn("x_ft", Geo.xFt(col("x")))
+      .withColumn("y_ft", Geo.yFt(col("y")))
+      .join(broadcast(zones), inZone(col("x_ft"), col("y_ft")), "inner")
+      .groupBy(reportCols.map(col): _*)
+      .agg(count(lit(1)).as("join_count"))
+      .filter(col("join_count") === 1)
+      .select(reportCols.map(col): _*)
+  }
+
   /** Spray-planning zones derived from `nation` (the High_Risk_Intersect
     * analogue): implicit-buffer form, center + radius feet.
     */
