@@ -93,7 +93,16 @@ object Dedup {
     * naive inverted-index join, but candidates scale with true-near-dup
     * density instead of shingle document frequency².
     */
-  private def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
+  /** @param maxDf stop-shingle cap: prefix shingles with document
+    *   frequency above this are excluded from CANDIDATE GENERATION only
+    *   (verification still uses full sets). Long.MaxValue = exact
+    *   (default; used by the oracle-checked queries). At 100 TB a cap of
+    *   ~10^4 bounds the worst prefix-join fan-out at the cost of recall
+    *   for pairs whose entire prefix overlap is ultra-common shingles —
+    *   the standard trade (see SCALE.md).
+    */
+  private def prefixCandidates(sh: DataFrame, t: Double,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
@@ -101,7 +110,8 @@ object Dedup {
       .withColumn("rk", row_number().over(wr))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-      .filter(col("rk") <= col("n") - floor(col("n") * t) + 1)
+      .filter(col("rk") <= col("n") - floor(col("n") * t) + 1 &&
+        col("df") <= maxDf)
       .select(col("doc_id"), col("s"), col("n"))
     prefixes.select(col("doc_id").as("i"), col("s"), col("n").as("ni"))
       .join(prefixes.select(col("doc_id").as("j"), col("s"), col("n").as("nj")),

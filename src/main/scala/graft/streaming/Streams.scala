@@ -31,6 +31,29 @@ object Streams {
   val WatermarkDelay = "30 minutes"
   val SessionGap = "30 minutes"
 
+  /** File-source stream over the events table: `readStream` with a
+    * declared schema (required for file streams) + the same
+    * nanos→micros conversion as the batch loader. In production the
+    * directory accretes files and `maxFilesPerTrigger` paces ingestion;
+    * `Trigger.AvailableNow` drains the backlog and stops — the pattern
+    * for incremental batch over a growing 100 TB lake.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet") // table dir layout: one file per table
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
   // ---- transform builders (mode-agnostic: batch or streaming input) ----
 
   /** Tumbling 10-minute per-type counts+totals (streaming twin of

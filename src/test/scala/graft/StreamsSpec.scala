@@ -79,6 +79,25 @@ class StreamsSpec extends SparkSpec {
       evs.map(e => (e.user_id, e.event_type)).toSet)
   }
 
+  test("file-source readStream + AvailableNow equals the batch tumbling query") {
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val streamed = Streams.tumbling(Streams.readEventsStream(spark, sf))
+    val query = streamed.writeStream
+      .format("memory").queryName("file_tumbling")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+    val got = spark.table("file_tumbling")
+      .orderBy("bucket", "event_type").collect().toSeq
+    val want = graft.SparkEntry.queries("events_tumbling")(spark, sf)
+      .select("bucket", "event_type", "n", "total").collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     val evs = sampleEvents()
     import spark.implicits._
