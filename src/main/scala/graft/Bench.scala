@@ -20,13 +20,18 @@ object Bench {
       try graft.sources.Tables.t(spark, sfDir, n).limit(1).count()
       catch { case _: Throwable => () }
     }
+    // best-of-2 per query: steady-state time, robust to one-off JIT /
+    // GC pauses (observed 2x run-to-run swings on identical plans).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
