@@ -227,6 +227,21 @@ object Wnv {
           col("c_mktsegment").as("segment"))
         .orderBy(col("c_custkey"))),
 
+    // per-zone extent + centroid via the typed Aggregator (§2.7): the
+    // layer-extent summary, one pass, merge-order-independent.
+    "wnv_zone_extent" -> ((s: SparkSession, d: String) => {
+      val extent = udaf(graft.functions.ExtentAgg)
+      points(s, d)
+        .join(broadcast(zones(s, d).filter(col("high_risk"))),
+          inZone(col("x_ft"), col("y_ft")), "inner")
+        .groupBy(col("zone_id"))
+        .agg(extent(col("x_ft"), col("y_ft")).as("e"))
+        .select(col("zone_id"), col("e.min_x"), col("e.max_x"),
+          col("e.min_y"), col("e.max_y"),
+          col("e.centroid_x"), col("e.centroid_y"), col("e.n_points"))
+        .orderBy(col("zone_id"))
+    }),
+
     "wnv_pipeline_e2e" -> ((s: SparkSession, d: String) => {
       // flagship: zones × erase-selection → per-zone target counts
       val sel = eraseSelection(s, d)
@@ -303,6 +318,18 @@ object Wnv {
          |FROM jc JOIN customer c ON jc.c_custkey = c.c_custkey
          |WHERE jc.join_count = 1
          |ORDER BY c.c_custkey""".stripMargin,
+
+    "wnv_zone_extent" ->
+      s"""WITH pts AS ($pointsSql), z AS ($zonesSql)
+         |SELECT z.zone_id,
+         |  MIN(p.x_ft) AS min_x, MAX(p.x_ft) AS max_x,
+         |  MIN(p.y_ft) AS min_y, MAX(p.y_ft) AS max_y,
+         |  CAST(SUM(CAST(round(p.x_ft * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) / COUNT(*) AS centroid_x,
+         |  CAST(SUM(CAST(round(p.y_ft * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) / COUNT(*) AS centroid_y,
+         |  COUNT(*) AS n_points
+         |FROM pts p JOIN z ON z.high_risk AND ${inZoneSql(px, py)}
+         |GROUP BY z.zone_id
+         |ORDER BY z.zone_id""".stripMargin,
 
     "wnv_pipeline_e2e" ->
       s"""WITH pts AS ($pointsSql), z AS ($zonesSql),
