@@ -116,6 +116,30 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // range join: clicks within ±30 min of each error, same user. The
+    // scalable form buckets time at the range width and equi-joins on
+    // (user_id, bucket) with the error side exploded to its 3 covering
+    // buckets + exact residual filter — theta → equi, the same trick as
+    // the WNV grid-cell erase. Fan-out bounded by events-per-bucket.
+    "events_range_join" -> ((s: SparkSession, d: String) => {
+      val bucketUs = 30L * 60 * 1000000
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), XF.epochUs(col("ts")).as("cus"))
+        .withColumn("bkt", floor(col("cus") / bucketUs))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), XF.epochUs(col("ts")).as("eus"))
+        .withColumn("bkt", explode(array(
+          floor(col("eus") / bucketUs) - 1,
+          floor(col("eus") / bucketUs),
+          floor(col("eus") / bucketUs) + 1)))
+      errors.join(clicks, Seq("user_id", "bkt"))
+        .filter(abs(col("cus") - col("eus")) <= bucketUs)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_nearby_clicks"))
+        .orderBy(col("event_id"))
+    }),
+
     // pivot: per-user event-type count matrix (explicit value list keeps
     // the plan one-pass; no extra distinct-values job).
     "events_pivot" -> ((s: SparkSession, d: String) =>
@@ -186,6 +210,19 @@ object Events {
          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
          |  ON p.user_id = v.user_id AND p.ts >= v.ts
          |ORDER BY p.event_id""".stripMargin,
+
+    // oracle: the plain theta join (fine at oracle scale; the Spark side
+    // is the bucketed equi form — results must be identical).
+    "events_range_join" ->
+      s"""SELECT e.event_id, COUNT(*) AS n_nearby_clicks
+         |FROM (SELECT event_id, user_id, epoch_us(ts) AS eus
+         |      FROM events WHERE event_type = 'error') e
+         |JOIN (SELECT user_id, epoch_us(ts) AS cus
+         |      FROM events WHERE event_type = 'click') c
+         |  ON e.user_id = c.user_id
+         | AND abs(c.cus - e.eus) <= 1800000000
+         |GROUP BY e.event_id
+         |ORDER BY e.event_id""".stripMargin,
 
     "events_pivot" ->
       s"""SELECT user_id,

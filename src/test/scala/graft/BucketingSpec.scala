@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The co-located-join path (SCALE.md): bucketed tables let repeated
+  * joins on the bucket key skip the shuffle entirely — the storage-side
+  * answer to "minimize shuffles" for a fact table joined on the same key
+  * by every downstream query.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed write + bucketed join runs without an Exchange") {
+    // (default warehouse dir; tables dropped at the end)
+    // bucketed persistence of the S4 load target
+    graft.sources.Tables.t(spark, sf, "orders")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt")
+    graft.sources.Tables.t(spark, sf, "customer")
+      .write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bkt")
+    // force the sort-merge path (auto-broadcast would also be
+    // shuffle-free here but is not the storage property under test)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = spark.table("orders_bkt")
+      .join(spark.table("customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // both sides bucketed on the join key -> SortMergeJoin with NO
+    // shuffle below it (the only Exchange allowed is the aggregate's)
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan)
+    assert(!plan.substring(joinIdx).contains("Exchange"), plan)
+    // correctness unchanged vs the plain join
+    val expected = graft.sources.Tables.t(spark, sf, "orders")
+      .join(graft.sources.Tables.t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+  }
+}
