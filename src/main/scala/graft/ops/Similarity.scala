@@ -112,6 +112,40 @@ object Similarity {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // IVF with a data-derived codebook: every 100th vector serves as a
+    // centroid (a k-means codebook replaces this selection at scale —
+    // identical plan); every vector is assigned to its nearest centroid
+    // (broadcast centroids × corpus scan + per-vector argmax window);
+    // each query probes only its own cell. This is the real IVF shape:
+    // assignment cost is corpus × C, probe cost is cell-local.
+    "sim_ivf_topk" -> ((s: SparkSession, d: String) => {
+      val cents = qEmb(s, d).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cvid"), col("q").as("cq"), col("n2").as("cn2"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cvid"))
+      val assigned = qEmb(s, d)
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos", qcos(idot(col("q"), col("cq")), col("n2"), col("cn2")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("q"), col("n2"), col("cvid").as("cell"))
+      val qs = assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("n2").as("qn2"), col("cell"))
+      val cand = assigned.select(col("vec_id").as("cid"), col("q").as("cv"),
+        col("n2").as("cn2"), col("cell"))
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      broadcast(qs)
+        .join(cand, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cos", qcos(idot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= TopK)
+        .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // pairwise similarity matrix for a tiny id range — the exhaustive
     // debugging view (bounded output: 20×20).
     "sim_pair_matrix" -> ((s: SparkSession, d: String) => {
@@ -171,6 +205,30 @@ object Similarity {
          |  FROM scored)
          |SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_ivf_topk" -> {
+      val cosVC = qcosSql(idotSql("v.q", "c.cq"), "v.n2", "c.cn2")
+      s"""WITH $qEmbSql,
+         |cents AS (SELECT vec_id AS cvid, q AS cq, n2 AS cn2
+         |          FROM qn WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT vec_id, q, n2, cvid AS cell FROM (
+         |    SELECT v.vec_id, v.q, v.n2, c.cvid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY $cosVC DESC, c.cvid) AS arn
+         |    FROM qn v CROSS JOIN cents c)
+         |  WHERE arn = 1),
+         |scored AS (
+         |  SELECT a.vec_id qid, b.vec_id cid, $cosAB AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT qid, cid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |  FROM scored)
+         |SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin
+    },
 
     "sim_pair_matrix" ->
       s"""WITH $qEmbSql
