@@ -96,6 +96,28 @@ object Streams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * views from the preceding 30 minutes. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can
+    * evict view state older than (watermark - 30 min) — the required
+    * shape for an unbounded-input join to hold bounded state.
+    * Mode-agnostic: works on batch frames too (plain interval join).
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", WatermarkDelay)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("ts", WatermarkDelay)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   // ---- custom state: flatMapGroupsWithState ---------------------------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -136,7 +158,16 @@ object Streams {
 
     "stream_tumbling_batch" -> ((s: SparkSession, d: String) =>
       tumbling(t(s, d, "events"))
-        .orderBy(col("bucket"), col("event_type")))
+        .orderBy(col("bucket"), col("event_type"))),
+
+    // the stream-stream interval join in its batch form.
+    "stream_interval_join" -> ((s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      viewPurchaseJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"))
+        .orderBy(col("purchase_id"), col("view_id"))
+    })
   )
 
   private val gapUs = 30L * 60 * 1000000
@@ -167,6 +198,16 @@ object Streams {
       s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS bucket,
          |  event_type, COUNT(*) AS n, ${XF.dsumSql("value")} AS total
          |FROM events
-         |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+         |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "stream_interval_join" ->
+      s"""SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+         |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         |  ON p.user_id = v.user_id
+         | AND v.ts <= p.ts
+         | AND v.ts >= p.ts - INTERVAL 30 MINUTE
+         |ORDER BY purchase_id, view_id""".stripMargin
   )
 }

@@ -98,6 +98,31 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val evs = sampleEvents()
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[Ev]
+    val pMem = MemoryStream[Ev]
+    val joined = Streams.viewPurchaseJoin(
+      vMem.toDF().filter(col("event_type") === "view"),
+      pMem.toDF().filter(col("event_type") === "purchase"))
+    val query = joined.writeStream
+      .format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      vMem.addData(evs); pMem.addData(evs)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("ss_join")
+      .orderBy("purchase_id", "view_id").collect().toSeq
+    val batch = Streams.viewPurchaseJoin(
+      evs.toDF().filter(col("event_type") === "view"),
+      evs.toDF().filter(col("event_type") === "purchase"))
+      .orderBy("purchase_id", "view_id").collect().toSeq
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     val evs = sampleEvents()
     import spark.implicits._
