@@ -24,21 +24,26 @@ object Bench {
     // pauses), plus a third run when the two disagree >3x — this host
     // shows CPU-steal windows that can stall both consecutive runs.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      val times = Seq(once(), once())
-      val all = if (times.max / times.min > 3.0) times :+ once() else times
-      name -> all.min
+      val times = Seq(once(), once()).flatten
+      val all =
+        if (times.size == 2 && times.max / times.min > 3.0)
+          times ++ once() else times
+      // a query with no successful run reports -1, not a fast-fail time
+      name -> (if (all.isEmpty) -1.0 else all.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

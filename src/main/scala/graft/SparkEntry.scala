@@ -41,4 +41,9 @@ object SparkEntry {
 
   require(oracleSql.keySet.subsetOf(queries.keySet),
     s"oracle without query: ${oracleSql.keySet -- queries.keySet}")
+
+  // a duplicate name across modules would silently drop a query in toMap
+  private val allNames = modules.flatMap(_._1.map(_._1))
+  require(allNames.distinct.size == allNames.size,
+    s"duplicate query names: ${allNames.diff(allNames.distinct).distinct}")
 }

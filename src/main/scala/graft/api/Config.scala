@@ -20,16 +20,31 @@ object Config {
 
   def parse(lines: Seq[String]): Map[String, String] =
     lines.iterator
-      .map(_.takeWhile(_ != '#').trim)
+      .map(stripComment(_).trim)
       .filter(_.nonEmpty)
       .map { line =>
         require(!line.startsWith("-") && line.contains(":"),
           s"flat key: value expected, got: $line")
         val Array(k, v) = line.split(":", 2)
-        require(!k.startsWith(" ") && k.trim.nonEmpty, s"bad key in: $line")
+        require(k.trim.nonEmpty, s"bad key in: $line")
+        // an empty unquoted value is a nested-mapping parent ("proj:")
+        // — fail fast instead of flattening the nesting
+        require(v.trim.nonEmpty, s"nested yaml not supported: $line")
         k.trim -> stripQuotes(v.trim)
       }
       .toMap
+
+  /** Drop a `#` comment, but never inside a quoted value. */
+  private def stripComment(line: String): String = {
+    val sb = new StringBuilder
+    var quote: Char = 0
+    line.foreach { c =>
+      if (quote != 0) { sb += c; if (c == quote) quote = 0 }
+      else if (c == '#') return sb.toString
+      else { if (c == '"' || c == '\'') quote = c; sb += c }
+    }
+    sb.toString
+  }
 
   private def stripQuotes(v: String): String =
     if (v.length >= 2 &&

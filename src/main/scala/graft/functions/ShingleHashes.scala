@@ -29,7 +29,9 @@ case class ShingleHashes(child: Expression, k: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) return Nil
-    val toks = v.asInstanceOf[UTF8String].toString.split(' ')
+    // limit -1 keeps trailing empty tokens — matching Spark SQL's
+    // split() and DuckDB's string_split (the char-overload drops them)
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
     if (toks.length < k) return Nil
     val md = java.security.MessageDigest.getInstance("MD5")
     val seen = new java.util.HashSet[Long]()

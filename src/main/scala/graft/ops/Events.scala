@@ -58,12 +58,16 @@ object Events {
         .orderBy(col("bucket"))),
 
     // gap-based sessionization: 30-min inactivity closes a session.
+    // Boundary: a gap of EXACTLY 30 min starts a new session (>=), the
+    // same half-open-interval semantics as session_window in
+    // [[graft.streaming.Streams.sessions]] — batch and stream twins
+    // agree at the boundary.
     "events_sessions" -> ((s: SparkSession, d: String) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val us = XF.epochUs(col("ts"))
       val newSess = when(
-        us - lag(us, 1).over(byUser) > gapUs || lag(us, 1).over(byUser).isNull, 1L)
+        us - lag(us, 1).over(byUser) >= gapUs || lag(us, 1).over(byUser).isNull, 1L)
         .otherwise(0L)
       t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("value"), us.as("us"),
@@ -177,7 +181,7 @@ object Events {
     "events_sessions" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
-         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $gapUs
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $gapUs
          |           OR lag(epoch_us(ts)) OVER w IS NULL
          |         THEN 1 ELSE 0 END AS new_sess
          |  FROM events
@@ -203,6 +207,11 @@ object Events {
 
     // oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation of the semantics our window formulation computes.
+    // Caveat: ASOF has no tie-break when two views share the greatest
+    // v.ts; the Spark side picks the highest event_id. The testdata has
+    // zero same-user same-microsecond view pairs at every sf (verified),
+    // so the compare is stable; corpora with ties need the window-based
+    // oracle instead.
     "events_asof_join" ->
       s"""SELECT p.event_id, p.user_id, v.event_id AS view_event,
          |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us

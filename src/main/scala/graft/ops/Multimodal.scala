@@ -54,12 +54,18 @@ object Multimodal {
   /** DETERMINISTIC STUB for media decode → 8-dim feature vector.
     * A real implementation replaces the body with a codec call over
     * `payload`; signature and call sites stay as-is.
+    *
+    * Feature j = (h32(md5, offset j*3+1) % 1000) / 1000 — the exact
+    * formula `mm_features` computes with [[XF.h32]] column expressions,
+    * so the oracle-checked flat query validates THIS decoder's output
+    * (asserted in MultimodalSpec). All 8-hex windows fit the 32-char
+    * digest (last offset 22 + 8 = 30).
     */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(payload).map("%02x".format(_)).mkString
     (0 until 8).map { j =>
-      (java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16) % 1000)
+      (java.lang.Long.parseLong(hex.substring(j * 3, j * 3 + 8), 16) % 1000)
         .toFloat / 1000f
     }.toArray
   }
@@ -105,10 +111,11 @@ object Multimodal {
         .orderBy(col("doc_id"), col("frame_no"))),
 
     // feature extraction via the stub decoder, flattened to scalar
-    // columns so the oracle can hash-compare (md5-derived fake features).
+    // columns so the oracle can hash-compare — SAME formula as
+    // stubDecode (payload is the UTF-8 of text, so md5 digests match).
     "mm_features" -> ((s: SparkSession, d: String) => {
       val feats = (0 until 8).map(j =>
-        ((XF.h32(col("text"), j * 4 + 1) % 1000).cast(DoubleType) / 1000.0)
+        ((XF.h32(col("text"), j * 3 + 1) % 1000).cast(DoubleType) / 1000.0)
           .as(s"feat_$j"))
       media(s, d).select(col("doc_id") +: feats: _*).orderBy(col("doc_id"))
     }),
@@ -139,7 +146,7 @@ object Multimodal {
 
     "mm_features" -> {
       val feats = (0 until 8).map(j =>
-        s"CAST(${XF.h32Sql("text", j * 4 + 1)} % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) AS feat_$j")
+        s"CAST(${XF.h32Sql("text", j * 3 + 1)} % 1000 AS DOUBLE) / CAST(1000 AS DOUBLE) AS feat_$j")
         .mkString(",\n  ")
       s"""SELECT doc_id,
          |  $feats

@@ -30,13 +30,15 @@ class EventsSpec extends SparkSpec {
       .select("user_id", "session_no", "session_start_us", "session_end_us")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // sessions of one user are disjoint and ordered with > 30min gaps
+    // sessions of one user are disjoint and ordered with >= 30min gaps
+    // (a gap of exactly 30 min closes a session — session_window
+    // half-open-interval semantics)
     val gapUs = 30L * 60 * 1000000
     sess.groupBy(_._1).foreach { case (_, ss) =>
       val ordered = ss.sortBy(_._2)
       ordered.sliding(2).foreach {
         case Array((_, _, _, prevEnd), (_, _, nextStart, _)) =>
-          assert(nextStart - prevEnd > gapUs)
+          assert(nextStart - prevEnd >= gapUs)
         case _ =>
       }
     }

@@ -26,6 +26,21 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getSeq[Float](1).length === 8)
   }
 
+  test("mm_features equals the flattened stubDecode output") {
+    // the oracle-checked flat query and the mapPartitions decoder must
+    // compute the SAME features (both are h32(md5, j*3+1) % 1000 / 1000)
+    val viaQuery = graft.SparkEntry.queries("mm_features")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(j => math.round(r.getDouble(j) * 1000).toInt)).toMap
+    val viaDecode = Multimodal.decodeFeatures(Multimodal.media(spark, sf))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f => math.round(f * 1000)).toSeq).toMap
+    assert(viaQuery.keySet === viaDecode.keySet)
+    viaQuery.foreach { case (id, feats) =>
+      assert(feats === viaDecode(id), s"doc $id")
+    }
+  }
+
   test("frame sampling never materializes skipped frames") {
     val out = graft.SparkEntry.queries("mm_frame_sample")(spark, sf)
     val frames = out.select(col("frame_no")).distinct()
