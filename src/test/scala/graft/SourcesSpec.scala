@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Source/sink formats beyond the primary parquet+CSV pair, and the
+  * partition-pruning write layout (SCALE.md: partition pruning is the
+  * first gate between a 100 TB table and a query's scan cost).
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def orders = graft.sources.Tables.t(spark, sf, "orders")
+    .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  test("JSON sink/source round-trips with a declared schema") {
+    val dir = Files.createTempDirectory("json_rt").toString + "/orders"
+    orders.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(orders.schema).json(dir)
+    assert(back.count() === orders.count())
+    val a = orders.agg(sum(col("o_orderkey"))).head().getLong(0)
+    val b = back.agg(sum(col("o_orderkey"))).head().getLong(0)
+    assert(a === b)
+  }
+
+  test("ORC sink/source round-trips with pushdown intact") {
+    val dir = Files.createTempDirectory("orc_rt").toString + "/orders"
+    orders.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("o_totalprice") > 300000.0)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(o_totalprice"), plan.take(1500))
+    assert(back.count() ===
+      orders.filter(col("o_totalprice") > 300000.0).count())
+  }
+
+  test("partitioned write enables partition pruning in the scan") {
+    val dir = Files.createTempDirectory("part_rt").toString + "/orders"
+    orders.write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the status predicate must move to PartitionFilters (directory
+    // pruning), NOT data filters — only matching partitions are read
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan.take(1500))
+    assert(pruned.count() ===
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+}
