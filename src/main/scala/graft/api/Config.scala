@@ -34,14 +34,27 @@ object Config {
       }
       .toMap
 
-  /** Drop a `#` comment, but never inside a quoted value. */
+  /** Drop a `#` comment, but never inside a quoted value. Matches
+    * yaml.safe_load on the edges: a quote only OPENS a string at the
+    * start of a scalar (so `O'Brien` in an unquoted value stays a
+    * literal apostrophe), and `#` only starts a comment at line start
+    * or after whitespace (so `value#x` keeps the `#`).
+    */
   private def stripComment(line: String): String = {
     val sb = new StringBuilder
     var quote: Char = 0
+    var atScalarStart = true // line start, or just after ':' + whitespace
+    var prev: Char = ' '
     line.foreach { c =>
       if (quote != 0) { sb += c; if (c == quote) quote = 0 }
-      else if (c == '#') return sb.toString
-      else { if (c == '"' || c == '\'') quote = c; sb += c }
+      else if (c == '#' && prev.isWhitespace) return sb.toString
+      else {
+        if ((c == '"' || c == '\'') && atScalarStart) quote = c
+        if (c == ':') atScalarStart = true
+        else if (!c.isWhitespace) atScalarStart = false
+        sb += c
+      }
+      prev = c
     }
     sb.toString
   }

@@ -191,7 +191,7 @@ object Events {
          |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
          |  FROM e)
-         |SELECT user_id, session_no,
+         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
          |  MIN(us) AS session_start_us, MAX(us) AS session_end_us,
          |  COUNT(*) AS n_events, ${XF.dsumSql("value")} AS total_value
          |FROM s GROUP BY user_id, session_no

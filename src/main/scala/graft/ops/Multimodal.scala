@@ -120,10 +120,17 @@ object Multimodal {
       media(s, d).select(col("doc_id") +: feats: _*).orderBy(col("doc_id"))
     }),
 
-    // mapPartitions decode plumbing — no SQL oracle (array output +
-    // imperative decode); driver records the rows-only check.
+    // mapPartitions decode plumbing, flattened to (doc_id, feat_no, value)
+    // rows so the output is scalar-only (array columns crash the driver's
+    // pandas sort) AND oracle-checkable: the stub decoder's formula is
+    // expressible in SQL. Float->double repr error is ~1e-8 on the k/1000
+    // values, so round(6) is exact on both sides.
     "mm_decode_batch" -> ((s: SparkSession, d: String) =>
-      decodeFeatures(media(s, d)).orderBy(col("doc_id")))
+      decodeFeatures(media(s, d))
+        .select(col("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("feat_no"),
+          XF.r6(col("col").cast(DoubleType)).as("feat_val"))
+        .orderBy(col("doc_id"), col("feat_no")))
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -151,6 +158,15 @@ object Multimodal {
       s"""SELECT doc_id,
          |  $feats
          |FROM documents ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // same formula as stubDecode, row-per-feature; the float cast on the
+    // Spark side is absorbed by round(6) (see query comment).
+    "mm_decode_batch" ->
+      s"""SELECT doc_id, j AS feat_no,
+         |  ROUND(CAST(CAST(('0x' || substr(md5(text), CAST(j * 3 + 1 AS INTEGER), 8)) AS BIGINT) % 1000 AS DOUBLE)
+         |        / CAST(1000 AS DOUBLE), 6) AS feat_val
+         |FROM documents, (SELECT unnest(range(8)) AS j)
+         |ORDER BY doc_id, feat_no""".stripMargin
   )
 }

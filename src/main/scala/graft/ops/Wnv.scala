@@ -179,9 +179,18 @@ object Wnv {
   // ------------------------------------------------------------------
 
   /** Checked-in opt-out fixture (FIXTURES.md §1.1) — the S1 extract
-    * snapshot; absolute path so the DuckDB oracle reads the same bytes.
+    * snapshot. Resolved to an ABSOLUTE path (the DuckDB oracle reads the
+    * same bytes by path): `-Dgraft.optout.csv` override, else the copy on
+    * the classpath (sbt puts resources under target/.../classes), else
+    * the source-tree layout relative to the working directory.
     */
-  val FixtureCsv = "/root/repo/src/main/resources/opt_out_addresses.csv"
+  val FixtureCsv: String =
+    sys.props.get("graft.optout.csv")
+      .orElse(Option(getClass.getResource("/opt_out_addresses.csv"))
+        .filter(_.getProtocol == "file")
+        .map(u => new java.io.File(u.toURI).getAbsolutePath))
+      .getOrElse(new java.io.File(
+        "src/main/resources/opt_out_addresses.csv").getAbsolutePath)
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // S1-S3: header-CSV extract → transform, the reference's E3 slice

@@ -25,25 +25,44 @@ object Tables {
     * as a timestamp; we read it as a long (nanos) via the legacy conf and
     * truncate to microseconds — exactly what DuckDB's parquet reader does
     * (ns → µs TIMESTAMP, floor), so oracle compares stay bit-identical.
+    * [[graft.GraftSession.build]] sets the conf up front; the set here
+    * covers driver-supplied sessions that never went through it.
     *
-    * Loaded frames are memoized per (session, path): a fresh
+    * Loaded frames are memoized per (session, dir, table): a fresh
     * `spark.read.parquet` builds a new InMemoryFileIndex (file listing +
     * footer schema read) every call, which at one-query-per-call harness
     * cadence is pure fixed overhead. Reusing the resolved plan reuses the
     * index; the data path is unchanged (nothing is cached/persisted).
+    * The memo is a small LRU (a DataFrame pins its SparkSession, so an
+    * unbounded map would keep every session that ever touched it alive
+    * for the JVM lifetime); eviction only drops a resolved plan.
     */
+  private val MaxMemo = 64
   private val loaded =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+        size > MaxMemo
+    }
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    loaded.getOrElseUpdate((spark, dir, name),
-      if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      } else spark.read.parquet(s"$dir/$name.parquet"))
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val k = (spark, dir, name)
+    val hit = loaded.synchronized(loaded.get(k))
+    if (hit != null) hit
+    else {
+      val df =
+        if (name == "events") {
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(s"$dir/events.parquet")
+            .withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        } else spark.read.parquet(s"$dir/$name.parquet")
+      loaded.synchronized(loaded.put(k, df))
+      df
+    }
+  }
 
   /** Header CSV scan with a declared schema (reference Lab2ETL.py:66-68:
     * `csv.DictReader` keys rows by the header). PERMISSIVE mode keeps

@@ -127,8 +127,10 @@ object Streams {
   /** Per-user running totals with explicit state — the
     * `flatMapGroupsWithState` shape for semantics windows can't express
     * (here: emit an updated running total on every micro-batch).
-    * ProcessingTimeTimeout + no timeout set = state lives for the run;
-    * a production deployment sets an event-time timeout off the watermark.
+    * GroupStateTimeout.NoTimeout = per-user state lives for the whole run
+    * (fine for a demo; unbounded over an unbounded key space) — a
+    * production deployment uses EventTimeTimeout keyed off the watermark
+    * so idle users' state expires.
     */
   def runningTotals(events: Dataset[Ev]): Dataset[UserRunning] = {
     import events.sparkSession.implicits._

@@ -14,9 +14,9 @@ class EntrySpec extends SparkSpec {
 
   test("every oracle key has a query and every query runs at sf0.001") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // queries without oracles are the documented sketch/imperative ones
+    // the only query without an oracle is the documented HLL sketch one
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("agg_approx_distinct", "mm_decode_batch"))
+    assert(noOracle === Set("agg_approx_distinct"))
   }
 
   test("every query returns at least one row at sf0.001 (driver gate)") {
