@@ -9,8 +9,27 @@ import org.apache.spark.sql.SparkSession
   * (`queryExecution.toRdd` + a count over the produced InternalRows):
   * a plain `df.count()` would let Catalyst prune every computed column
   * and drop the sorts, under-measuring the real operator cost.
+  *
+  * The printed line carries a HEADLINE subset of per-query timings: the
+  * harness that consumes stdout keeps only a ~2000-char tail, and a
+  * 77-entry map (~2.3 kB) gets cut mid-line and fails to parse (this is
+  * exactly what happened to rounds 1-2). `value` still totals ALL
+  * queries; the full per-query map goes to `BENCH_FULL.json` in the
+  * working directory.
   */
 object Bench {
+
+  /** One or two representatives per operator family — short enough that
+    * line + sbt's trailing "[success] ..." fit the 2000-char tail. */
+  private val Headline: Set[String] = Set(
+    "q1_agg", "q3_top_orders", "q5_region_revenue", "scan_pushdown",
+    "join_inner_basic", "join_semi", "agg_stats", "agg_cube",
+    "win_rank", "win_running", "topk_sort",
+    "events_sessions", "events_asof_join", "events_json_extract",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "sim_topk_bruteforce", "sim_ivf_topk",
+    "text_bpe_tokens", "text_quality", "mm_features",
+    "stream_tumbling_batch", "wnv_pipeline_e2e", "wnv_zone_extent")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -41,10 +60,20 @@ object Bench {
       // a query with no successful run reports -1, not a fast-fail time
       name -> (if (all.isEmpty) -1.0 else all.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // full per-query detail → file (committed per-round as the record)
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    // compact headline line → stdout (fits the harness's 2000-char tail)
+    val head = results.filter(r => Headline(r._1))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":${jmap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

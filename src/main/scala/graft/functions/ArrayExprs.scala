@@ -29,6 +29,15 @@ object ArrayExprs {
     */
   def floatCosine(a: Column, b: Column): Column =
     column(FloatCosine(expression(a), expression(b)))
+
+  /** Quantize-and-dot in one fused pass: Σ floor(aᵢ·2²⁰)·floor(bᵢ·2²⁰)
+    * over two FLOAT arrays. Equals `longDot(qvec(a), qvec(b))` without
+    * ever materializing the quantized long arrays — embeddings stay
+    * float through the whole plan (half the shuffle bytes) and the
+    * interpreted `transform` lambda disappears from the hot path.
+    */
+  def quantDot(a: Column, b: Column): Column =
+    column(QuantDot(expression(a), expression(b)))
 }
 
 /** dot(a, b) over ArrayType(LongType) — exact, overflow-free for the
@@ -125,6 +134,67 @@ case class FloatCosine(left: Expression, right: Expression)
          |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
          |}
          |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused quantize+dot over two ArrayType(FloatType) columns:
+  * Σ floor(aᵢ·2²⁰)·floor(bᵢ·2²⁰), exact BIGINT accumulation.
+  *
+  * Bit-identical to the two-step `qvec` → `LongDot` path (floor on the
+  * double-widened float is the same operation DuckDB's
+  * `list_transform(... floor(CAST(x AS DOUBLE) * 1048576.0) ...)` oracle
+  * performs). Overflow-free for |x| ≤ 2 (|q| ≤ 2²¹, 64-element dim:
+  * Σ ≤ 2⁴⁸). Array elements are assumed non-null (embedding vectors);
+  * a null ARRAY yields null via nullSafeEval.
+  */
+case class QuantDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> args, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_quant_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(x.getFloat(i).toDouble * 1048576.0).toLong *
+        math.floor(y.getFloat(i).toDouble * 1048576.0).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val qa = ctx.freshName("qa")
+      val qb = ctx.freshName("qb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $qa = (long) java.lang.Math.floor((double) $a.getFloat($i) * 1048576.0);
+         |  long $qb = (long) java.lang.Math.floor((double) $b.getFloat($i) * 1048576.0);
+         |  $acc += $qa * $qb;
+         |}
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
