@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatCosine, LongDot}
+import graft.functions.{FloatCosine, LongDot, QuantDot}
 
 /** Session extensions: expose the native array kernels to SQL users
   * (`SELECT graft_long_dot(a, b)`), the SparkSessionExtensions route.
@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_float_cosine"),
       new ExpressionInfo(classOf[FloatCosine].getName, "graft_float_cosine"),
       (args: Seq[Expression]) => FloatCosine(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quant_dot"),
+      new ExpressionInfo(classOf[QuantDot].getName, "graft_quant_dot"),
+      (args: Seq[Expression]) => QuantDot(args(0), args(1))))
   }
 }
 

@@ -203,6 +203,15 @@ object Dedup {
     * [[graft.functions.ArrayExprs]]); semantically equal to
     * `aggregate(zip_with(a, b, _*_), 0L, _+_)` but runs as a fused loop
     * inside whole-stage codegen.
+    *
+    * Deliberately the TWO-step path (materialize `qvec` longs once per
+    * vector, then dot): every similarity/dedup query here dots each
+    * vector against many others (centroids, cells, pair matrices), so
+    * per-pair work must be minimal. The fused
+    * [[graft.functions.ArrayExprs.quantDot]] kernel re-quantizes both
+    * operands per pair — measured ~1.7x slower on the N² patterns — and
+    * is the right tool only for single-pass scans that dot each row
+    * once.
     */
   def idot(a: Column, b: Column): Column =
     graft.functions.ArrayExprs.longDot(a, b)

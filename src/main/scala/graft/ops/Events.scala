@@ -120,6 +120,25 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // the same as-of semantics through the custom operator tier —
+    // [[graft.plans.AsOfJoin]]: logical node + planner strategy +
+    // sort-merge SparkPlan (one hash shuffle per side, single merge
+    // pass, O(1) state) instead of the union+window trick above. Both
+    // formulations check against the same DuckDB native ASOF oracle.
+    "events_asof_custom" -> ((s: SparkSession, d: String) => {
+      val us = XF.epochUs(col("ts"))
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), us.as("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), us.as("us"))
+      graft.plans.AsOf.asOfJoin(purchases, views, "user_id", "us", "v_")
+        .select(col("event_id"), col("user_id"),
+          col("v_event_id").as("view_event"),
+          (col("us") - col("v_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // range join: clicks within ±30 min of each error, same user. The
     // scalable form buckets time at the range width and equi-joins on
     // (user_id, bucket) with the error side exploded to its 3 covering
@@ -213,6 +232,16 @@ object Events {
     // so the compare is stable; corpora with ties need the window-based
     // oracle instead.
     "events_asof_join" ->
+      s"""SELECT p.event_id, p.user_id, v.event_id AS view_event,
+         |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         |  ON p.user_id = v.user_id AND p.ts >= v.ts
+         |ORDER BY p.event_id""".stripMargin,
+
+    // identical oracle to events_asof_join — the custom-operator path
+    // must produce byte-identical results to the window formulation.
+    "events_asof_custom" ->
       s"""SELECT p.event_id, p.user_id, v.event_id AS view_event,
          |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -100,12 +100,16 @@ object Similarity {
             col("home").bitwiseXOR(lit(1 << k))): _*)))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("cid"))
+      // cosine computed BEFORE the probe-dedup so distinct() shuffles
+      // three scalars per candidate pair instead of two embedding
+      // arrays (the extra idot per duplicate probe is cheaper than
+      // hashing+shuffling the vectors; result set is identical).
       broadcast(probes)
         .join(cand, Seq("cell"))
         .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"), col("qv"), col("qn2"),
-          col("cv"), col("cn2")).distinct()
-        .withColumn("cos", qcos(idot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+        .select(col("qid"), col("cid"),
+          qcos(idot(col("qv"), col("cv")), col("qn2"), col("cn2")).as("cos"))
+        .distinct()
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TopK)
         .select(col("qid"), col("cid"), col("cos"), col("rnk"))
@@ -114,26 +118,38 @@ object Similarity {
 
     // IVF with a data-derived codebook: every 100th vector serves as a
     // centroid (a k-means codebook replaces this selection at scale —
-    // identical plan); every vector is assigned to its nearest centroid
-    // (broadcast centroids × corpus scan + per-vector argmax window);
+    // identical plan); every vector is assigned to its nearest centroid;
     // each query probes only its own cell. This is the real IVF shape:
     // assignment cost is corpus × C, probe cost is cell-local.
+    //
+    // Assignment is a scalar-only argmax: the corpus × centroids product
+    // is projected to (vec_id, cvid, ccos) BEFORE aggregating, so the
+    // shuffle carries three scalars per pair — not embedding arrays —
+    // and max_by gets map-side partial aggregation (one corpus-sized
+    // row per group leaves each task). The former window formulation
+    // shuffled the full arrays and sorted per group; and because both
+    // the query and candidate sides derived from it, it ran TWICE. The
+    // query side now assigns only the query subset (1/50th the work).
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => {
       val cents = qEmb(s, d).filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cvid"), col("q").as("cq"), col("n2").as("cn2"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cvid"))
-      val assigned = qEmb(s, d)
+        .select(col("vec_id").as("cvid"), col("q").as("cq"), col("n2").as("ccn2"))
+      // ord = (ccos, -cvid): max picks highest cosine, smallest cvid on
+      // ties — same order as the previous window (ccos DESC, cvid ASC).
+      def assign(vecs: DataFrame): DataFrame = vecs
         .crossJoin(broadcast(cents))
-        .withColumn("ccos", qcos(idot(col("q"), col("cq")), col("n2"), col("cn2")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("q"), col("n2"), col("cvid").as("cell"))
-      val qs = assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"),
+          qcos(idot(col("q"), col("cq")), col("n2"), col("ccn2")).as("ccos"),
+          col("cvid"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cvid"), struct(col("ccos"), -col("cvid"))).as("cell"))
+      val corpus = qEmb(s, d)
+      val qs = corpus.filter(col("vec_id") % 50 === 0)
+        .join(assign(corpus.filter(col("vec_id") % 50 === 0)), Seq("vec_id"))
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("n2").as("qn2"), col("cell"))
-      val cand = assigned.select(col("vec_id").as("cid"), col("q").as("cv"),
-        col("n2").as("cn2"), col("cell"))
+      val cand = corpus.join(assign(corpus), Seq("vec_id"))
+        .select(col("vec_id").as("cid"), col("q").as("cv"),
+          col("n2").as("cn2"), col("cell"))
       val wRank = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("cid"))
       broadcast(qs)

@@ -32,6 +32,19 @@ class ArrayExprsSpec extends SparkSpec {
     assert(dotLine.exists(_.contains("*(")), plan)
   }
 
+  test("QuantDot equals the two-step qvec -> LongDot formulation") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .select(
+        ArrayExprs.quantDot(col("a.embedding"), col("b.embedding")).as("fused"),
+        graft.functions.ArrayExprs.longDot(
+          graft.ops.Dedup.qvec(col("a.embedding")),
+          graft.ops.Dedup.qvec(col("b.embedding"))).as("twostep"))
+    assert(pairs.filter(col("fused") =!= col("twostep")).count() === 0)
+  }
+
   test("FloatCosine matches a plain-JVM cosine") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOf
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("custom AsOfJoinExec equals the window formulation on events") {
+    val viaCustom = SparkEntry.queries("events_asof_custom")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val viaWindow = SparkEntry.queries("events_asof_join")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaCustom === viaWindow)
+  }
+
+  test("the physical plan is the custom exec with one shuffle per side") {
+    val df = SparkEntry.queries("events_asof_custom")(spark, sf)
+    df.count() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+  }
+
+  test("left rows without a prior right row keep nulls (left semantics)") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 150L, "v1"), (3L, 10L, "v3"))
+      .toDF("k", "t", "tag")
+    val got = AsOf.asOfJoin(l, r, "k", "t")
+      .select(col("tag"), col("r_tag"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    // p1: t=100 before v1's 150 -> no match; p2: v1 matches; p3: key 2
+    // has no right rows at all -> null.
+    assert(got === Map("p1" -> null, "p2" -> "v1", "p3" -> null))
+  }
+
+  test("equal timestamps match (time <= semantics) and latest wins") {
+    import spark.implicits._
+    val l = Seq((7L, 100L, "p")).toDF("k", "t", "tag")
+    val r = Seq((7L, 40L, "old"), (7L, 100L, "exact"))
+      .toDF("k", "t", "tag")
+    val got = AsOf.asOfJoin(l, r, "k", "t")
+      .select(col("r_tag")).head().getString(0)
+    assert(got === "exact")
+  }
+
+  test("null keys on either side never match") {
+    import spark.implicits._
+    val l = Seq((Option(5L), 100L, "p1"), (Option.empty[Long], 100L, "pnull"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Option(5L), 50L, "v1"), (Option.empty[Long], 10L, "vnull"))
+      .toDF("k", "t", "tag")
+    val got = AsOf.asOfJoin(l, r, "k", "t")
+      .select(col("tag"), col("r_tag"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(got === Map("p1" -> "v1", "pnull" -> null))
+  }
+}
