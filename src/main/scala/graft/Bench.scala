@@ -29,7 +29,9 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "sim_topk_bruteforce", "sim_ivf_topk",
     "text_bpe_tokens", "text_quality", "mm_features",
-    "stream_tumbling_batch", "wnv_pipeline_e2e", "wnv_zone_extent")
+    "stream_tumbling_batch", "wnv_pipeline_e2e", "wnv_zone_extent",
+    "events_range_join_auto", "agg_corr_covar", "text_contamination",
+    "join_salted")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_quant_dot"),
       new ExpressionInfo(classOf[QuantDot].getName, "graft_quant_dot"),
       (args: Seq[Expression]) => QuantDot(args(0), args(1))))
+    // optimizer tier: band-join theta→equi rewrite (see plans.BandJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
   }
 }
 

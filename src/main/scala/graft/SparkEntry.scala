@@ -22,7 +22,9 @@ object SparkEntry {
       Seq[(String, String)])] = Seq(
     (ops.Wnv.queries, ops.Wnv.oracles),
     (ops.Relational.queries, ops.Relational.oracles),
+    (ops.Analytics.queries, ops.Analytics.oracles),
     (ops.Text.queries, ops.Text.oracles),
+    (ops.Curation.queries, ops.Curation.oracles),
     (ops.Events.queries, ops.Events.oracles),
     (ops.Dedup.queries, ops.Dedup.oracles),
     (ops.Similarity.queries, ops.Similarity.oracles),

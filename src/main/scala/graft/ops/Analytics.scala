@@ -1,0 +1,286 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.XF
+import graft.sources.Tables.t
+
+/** Analytic-surface extensions over the testdata: distribution window
+  * functions (ntile / percent_rank / cume_dist), explicit window frames
+  * (RANGE + ROWS with first/last/nth), moment statistics (corr / covar
+  * from exact decimal power sums), ordered-set rendering of collect_set,
+  * arg-max/min aggregation, boolean/conditional aggregates, cross join,
+  * union-by-name schema alignment, and unpivot (wide → long).
+  *
+  * The reference has none of these (its only aggregate is a row count,
+  * Lab2ETL.py:94); they complete the standard analytic surface a user of
+  * any engine expects, per SURVEY.md §2.4's extension mandate.
+  *
+  * Scale notes: every query here is one scan + at most one shuffle (the
+  * window partition / groupBy key). Moment statistics deliberately avoid
+  * the built-in `corr`/`covar_samp` — those accumulate doubles in scan
+  * order (non-associative, cluster-nondeterministic); instead we reduce
+  * exact DECIMAL power sums (associative, any partitioning) and apply the
+  * closed-form moments once per group. Same plan shape, deterministic at
+  * any parallelism — and the only formulation a hash-compared oracle can
+  * check.
+  */
+object Analytics {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // distribution ranks: quartile (ntile), percent_rank, cume_dist per
+    // market segment by account balance. (rank-1)/(n-1) and rank/n are
+    // single IEEE divisions of exact integers — bit-stable cross-engine.
+    "win_ntile_dist" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // explicit frames: RANGE (value-based, 30-day moving spend — peers at
+    // the same day all see the same frame, so ties are deterministic) and
+    // ROWS (position-based first/last/nth over a unique (day, orderkey)
+    // order). Decimal-accumulated moving sum per the XF.dsum contract.
+    "win_frames" -> ((s: SparkSession, d: String) => {
+      val od = datediff(col("o_orderdate"), lit("1970-01-01"))
+      val byCustRange = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od")).rangeBetween(-30, 0)
+      val byCustRows = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od"), col("o_orderkey")).rowsBetween(-2, 0)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), od.as("od"))
+        .select(col("o_orderkey"), col("o_custkey"), col("od"),
+          sum(col("o_totalprice").cast(DecimalType(28, 6))).over(byCustRange)
+            .cast(DoubleType).as("spend_30d"),
+          first(col("o_totalprice")).over(byCustRows).as("first_of_3"),
+          last(col("o_totalprice")).over(byCustRows).as("last_of_3"),
+          nth_value(col("o_totalprice"), 2).over(byCustRows).as("second_of_3"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // correlation + covariance of quantity vs extended price per return
+    // flag, from exact decimal power sums (see object doc): the partial
+    // aggregation is associative decimal adds; one closed-form evaluation
+    // per group.
+    "agg_corr_covar" -> ((s: SparkSession, d: String) => {
+      val q = col("l_quantity").cast(DoubleType)
+      val p = col("l_extendedprice").cast(DoubleType)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          XF.dsum(q).as("sq"), XF.dsum(p).as("sp"),
+          XF.dsum(q * q).as("sqq"), XF.dsum(p * p).as("spp"),
+          XF.dsum(q * p).as("sqp"))
+        .select({
+          val n = col("n").cast(DoubleType)
+          val cov = col("sqp") - col("sq") * col("sp") / n
+          val vq = col("sqq") - col("sq") * col("sq") / n
+          val vp = col("spp") - col("sp") * col("sp") / n
+          Seq(col("l_returnflag"), col("n"),
+            XF.r6(cov / (n - 1)).as("covar_qp"),
+            XF.r6(cov / (sqrt(vq) * sqrt(vp))).as("corr_qp"))
+        }: _*)
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // arg-max/arg-min aggregation: highest- and lowest-balance customer
+    // per nation. Deterministic on this data: the extreme balance per
+    // nation is unique at every sf (verified); a tie would need the
+    // win_rank row_number formulation instead.
+    "agg_minmax_by" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(max_by(col("c_name"), col("c_acctbal")).as("richest"),
+          min_by(col("c_name"), col("c_acctbal")).as("poorest"),
+          max(col("c_acctbal")).as("max_bal"),
+          min(col("c_acctbal")).as("min_bal"))
+        .orderBy(col("c_nationkey"))),
+
+    // boolean / conditional aggregates per event type.
+    "agg_bool_countif" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count_if(col("value") > 100.0).as("n_over_100"),
+          bool_and(col("value") > 0.0).as("all_positive"),
+          bool_or(col("value") > 450.0).as("any_over_450"))
+        .orderBy(col("event_type"))),
+
+    // collect_set rendered deterministically: sorted, comma-joined. The
+    // collected set is per-group bounded (≤ 5 segments), so the agg state
+    // stays small no matter the row count.
+    "agg_collect_sorted" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"),
+          count_distinct(col("c_mktsegment")).as("n_segments"))
+        .orderBy(col("c_nationkey"))),
+
+    // explicit cartesian product of the two smallest dims (25 × 5 rows —
+    // the only place a cross join is ever acceptable; Spark requires the
+    // explicit crossJoin call, and the planner broadcasts one side).
+    "join_cross" -> ((s: SparkSession, d: String) =>
+      t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+        .crossJoin(t(s, d, "region").select(col("r_name")))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"),
+          concat_ws("-", col("n_name"), col("r_name")).as("pair"))
+        .orderBy(col("n_nationkey"), col("r_name"))),
+
+    // union-by-name: two differently-shaped projections aligned by column
+    // NAME (not position), missing columns null-filled — the schema-drift
+    // tool for heterogeneous batches of the same logical entity.
+    "union_by_name" -> ((s: SparkSession, d: String) => {
+      val cust = t(s, d, "customer").select(
+        col("c_custkey").as("ent_key"), col("c_name").as("name"),
+        lit("customer").as("kind"), col("c_acctbal").as("acctbal"))
+      val supp = t(s, d, "supplier").select(
+        lit("supplier").as("kind"), col("s_name").as("name"),
+        col("s_suppkey").as("ent_key"))
+      cust.unionByName(supp, allowMissingColumns = true)
+        .orderBy(col("kind"), col("ent_key"))
+    }),
+
+    // explicit skew salting, shown end-to-end: the build side is
+    // replicated once per salt bucket and the probe side derives a
+    // DETERMINISTIC salt (hash of its unique key, not rand() — retries
+    // and the oracle need stability), so each probe row meets exactly
+    // one replica: result ≡ the plain equi join, but a hot key's rows
+    // now spread across `Salts` reducers instead of one. AQE's runtime
+    // skew split covers most cases; this is the manual escape hatch for
+    // a pathological key, kept oracle-checkable.
+    "join_salted" -> ((s: SparkSession, d: String) => {
+      val salts = 8
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          explode(sequence(lit(0), lit(salts - 1))).as("salt"))
+      t(s, d, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          pmod(XF.h32(col("o_orderkey").cast(StringType)), lit(salts))
+            .cast(IntegerType).as("o_salt"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("o_salt") === col("salt"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // unpivot (wide → long): melt the per-user event-type count matrix
+    // back to (user_id, event_type, n) rows — the inverse of events_pivot,
+    // including its zero-fill.
+    "unpivot_long" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
+          "event_type", "n")
+        .orderBy(col("user_id"), col("event_type")))
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "win_ntile_dist" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "win_frames" ->
+      """SELECT o_orderkey, o_custkey, od,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    OVER (PARTITION BY o_custkey ORDER BY od
+        |          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d,
+        |  first_value(o_totalprice) OVER wr AS first_of_3,
+        |  last_value(o_totalprice) OVER wr AS last_of_3,
+        |  nth_value(o_totalprice, 2) OVER wr AS second_of_3
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |        (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS od
+        |      FROM orders)
+        |WINDOW wr AS (PARTITION BY o_custkey ORDER BY od, o_orderkey
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "agg_corr_covar" -> {
+      val sq = XF.dsumSql("CAST(l_quantity AS DOUBLE)")
+      val sp = XF.dsumSql("CAST(l_extendedprice AS DOUBLE)")
+      val sqq = XF.dsumSql("CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)")
+      val spp = XF.dsumSql("CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)")
+      val sqp = XF.dsumSql("CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)")
+      s"""SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |  ${XF.r6Sql("(sqp - sq * sp / n) / (n - 1)")} AS covar_qp,
+         |  ${XF.r6Sql("(sqp - sq * sp / n) / (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n))")} AS corr_qp
+         |FROM (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    $sq AS sq, $sp AS sp, $sqq AS sqq, $spp AS spp, $sqp AS sqp
+         |  FROM lineitem GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
+
+    "agg_minmax_by" ->
+      """SELECT c_nationkey,
+        |  arg_max(c_name, c_acctbal) AS richest,
+        |  arg_min(c_name, c_acctbal) AS poorest,
+        |  max(c_acctbal) AS max_bal,
+        |  min(c_acctbal) AS min_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "agg_bool_countif" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  count_if(value > 100.0) AS n_over_100,
+        |  bool_and(value > 0.0) AS all_positive,
+        |  bool_or(value > 450.0) AS any_over_450
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+        |  COUNT(DISTINCT c_mktsegment) AS n_segments
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT n_nationkey, n_name, r_name, n_name || '-' || r_name AS pair
+        |FROM nation CROSS JOIN region
+        |ORDER BY n_nationkey, r_name""".stripMargin,
+
+    "union_by_name" ->
+      """SELECT c_custkey AS ent_key, c_name AS name,
+        |       'customer' AS kind, c_acctbal AS acctbal
+        |FROM customer
+        |UNION ALL BY NAME
+        |SELECT 'supplier' AS kind, s_name AS name, s_suppkey AS ent_key
+        |FROM supplier
+        |ORDER BY kind, ent_key""".stripMargin,
+
+    // the oracle is the UNSALTED join — the rewrite must be invisible.
+    "join_salted" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > CAST(400000 AS DOUBLE)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "unpivot_long" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |ty AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |c AS (SELECT user_id, event_type, COUNT(*) AS n
+        |      FROM events GROUP BY user_id, event_type)
+        |SELECT u.user_id, ty.event_type, COALESCE(c.n, 0) AS n
+        |FROM u CROSS JOIN ty
+        |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = ty.event_type
+        |ORDER BY u.user_id, ty.event_type""".stripMargin
+  )
+}

@@ -163,6 +163,26 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // the same proximity semantics WITHOUT a hand-written bucketing: a
+    // pure band join (abs(cus - eus) <= 30 min, no equi key at all — here
+    // across ALL users) that Catalyst alone would plan as a cartesian
+    // product. [[graft.plans.BandJoinRule]] rewrites it to the bucketed
+    // equi-join automatically; EventsSpec asserts no CartesianProduct /
+    // BroadcastNestedLoopJoin survives in the physical plan.
+    "events_range_join_auto" -> ((s: SparkSession, d: String) => {
+      graft.plans.BandJoinRule.register(s)
+      val bandUs = 30L * 60 * 1000000
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(XF.epochUs(col("ts")).as("cus"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), XF.epochUs(col("ts")).as("eus"))
+      errors.join(clicks, abs(col("cus") - col("eus")) <= bandUs)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_nearby_clicks"))
+        .orderBy(col("event_id"))
+    }),
+
     // pivot: per-user event-type count matrix (explicit value list keeps
     // the plan one-pass; no extra distinct-values job).
     "events_pivot" -> ((s: SparkSession, d: String) =>
@@ -259,6 +279,17 @@ object Events {
          |      FROM events WHERE event_type = 'click') c
          |  ON e.user_id = c.user_id
          | AND abs(c.cus - e.eus) <= 1800000000
+         |GROUP BY e.event_id
+         |ORDER BY e.event_id""".stripMargin,
+
+    // plain theta join oracle — the rule rewrite must be lossless.
+    "events_range_join_auto" ->
+      s"""SELECT e.event_id, COUNT(*) AS n_nearby_clicks
+         |FROM (SELECT event_id, epoch_us(ts) AS eus
+         |      FROM events WHERE event_type = 'error') e
+         |JOIN (SELECT epoch_us(ts) AS cus
+         |      FROM events WHERE event_type = 'click') c
+         |  ON abs(c.cus - e.eus) <= 1800000000
          |GROUP BY e.event_id
          |ORDER BY e.event_id""".stripMargin,
 

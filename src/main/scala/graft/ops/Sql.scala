@@ -55,7 +55,44 @@ object Sql {
        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // correlated EXISTS / NOT EXISTS → semi/anti joins after decorrelation:
+  // suppliers in nations that have customers but where no customer's
+  // balance exceeds 2× the supplier's + 5000 (threshold chosen to keep
+  // the result non-empty at every test sf).
+  private val existsSub =
+    s"""SELECT s_suppkey, s_nationkey
+       |FROM supplier s
+       |WHERE EXISTS (SELECT 1 FROM customer c
+       |              WHERE c.c_nationkey = s.s_nationkey)
+       |  AND NOT EXISTS (SELECT 1 FROM customer c2
+       |                  WHERE c2.c_nationkey = s.s_nationkey
+       |                    AND c2.c_acctbal > CAST(2 AS DOUBLE) * s.s_acctbal
+       |                                       + CAST(5000 AS DOUBLE))
+       |ORDER BY s_suppkey""".stripMargin
+
+  // multi-level CTE chain with a window inside — parser surface for
+  // WITH + nested references.
+  private val cte =
+    s"""WITH nat_orders AS (
+       |  SELECT c.c_nationkey AS nk, o.o_totalprice AS price,
+       |         o.o_orderkey AS ok
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       |ranked AS (
+       |  SELECT nk, price,
+       |         row_number() OVER (PARTITION BY nk
+       |                            ORDER BY price DESC, ok) AS rk
+       |  FROM nat_orders)
+       |SELECT nk, ${dsumSql("price")} AS top5_total
+       |FROM ranked WHERE rk <= 5
+       |GROUP BY nk ORDER BY nk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sql_exists_subquery" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "supplier", "customer"); s.sql(existsSub)
+    }),
+    "sql_cte_window" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "orders", "customer"); s.sql(cte)
+    }),
     "sql_q6_forecast" -> ((s: SparkSession, d: String) => {
       reg(s, d, "lineitem"); s.sql(q6)
     }),
@@ -71,6 +108,8 @@ object Sql {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_exists_subquery" -> existsSub,
+    "sql_cte_window" -> cte,
     "sql_q6_forecast" -> q6,
     "sql_grouping_sets" -> gsets,
     "sql_corr_subquery" -> corr,

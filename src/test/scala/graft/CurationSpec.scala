@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def docs: Seq[(Long, String, String)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  private def grams(text: String, k: Int): Set[String] =
+    text.split(" ", -1).sliding(k).filter(_.length == k)
+      .map(_.mkString(" ")).toSet
+
+  test("contamination finds exactly the docs sharing a 5-gram with src0") {
+    val bench = docs.filter(_._2 == "src0")
+      .flatMap(d => grams(d._3, 5)).toSet
+    val expected = docs.filter(_._2 != "src0")
+      .map(d => d._1 -> grams(d._3, 5).count(bench.contains))
+      .filter(_._2 > 0).toMap
+    val got = q("text_contamination").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet === expected.keySet)
+    // hit counts match up to hash collisions (none expected at this scale)
+    expected.foreach { case (id, n) => assert(got(id) === n.toLong, s"doc $id") }
+  }
+
+  test("chunk dedup reports only chunks occurring more than once") {
+    val rows = q("text_chunk_dedup").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) > 1, s"chunk ${r.getLong(0)}")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // brute-force recount of duplicated 4-token aligned chunks
+    val all = docs.flatMap { case (_, _, text) =>
+      val ws = text.split(" ", -1)
+      (0 until ws.length / 4).map(i => ws.slice(i * 4, i * 4 + 4).mkString(" "))
+    }
+    val dups = all.groupBy(identity).count(_._2.size > 1)
+    assert(rows.length === dups)
+  }
+
+  test("repetition ratio is (top token freq) / (token count)") {
+    val got = q("text_repetition").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.foreach { case (id, _, text) =>
+      val toks = text.split(" ", -1)
+      val top = toks.groupBy(identity).values.map(_.size).max
+      assert(got(id) === ((toks.length.toLong, top.toLong)), s"doc $id")
+    }
+  }
+}
