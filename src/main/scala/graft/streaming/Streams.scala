@@ -118,6 +118,20 @@ object Streams {
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
   }
 
+  /** Stream-static enrichment join: the unbounded event stream joins a
+    * static (batch) dimension — no state at all on the static side, the
+    * dim is broadcast to every task and re-read per micro-batch if it
+    * changes. The 100 TB pattern for attaching slowly-changing reference
+    * data to a firehose; append-mode safe (inner join, no watermark
+    * needed on the static side).
+    */
+  def enrichWithSegment(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment"))
+
   // ---- custom state: flatMapGroupsWithState ---------------------------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -162,6 +176,17 @@ object Streams {
       tumbling(t(s, d, "events"))
         .orderBy(col("bucket"), col("event_type"))),
 
+    // stream-static enrichment in its batch form: purchase volume per
+    // market segment via the broadcast dim join.
+    "stream_static_join" -> ((s: SparkSession, d: String) =>
+      enrichWithSegment(
+        t(s, d, "events").filter(col("event_type") === "purchase"),
+        t(s, d, "customer"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_purchases"),
+          XF.dsum(col("value")).as("total_value"))
+        .orderBy(col("c_mktsegment"))),
+
     // the stream-stream interval join in its batch form.
     "stream_interval_join" -> ((s: SparkSession, d: String) => {
       val ev = t(s, d, "events")
@@ -201,6 +226,13 @@ object Streams {
          |  event_type, COUNT(*) AS n, ${XF.dsumSql("value")} AS total
          |FROM events
          |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "stream_static_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_purchases,
+         |  ${XF.dsumSql("value")} AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |WHERE event_type = 'purchase'
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "stream_interval_join" ->
       s"""SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,

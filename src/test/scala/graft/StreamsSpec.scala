@@ -123,6 +123,28 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-static enrichment join equals the batch join (append)") {
+    val evs = sampleEvents()
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val customers = graft.sources.Tables.t(spark, sf, "customer")
+    val mem = MemoryStream[Ev]
+    val query = Streams.enrichWithSegment(mem.toDF(), customers)
+      .writeStream
+      .format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("enriched")
+      .orderBy("event_id").collect().toSeq
+    val batch = Streams.enrichWithSegment(evs.toDF(), customers)
+      .orderBy("event_id").collect().toSeq
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     val evs = sampleEvents()
     import spark.implicits._
