@@ -241,7 +241,7 @@ object Analytics {
 
     "agg_bool_countif" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  count_if(value > 100.0) AS n_over_100,
+        |  CAST(count_if(value > 100.0) AS BIGINT) AS n_over_100,
         |  bool_and(value > 0.0) AS all_positive,
         |  bool_or(value > 450.0) AS any_over_450
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

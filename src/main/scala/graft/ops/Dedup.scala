@@ -33,9 +33,16 @@ import graft.sources.Tables.t
   *     bit_count), all integer arithmetic — bit-exact across engines.
   *   - Embedding near-dup: vectors are quantized to BIGINT (floor(x·2^20))
   *     so dot products and norms are EXACT integer sums — order-independent
-  *     and engine-independent; one sqrt+division at the end. Brute-force
-  *     pair generation here (correctness form, n² bounded at test scale);
-  *     the sub-quadratic bucketed form lives in [[Similarity]].
+  *     and engine-independent; one sqrt+division at the end. Candidate
+  *     generation is a multiprobe sign-cell equi-join (pairs whose 4-bit
+  *     sign buckets differ in ≤ 1 bit), then the exact quantized cosine as
+  *     the residual — the sub-quadratic shape that survives 100 TB. This
+  *     makes the query RECALL-BOUNDED by construction (a true pair whose
+  *     sign cells differ in ≥ 2 of the first 4 bits is never generated);
+  *     the oracle encodes the identical probe semantics, and the bounded
+  *     EXACT all-pairs twin is [[Similarity]]'s `sim_pair_matrix`
+  *     (vec_id < 20 slice). Widening recall = more probe masks (the
+  *     standard LSH knob), never a crossJoin.
   */
 object Dedup {
 
@@ -320,12 +327,23 @@ object Dedup {
         .orderBy(col("i"), col("j"))
     }),
 
-    // embedding-cosine near-dup: quantized-integer cosine ≥ 0.45.
+    // embedding-cosine near-dup: multiprobe sign-cell candidates (cell
+    // Hamming ≤ 1 over the 4-bit sign bucket — the left side probes its
+    // home cell plus the 4 one-bit flips, the right side sits at home, so
+    // each qualifying unordered pair is generated exactly once), then the
+    // exact quantized cosine ≥ 0.45 residual. Equi-join on the cell id —
+    // no CartesianProduct/BNLJ anywhere in the plan (pinned in DedupSpec).
+    // Recall-bounded by construction (see object doc); the oracle encodes
+    // the same probe semantics.
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => {
-      val e = qEmb(s, d)
-      val a = e.select(col("vec_id").as("i"), col("q").as("qa"), col("n2").as("na2"))
-      val b = e.select(col("vec_id").as("j"), col("q").as("qb"), col("n2").as("nb2"))
-      a.crossJoin(b).filter(col("i") < col("j"))
+      val e = qEmb(s, d).withColumn("home", Similarity.bucket("q"))
+      val a = e.select(col("vec_id").as("i"), col("q").as("qa"),
+          col("n2").as("na2"),
+          explode(array(col("home") +: (0 until 4).map(k =>
+            col("home").bitwiseXOR(lit(1 << k))): _*)).as("cell"))
+      val b = e.select(col("vec_id").as("j"), col("q").as("qb"),
+        col("n2").as("nb2"), col("home").as("cell"))
+      a.join(b, Seq("cell")).filter(col("i") < col("j"))
         .withColumn("cos", qcos(idot(col("qa"), col("qb")), col("na2"), col("nb2")))
         .filter(col("cos") >= 0.45)
         .select(col("i"), col("j"), col("cos"))
@@ -391,11 +409,17 @@ object Dedup {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY i, j""".stripMargin,
 
+    // identical multiprobe candidate semantics as the Spark query: left
+    // side probes home + 4 one-bit-flip cells, right side joins at home.
     "dedup_embedding_cosine" ->
-      s"""WITH $qEmbSql
+      s"""WITH $qEmbSql,
+         |cells AS (SELECT vec_id, q, n2, ${Similarity.bucketSql("q")} AS home FROM qn),
+         |probes AS (
+         |  SELECT vec_id, q, n2, xor(home, m.mask) AS cell
+         |  FROM cells, (VALUES (0), (1), (2), (4), (8)) m(mask))
          |SELECT a.vec_id i, b.vec_id j,
          |  ${qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")} AS cos
-         |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+         |FROM probes a JOIN cells b ON a.cell = b.home AND a.vec_id < b.vec_id
          |WHERE ${qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")} >= CAST(0.45 AS DOUBLE)
          |ORDER BY i, j""".stripMargin
   )

@@ -37,14 +37,15 @@ object Similarity {
 
   /** 4-bit sign-quantization bucket over the first 4 dimensions (a fixed
     * coarse quantizer; a trained IVF codebook replaces this at scale, same
-    * plan shape — derive cell id, equi-join on it).
+    * plan shape — derive cell id, equi-join on it). Shared with
+    * [[Dedup]]'s embedding near-dup candidate generation.
     */
-  private def bucket(vcol: String): org.apache.spark.sql.Column =
+  private[ops] def bucket(vcol: String): org.apache.spark.sql.Column =
     (0 until 4).map(k =>
       when(element_at(col(vcol), k + 1) >= 0L, lit(1 << k)).otherwise(lit(0)))
       .reduce(_ + _)
 
-  private def bucketSql(v: String): String =
+  private[ops] def bucketSql(v: String): String =
     (0 until 4).map(k =>
       s"CASE WHEN $v[${k + 1}] >= 0 THEN ${1 << k} ELSE 0 END")
       .mkString(" + ")

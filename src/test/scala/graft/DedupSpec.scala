@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(cos.forall(_ >= 0.45))
   }
 
+  test("embedding cosine plans as a cell equi-join, never a cartesian") {
+    val p = graft.SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("multiprobe candidates generate each cell-Hamming<=1 pair exactly once") {
+    // no distinct() in the query: the one-sided probe construction must
+    // emit every surviving pair once, or the oracle hash would diverge.
+    val out = graft.SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
+      .groupBy(col("i"), col("j")).count()
+    assert(out.filter(col("count") > 1).count() === 0)
+  }
+
   test("quantized cosine tracks float cosine within quantization error") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(col("vec_id") < 10)
