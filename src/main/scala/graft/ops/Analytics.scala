@@ -70,25 +70,37 @@ object Analytics {
     }),
 
     // correlation + covariance of quantity vs extended price per return
-    // flag, from exact decimal power sums (see object doc): the partial
-    // aggregation is associative decimal adds; one closed-form evaluation
-    // per group.
+    // flag, from exact long-cents power sums: quantity and price are
+    // exact multiples of 0.01, so round(x*100) is an exact integer and
+    // every power sum is integer arithmetic — associative, deterministic
+    // at any parallelism, and ~2x cheaper than the former DECIMAL(28,6)
+    // accumulation (no per-row double→BigDecimal conversion). The two
+    // products whose totals could exceed a long at cluster scale
+    // (pc², qc·pc summed over ~10^10-row groups) accumulate as
+    // DECIMAL(38,0) over exact long inputs; the three others stay pure
+    // longs with >10^2 headroom at 100 TB. One cast to double per GROUP
+    // (correctly rounded in both engines) before the closed-form moments;
+    // covariance is rescaled from cents² once.
     "agg_corr_covar" -> ((s: SparkSession, d: String) => {
-      val q = col("l_quantity").cast(DoubleType)
-      val p = col("l_extendedprice").cast(DoubleType)
       t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast(LongType).as("qc"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("pc"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          XF.dsum(q).as("sq"), XF.dsum(p).as("sp"),
-          XF.dsum(q * q).as("sqq"), XF.dsum(p * p).as("spp"),
-          XF.dsum(q * p).as("sqp"))
+          sum(col("qc")).as("sq"), sum(col("pc")).as("sp"),
+          sum(col("qc") * col("qc")).as("sqq"),
+          sum((col("pc") * col("pc")).cast(DecimalType(38, 0))).as("spp"),
+          sum((col("qc") * col("pc")).cast(DecimalType(38, 0))).as("sqp"))
         .select({
           val n = col("n").cast(DoubleType)
-          val cov = col("sqp") - col("sq") * col("sp") / n
-          val vq = col("sqq") - col("sq") * col("sq") / n
-          val vp = col("spp") - col("sp") * col("sp") / n
+          val sq = col("sq").cast(DoubleType)
+          val sp = col("sp").cast(DoubleType)
+          val cov = col("sqp").cast(DoubleType) - sq * sp / n
+          val vq = col("sqq").cast(DoubleType) - sq * sq / n
+          val vp = col("spp").cast(DoubleType) - sp * sp / n
           Seq(col("l_returnflag"), col("n"),
-            XF.r6(cov / (n - 1)).as("covar_qp"),
+            XF.r6(cov / (n - 1) / 10000.0).as("covar_qp"),
             XF.r6(cov / (sqrt(vq) * sqrt(vp))).as("corr_qp"))
         }: _*)
         .orderBy(col("l_returnflag"))
@@ -215,21 +227,25 @@ object Analytics {
         |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
 
-    "agg_corr_covar" -> {
-      val sq = XF.dsumSql("CAST(l_quantity AS DOUBLE)")
-      val sp = XF.dsumSql("CAST(l_extendedprice AS DOUBLE)")
-      val sqq = XF.dsumSql("CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)")
-      val spp = XF.dsumSql("CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)")
-      val sqp = XF.dsumSql("CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)")
-      s"""SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-         |  ${XF.r6Sql("(sqp - sq * sp / n) / (n - 1)")} AS covar_qp,
-         |  ${XF.r6Sql("(sqp - sq * sp / n) / (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n))")} AS corr_qp
-         |FROM (
-         |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
-         |    $sq AS sq, $sp AS sp, $sqq AS sqq, $spp AS spp, $sqp AS sqp
-         |  FROM lineitem GROUP BY l_returnflag)
-         |ORDER BY l_returnflag""".stripMargin
-    },
+    // long-cents twin of the Spark query: BIGINT power sums (DuckDB
+    // widens SUM(BIGINT) to HUGEINT — exact), one cast to DOUBLE per
+    // group, covariance rescaled from cents².
+    "agg_corr_covar" ->
+      """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  ROUND((sqp - sq * sp / n) / (n - 1) / CAST(10000 AS DOUBLE), 6) AS covar_qp,
+        |  ROUND((sqp - sq * sp / n) / (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)), 6) AS corr_qp
+        |FROM (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(qc) AS DOUBLE) AS sq, CAST(SUM(pc) AS DOUBLE) AS sp,
+        |    CAST(SUM(qc * qc) AS DOUBLE) AS sqq,
+        |    CAST(SUM(pc * pc) AS DOUBLE) AS spp,
+        |    CAST(SUM(qc * pc) AS DOUBLE) AS sqp
+        |  FROM (SELECT l_returnflag,
+        |          CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "agg_minmax_by" ->
       """SELECT c_nationkey,

@@ -99,7 +99,19 @@ case class AsOfJoinExec(
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
 
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // The merge pairs partition i of each side, so the two
+    // ClusteredDistributions must have resolved to the SAME partitioning.
+    // EnsureRequirements guarantees it today; assert it so a future
+    // planner/AQE change (e.g. coalescing one side differently) fails
+    // loudly here instead of silently mis-pairing keys.
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec children are not co-partitioned: left has " +
+        s"${lRdd.getNumPartitions} partitions, right has " +
+        s"${rRdd.getNumPartitions}; the planner must shuffle both sides " +
+        "to one compatible hash partitioning")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKey = UnsafeProjection.create(Seq(lKeyExpr, lTimeExpr), lOutput)
       val rKey = UnsafeProjection.create(Seq(rKeyExpr, rTimeExpr), rOutput)
       // consumers (an Exchange above, notably) require UnsafeRow output

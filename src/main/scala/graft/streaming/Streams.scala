@@ -138,27 +138,48 @@ object Streams {
                 event_type: String, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 
+  /** Idle gap after which a user's running-total state expires. */
+  val RunningIdleMs: Long = 30L * 60 * 1000
+
   /** Per-user running totals with explicit state — the
     * `flatMapGroupsWithState` shape for semantics windows can't express
     * (here: emit an updated running total on every micro-batch).
-    * GroupStateTimeout.NoTimeout = per-user state lives for the whole run
-    * (fine for a demo; unbounded over an unbounded key space) — a
-    * production deployment uses EventTimeTimeout keyed off the watermark
-    * so idle users' state expires.
+    *
+    * State is BOUNDED: EventTimeTimeout keyed off the watermark — each
+    * update re-arms a timeout at (last event time + [[RunningIdleMs]]),
+    * clamped above the current watermark as the API requires; once the
+    * watermark passes it, the group fires with `hasTimedOut` and its
+    * state is removed. Idle users therefore cost nothing beyond the
+    * idle horizon — the contract an unbounded key space needs. A user
+    * returning after expiry restarts from zero (by design: "running
+    * total within the active horizon"); StreamsSpec pins both the
+    * expiry and the restart.
     */
   def runningTotals(events: Dataset[Ev]): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserRunning, UserRunning](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
-          var n = prev.n
-          var tot = prev.total
-          evs.foreach { e => n += 1; tot += e.value }
-          val next = UserRunning(uid, n, tot)
-          state.update(next)
-          Iterator(next)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+            var n = prev.n
+            var tot = prev.total
+            var maxTs = Long.MinValue
+            evs.foreach { e =>
+              n += 1; tot += e.value
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            val next = UserRunning(uid, n, tot)
+            state.update(next)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + RunningIdleMs, state.getCurrentWatermarkMs + 1))
+            Iterator(next)
+          }
       }
   }
 

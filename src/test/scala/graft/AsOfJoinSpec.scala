@@ -45,6 +45,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === "exact")
   }
 
+  test("mismatched pre-shuffle partition counts are re-aligned, not zipped") {
+    import spark.implicits._
+    // children arrive with 3 vs 7 partitions; the exec's required
+    // ClusteredDistributions must force both sides onto one compatible
+    // hash partitioning (the doExecute partition-count assertion would
+    // fail loudly otherwise).
+    val l = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag").repartition(3)
+    val r = Seq((1L, 150L, "v1"), (3L, 10L, "v3"))
+      .toDF("k", "t", "tag").repartition(7)
+    val got = AsOf.asOfJoin(l, r, "k", "t")
+      .select(col("tag"), col("r_tag"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(got === Map("p1" -> null, "p2" -> "v1", "p3" -> null))
+  }
+
   test("null keys on either side never match") {
     import spark.implicits._
     val l = Seq((Option(5L), 100L, "p1"), (Option.empty[Long], 100L, "pnull"))

@@ -145,24 +145,55 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("flatMapGroupsWithState running totals converge to batch totals") {
-    val evs = sampleEvents()
+  test("flatMapGroupsWithState running totals accumulate across batches") {
+    // all events inside the idle horizon (10-minute span, two in-order
+    // batches) so no state expires; cross-batch accumulation must equal
+    // the per-user batch totals. Expiry itself is pinned by the next test.
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, minutes: Long) =
+      Ev(id, new java.sql.Timestamp(minutes * 60000L), uid, "click", 2.0)
+    val evs = for (uid <- 1L to 3L; k <- 0L until 6L)
+      yield ev(uid * 10 + k, uid, 600 + k)
     val mem = MemoryStream[Ev]
     val query = Streams.runningTotals(mem.toDS()).writeStream
       .format("memory").queryName("running").outputMode("append").start()
     try {
-      val (b1, b2) = evs.splitAt(evs.length / 2)
+      val (b1, b2) = evs.sortBy(_.ts.getTime).splitAt(evs.length / 2)
       mem.addData(b1); query.processAllAvailable()
       mem.addData(b2); query.processAllAvailable()
     } finally query.stop()
     // last emitted row per user = final running state
     val finalRows = spark.table("running")
       .groupBy(col("user_id"))
-      .agg(max(col("n")).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = evs.groupBy(_.user_id).map { case (u, es) => u -> es.size.toLong }
-    assert(finalRows === want)
+      .agg(max(col("n")).as("n"), max(col("total")).as("total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(finalRows === Map(1L -> (6L, 12.0), 2L -> (6L, 12.0), 3L -> (6L, 12.0)))
+  }
+
+  test("running-total state expires on EventTimeTimeout and restarts from zero") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, minutes: Long) =
+      Ev(id, new java.sql.Timestamp(minutes * 60000L), uid, "click", 1.0)
+    val mem = MemoryStream[Ev]
+    val query = Streams.runningTotals(mem.toDS()).writeStream
+      .format("memory").queryName("expiry").outputMode("append").start()
+    try {
+      // batch 1: user 1 at t=10h. timeout armed at 10h30m.
+      mem.addData(ev(1, 1L, 600)); query.processAllAvailable()
+      // batch 2: user 2 at t=12h → watermark advances to 11h30m (delay
+      // 30m), past user 1's timeout.
+      mem.addData(ev(2, 2L, 720)); query.processAllAvailable()
+      // batch 3: fires user 1's timeout (state removed) while user 2
+      // keeps the watermark where it is.
+      mem.addData(ev(3, 2L, 721)); query.processAllAvailable()
+      // batch 4: user 1 returns at t=12h02 — expired state must restart
+      // the count at 1, not continue at 2.
+      mem.addData(ev(4, 1L, 722)); query.processAllAvailable()
+    } finally query.stop()
+    val u1 = spark.table("expiry").filter(col("user_id") === 1L)
+      .select(col("n")).collect().map(_.getLong(0)).toSeq
+    assert(u1 === Seq(1L, 1L), s"expected state expiry + restart, got $u1")
   }
 }
