@@ -22,7 +22,8 @@ object Bench {
   /** One or two representatives per operator family — short enough that
     * line + sbt's trailing "[success] ..." fit the 2000-char tail. */
   private val Headline: Set[String] = Set(
-    "q1_agg", "q3_top_orders", "q5_region_revenue", "scan_pushdown",
+    "q1_agg", "q3_top_orders", "q5_region_revenue", "q9_profit_share",
+    "scan_pushdown",
     "join_inner_basic", "join_semi", "agg_stats", "agg_cube",
     "win_rank", "win_running", "topk_sort",
     "events_sessions", "events_asof_join", "events_json_extract",

@@ -78,6 +78,42 @@ object Relational {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // TPC-H Q9 shape (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders):
+    // profit per nation per order-year for a part-name pattern, plus each
+    // nation's share of the year's total. The testdata has no partsupp,
+    // so supply cost is modeled as 0.5·p_retailprice (deterministic, same
+    // formula both engines). Plan: filtered part and supplier⋈nation are
+    // broadcast dims; lineitem⋈orders is the one fact-fact shuffle (on
+    // orderkey). The share is computed from the EXACT decimal group sums
+    // via a window sum over decimals (associative — order of the ~25
+    // nation rows per year can't perturb it), cast once and divided once.
+    "q9_profit_share" -> ((s: SparkSession, d: String) => {
+      val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.5) * col("p_retailprice") * col("l_quantity"))
+        .cast(DecimalType(28, 6))
+      val parts = broadcast(t(s, d, "part")
+        .filter(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val supNation = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      val wYear = Window.partitionBy(col("o_year"))
+      t(s, d, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(amount).as("profit_dec"), count(lit(1)).as("n_items"))
+        .select(col("n_name"), col("o_year").cast(LongType).as("o_year"),
+          col("profit_dec").cast(DoubleType).as("profit"),
+          r6(col("profit_dec").cast(DoubleType) /
+            sum(col("profit_dec")).over(wYear).cast(DoubleType)).as("year_share"),
+          col("n_items"))
+        .orderBy(col("n_name"), col("o_year"))
+    }),
+
     // scan with pushed filters + pruned columns (PushedFilters/ReadSchema).
     "scan_pushdown" -> ((s: SparkSession, d: String) =>
       t(s, d, "lineitem")
@@ -367,6 +403,30 @@ object Relational {
          |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
          |GROUP BY r_name, n_name
          |ORDER BY r_name, n_name""".stripMargin,
+
+    "q9_profit_share" ->
+      """WITH base AS (
+        |  SELECT n_name,
+        |    CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |         - CAST(0.5 AS DOUBLE) * p_retailprice * l_quantity
+        |      AS DECIMAL(28,6)) AS amount
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE p_name LIKE '%bolt%'),
+        |g AS (
+        |  SELECT n_name, o_year, SUM(amount) AS profit_dec,
+        |    COUNT(*) AS n_items
+        |  FROM base GROUP BY n_name, o_year)
+        |SELECT n_name, o_year, CAST(profit_dec AS DOUBLE) AS profit,
+        |  ROUND(CAST(profit_dec AS DOUBLE) /
+        |    CAST(SUM(profit_dec) OVER (PARTITION BY o_year) AS DOUBLE), 6)
+        |    AS year_share,
+        |  n_items
+        |FROM g ORDER BY n_name, o_year""".stripMargin,
 
     "scan_pushdown" ->
       s"""SELECT l_orderkey, l_linenumber, l_quantity

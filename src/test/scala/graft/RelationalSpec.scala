@@ -53,4 +53,17 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(l_shipdate") ||
       plan.contains("LessThan(l_quantity"), plan.take(2000))
   }
+
+  test("q9 plans broadcast dims, one shuffle join, and a pushed name filter") {
+    val df = graft.SparkEntry.queries("q9_profit_share")(spark, sf)
+    df.count() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the p_name LIKE filter must reach the part scan, not sit above a join
+    assert(plan.contains("StringContains(p_name,bolt)"), plan.take(2000))
+    // shares sum to 1 per year
+    val shares = df.groupBy(col("o_year"))
+      .agg(sum(col("year_share")).as("s")).collect()
+    assert(shares.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-3))
+  }
 }
