@@ -26,6 +26,15 @@ import graft.sources.Tables.t
   *     key space is bounded by per-doc vocabulary, and the second
   *     aggregation reuses the first shuffle's partitioning (doc_id is a
   *     prefix of (doc_id, token)), so no second exchange.
+  *   - Sampling (round 4): deterministic HASH-bucket sampling, never
+  *     rand() — reproducible under task retry/speculation at any
+  *     parallelism, re-runnable to the identical corpus (the property a
+  *     training-data pipeline needs for ablations). Stratified rates are
+  *     a narrow map-side filter (zero shuffle); the eval holdout is one
+  *     window per stratum whose partitions are bounded by stratum size.
+  *   - Mixture stats: aggregate first (groups = |lang|×|source|, tiny),
+  *     THEN the corpus-share window over the aggregated frame — the
+  *     single-partition window touches ~10² group rows, never the corpus.
   */
 object Curation {
 
@@ -114,7 +123,57 @@ object Curation {
         .select(col("doc_id"), col("n_tokens"), col("top_freq"),
           XF.r6(col("top_freq").cast(DoubleType) /
             col("n_tokens").cast(DoubleType)).as("rep_ratio"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // stratified mixture rebalancing: deterministic hash-bucket sampling
+    // with a per-stratum keep rate (downsample the majority language to
+    // 25%, keep the rest) — the reproducible way to reshape a training
+    // mixture. Pure map-side filter: no rand(), no shuffle, identical
+    // output under retry/speculation and across engines.
+    "sample_stratified" -> ((s: SparkSession, d: String) => {
+      val bucket = pmod(XF.h32(concat(lit("strat:"),
+        col("doc_id").cast(StringType))), lit(100))
+      val rate = when(col("lang") === "en", lit(25)).otherwise(lit(100))
+      t(s, d, "documents")
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // eval-holdout carve: the k hash-smallest docs per language become
+    // the held-out set — deterministic (salted hash order, doc_id
+    // tie-break), stratum-balanced, and stable as the corpus grows at
+    // the tail. One window per stratum; partitions bounded by stratum
+    // size (use a hash-bucket pre-filter before the window at 100 TB so
+    // the sort sees candidates, not the full corpus).
+    "sample_eval_holdout" -> ((s: SparkSession, d: String) => {
+      val hv = XF.h32(concat(lit("holdout:"), col("doc_id").cast(StringType)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("hv"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), hv.as("hv"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk").cast(LongType).as("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // mixture table: per-(lang, source) doc/char mass and corpus share —
+    // the input to sampling-weight decisions. Char sums are exact longs;
+    // the share window runs over the ~|lang|×|source| aggregated rows
+    // (single tiny partition), never the corpus.
+    "doc_mixture_stats" -> ((s: SparkSession, d: String) => {
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_sum"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_chars_sum"),
+          XF.r6(col("n_chars_sum").cast(DoubleType) /
+            sum(col("n_chars_sum")).over(wAll).cast(DoubleType)).as("char_share"))
+        .orderBy(col("lang"), col("source"))
+    })
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -152,6 +211,34 @@ object Curation {
         |  GROUP BY doc_id, token)
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, MAX(tf) AS top_freq,
         |  ROUND((CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)), 6) AS rep_ratio
-        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source, bucket
+         |FROM (SELECT doc_id, lang, source,
+         |        ${XF.h32Sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |      FROM documents)
+         |WHERE bucket < (CASE WHEN lang = 'en' THEN 25 ELSE 100 END)
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_eval_holdout" ->
+      s"""SELECT lang, rk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+         |  FROM (SELECT lang, doc_id,
+         |          ${XF.h32Sql("'holdout:' || CAST(doc_id AS VARCHAR)")} AS hv
+         |        FROM documents))
+         |WHERE rk <= 5
+         |ORDER BY lang, rk""".stripMargin,
+
+    "doc_mixture_stats" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n_docs, n_chars_sum,
+        |  ROUND(CAST(n_chars_sum AS DOUBLE) /
+        |    CAST(SUM(n_chars_sum) OVER () AS DOUBLE), 6) AS char_share
+        |FROM g ORDER BY lang, source""".stripMargin
   )
 }

@@ -163,6 +163,26 @@ object Similarity {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // per-label class centroid, exact: quantized components posexplode to
+    // (label, dim) and sum as integers — associative, so the mean is
+    // bit-identical at any parallelism (a float array average is not).
+    // Long form (label × 64 dims) avoids array-reassembly ordering
+    // hazards in the compare. One shuffle, key space = labels × dims;
+    // at 100 TB the partial aggregation collapses each partition to the
+    // same ~640 cells before the exchange. This is the k-means update
+    // step / class-prototype op of an embedding pipeline.
+    "emb_centroid_by_label" -> ((s: SparkSession, d: String) =>
+      t(s, d, "embeddings")
+        .select(col("label"),
+          posexplode(Dedup.qvec(col("embedding"))).as(Seq("dim", "qv")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("qv")).as("sq"))
+        .select(col("label").cast(LongType).as("label"),
+          col("dim").cast(LongType).as("dim"), col("n"),
+          graft.functions.XF.r6(col("sq").cast(DoubleType) /
+            col("n").cast(DoubleType) / lit(1048576.0)).as("centroid"))
+        .orderBy(col("label"), col("dim"))),
+
     // pairwise similarity matrix for a tiny id range — the exhaustive
     // debugging view (bounded output: 20×20).
     "sim_pair_matrix" -> ((s: SparkSession, d: String) => {
@@ -246,6 +266,17 @@ object Similarity {
          |SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin
     },
+
+    "emb_centroid_by_label" ->
+      s"""WITH qe AS (SELECT label, ${Dedup.qvecSql} AS q FROM embeddings),
+         |cells AS (
+         |  SELECT label, CAST(i - 1 AS BIGINT) AS dim, q[i] AS qv
+         |  FROM qe, unnest(range(1, len(q) + 1)) t(i))
+         |SELECT CAST(label AS BIGINT) AS label, dim, COUNT(*) AS n,
+         |  ROUND(CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |        / CAST(1048576 AS DOUBLE), 6) AS centroid
+         |FROM cells GROUP BY label, dim
+         |ORDER BY label, dim""".stripMargin,
 
     "sim_pair_matrix" ->
       s"""WITH $qEmbSql

@@ -52,4 +52,33 @@ class CurationSpec extends SparkSpec {
       assert(got(id) === ((toks.length.toLong, top.toLong)), s"doc $id")
     }
   }
+
+  test("stratified sample is deterministic, a subset, and rate-shaped") {
+    val once = q("sample_stratified").collect().map(_.getLong(0)).toSeq
+    val again = q("sample_stratified").collect().map(_.getLong(0)).toSeq
+    assert(once === again) // hash sampling: identical on re-run
+    val byLang = q("sample_stratified").groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-en strata are kept whole; en is downsampled strictly
+    total.keys.filter(_ != "en").foreach(l => assert(byLang(l) === total(l)))
+    assert(byLang("en") < total("en"))
+  }
+
+  test("eval holdout carves exactly 5 docs per language, disjoint ranks") {
+    val rows = q("sample_eval_holdout").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perLang = rows.groupBy(_._1)
+    perLang.foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L), lang)
+      assert(rs.map(_._3).distinct.length === 5, lang)
+    }
+  }
+
+  test("mixture char shares sum to 1") {
+    val s = q("doc_mixture_stats").agg(sum(col("char_share"))).head().getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-3)
+  }
 }

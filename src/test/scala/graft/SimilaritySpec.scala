@@ -50,6 +50,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("label centroid equals a JVM-side exact mean on one cell") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("label") === 3).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val wantDim0 = vecs.map(v => math.floor(v(0).toDouble * 1048576.0).toLong).sum
+      .toDouble / vecs.length / 1048576.0
+    val got = graft.SparkEntry.queries("emb_centroid_by_label")(spark, sf)
+      .filter(col("label") === 3 && col("dim") === 0).head()
+    assert(got.getLong(2) === vecs.length)
+    assert(math.abs(got.getDouble(3) -
+      BigDecimal(wantDim0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("pair matrix is upper-triangular and complete for vec_id < 20") {
     val got = graft.SparkEntry.queries("sim_pair_matrix")(spark, sf).collect()
     val n = vecs.keys.count(_ < 20)
