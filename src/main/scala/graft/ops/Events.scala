@@ -192,7 +192,40 @@ object Events {
           Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // ordered conversion funnel (round 4): first view → first click
+    // within 24 h of it → first purchase within 24 h of that click, in
+    // µs-exact event time. ONE shuffle on user_id: per-user click/
+    // purchase timestamps are collected (collect_list skips the
+    // non-matching-type nulls; state is bounded by per-user activity,
+    // same bound the sessionization plan relies on) and each stage
+    // resolves per-row via array_min(filter(prev < ts <= prev + window))
+    // — no three-way self-join of the fact table. Stage counts come off
+    // the tiny per-user frame.
+    "events_funnel" -> ((s: SparkSession, d: String) => {
+      val winUs = 24L * 3600L * 1000000L
+      val us = XF.epochUs(col("ts"))
+      val perUser = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), us.as("us"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("us"))).as("v_us"),
+          collect_list(when(col("event_type") === "click", col("us"))).as("c_all"),
+          collect_list(when(col("event_type") === "purchase", col("us"))).as("p_all"))
+        .select(col("user_id"), col("v_us"),
+          array_min(filter(col("c_all"),
+            x => x > col("v_us") && x <= col("v_us") + winUs)).as("c_us"),
+          col("p_all"))
+        .select(col("user_id"), col("v_us"), col("c_us"),
+          array_min(filter(col("p_all"),
+            x => x > col("c_us") && x <= col("c_us") + winUs)).as("p_us"))
+      perUser.agg(
+          count(col("v_us")).as("n_view"),
+          count(col("c_us")).as("n_view_click"),
+          count(col("p_us")).as("n_view_click_purchase"))
+        .select(col("n_view"), col("n_view_click"),
+          col("n_view_click_purchase"))
+    })
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -300,6 +333,26 @@ object Events {
          |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
          |  COUNT(*) FILTER (event_type = 'signup') AS signup,
          |  COUNT(*) FILTER (event_type = 'view') AS view
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS v_us
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+        |    AND epoch_us(e.ts) <= v.v_us + 86400000000
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+        |    AND epoch_us(e.ts) <= c.c_us + 86400000000
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |       (SELECT COUNT(*) FROM c) AS n_view_click,
+        |       (SELECT COUNT(*) FROM p) AS n_view_click_purchase""".stripMargin
   )
 }

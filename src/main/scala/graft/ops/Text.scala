@@ -127,7 +127,39 @@ object Text {
           aggregate(transform(toks(col("text")), t => XF.h32(t)),
             lit(0L),
             (acc, h) => (acc * 31L + h) % 2147483647L).as("roll_fp"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // TF-IDF top terms per document (round 4): tf from one explode +
+    // groupBy (map-side partials), document frequency re-aggregated from
+    // the SAME (doc, token) frame — (token) is a suffix-group of
+    // (doc_id, token), so the df aggregation reuses the tf exchange's
+    // data without rescanning the corpus; idf joins back on the token
+    // key. N (corpus size) arrives as a broadcast 1-row cross join, never
+    // a collect. idf's ln() is transcendental → rounded at 1e-6 on both
+    // engines per the XF contract; ranking ties break on the token.
+    "text_tfidf_top" -> ((s: SparkSession, d: String) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfTok = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val idf = dfTok.crossJoin(broadcast(nDocs))
+        .select(col("token"),
+          XF.r6(log(col("n_docs").cast(DoubleType) /
+            col("df").cast(DoubleType))).as("idf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(idf, Seq("token"))
+        .select(col("doc_id"), col("token"), col("tf"),
+          XF.r6(col("tf").cast(DoubleType) * col("idf")).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast(LongType).as("rk"),
+          col("token"), col("tf"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    })
   )
 
   private val avgLenSql =
@@ -192,6 +224,29 @@ object Text {
          |    list_prepend(CAST(0 AS BIGINT),
          |      list_transform(string_split(text,' '), t -> ${XF.h32Sql("t")})),
          |    (acc, h) -> (acc * 31 + h) % 2147483647) AS roll_fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_top" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token
+        |        FROM documents)
+        |  GROUP BY doc_id, token),
+        |idf AS (
+        |  SELECT token,
+        |    ROUND(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) /
+        |             CAST(COUNT(*) AS DOUBLE)), 6) AS idf
+        |  FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    ROUND(CAST(tf.tf AS DOUBLE) * idf.idf, 6) AS score
+        |  FROM tf JOIN idf USING (token)),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, token, tf, score FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
   )
 }

@@ -43,4 +43,29 @@ class EventsSpec extends SparkSpec {
       }
     }
   }
+
+  test("funnel stages are monotone and match a JVM-side replay") {
+    val winUs = 24L * 3600L * 1000000L
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    var nV = 0L; var nC = 0L; var nP = 0L
+    byUser.values.foreach { es =>
+      val v = es.filter(_._2 == "view").map(_._3)
+      if (v.nonEmpty) {
+        nV += 1
+        val vUs = v.min
+        val c = es.filter(e => e._2 == "click" && e._3 > vUs && e._3 <= vUs + winUs).map(_._3)
+        if (c.nonEmpty) {
+          nC += 1
+          val cUs = c.min
+          if (es.exists(e => e._2 == "purchase" && e._3 > cUs && e._3 <= cUs + winUs)) nP += 1
+        }
+      }
+    }
+    val got = graft.SparkEntry.queries("events_funnel")(spark, sf).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((nV, nC, nP)))
+    assert(got.getLong(0) >= got.getLong(1) && got.getLong(1) >= got.getLong(2))
+  }
 }

@@ -53,4 +53,18 @@ class TextSpec extends SparkSpec {
       .agg(sum(col("n"))).head().getLong(0)
     assert(n === docs.size)
   }
+
+  test("tfidf top terms: 3 ranked rows per doc, scores non-increasing") {
+    val rows = graft.SparkEntry.queries("text_tfidf_top")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L), s"doc $doc")
+      val byRank = rs.sortBy(_._2).map(_._3)
+      assert(byRank.sliding(2).forall(p => p(0) >= p(1)), s"doc $doc: $byRank")
+    }
+    // a corpus-universal token has idf 0 → never outranks a rarer token
+    // with equal tf unless everything ties; spot-check idf sanity instead:
+    // every score is >= 0 (df <= N ⇒ ln(N/df) >= 0).
+    assert(rows.forall(_._3 >= 0.0))
+  }
 }
