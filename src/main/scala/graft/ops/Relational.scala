@@ -28,20 +28,41 @@ object Relational {
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     // TPC-H Q1 shape: scan → pushed filter → hash agg (partial+final).
+    // All four measures are exact at fixed decimal scales (quantity is
+    // integral; price/discount/tax are exact multiples of 0.01), so the
+    // sums accumulate as integers — disc_price at 1e-4 dollars, charge at
+    // 1e-6 — with the same determinism contract as DECIMAL accumulation
+    // but no per-row double→BigDecimal conversion (the long-cents scheme
+    // of agg_corr_covar). disc_price/charge totals could pass 2^63 on
+    // ~10^10-row groups, so those two accumulate as DECIMAL(38,0) over
+    // exact long inputs; quantity/price/discount sums stay pure longs.
     "q1_agg" -> ((s: SparkSession, d: String) => {
-      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val qc = round(col("l_quantity")).cast(LongType)
+      val pc = round(col("l_extendedprice") * 100).cast(LongType)
+      val dc = round(col("l_discount") * 100).cast(LongType)
+      val tc = round(col("l_tax") * 100).cast(LongType)
       t(s, d, "lineitem")
         .filter(col("l_shipdate") <= lit("2000-01-01 00:00:00").cast(TimestampType))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          qc.as("q"), pc.as("pc"), dc.as("dc"),
+          (pc * (lit(100L) - dc)).as("dp4"),
+          (pc * (lit(100L) - dc) * (lit(100L) + tc)).as("ch6"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(disc).as("sum_disc_price"),
-          dsum(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
-          davg(col("l_discount")).as("avg_disc"),
-          count(lit(1)).as("count_order"))
+          sum(col("q")).as("sq"), sum(col("pc")).as("sp"),
+          sum(col("dc")).as("sd"),
+          sum(col("dp4").cast(DecimalType(38, 0))).as("sdp"),
+          sum(col("ch6").cast(DecimalType(38, 0))).as("sch"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sq").cast(DoubleType).as("sum_qty"),
+          (col("sp").cast(DoubleType) / 100.0).as("sum_base_price"),
+          (col("sdp").cast(DoubleType) / 10000.0).as("sum_disc_price"),
+          (col("sch").cast(DoubleType) / 1000000.0).as("sum_charge"),
+          (col("sq").cast(DoubleType) / col("n").cast(DoubleType)).as("avg_qty"),
+          (col("sp").cast(DoubleType) / 100.0 / col("n").cast(DoubleType)).as("avg_price"),
+          (col("sd").cast(DoubleType) / 100.0 / col("n").cast(DoubleType)).as("avg_disc"),
+          col("n").as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -366,18 +387,30 @@ object Relational {
   private val rev = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)"
 
   val oracles: Seq[(String, String)] = Seq(
+    // long-cents twin of the Spark query (SUM(BIGINT) widens to HUGEINT
+    // in DuckDB — exact); one cast to DOUBLE per sum, same division order.
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${dS("l_quantity")} AS sum_qty,
-         |  ${dS("l_extendedprice")} AS sum_base_price,
-         |  ${dS(rev)} AS sum_disc_price,
-         |  ${dS(s"($rev) * (CAST(1 AS DOUBLE) + l_tax)")} AS sum_charge,
-         |  ${davgSql("l_quantity")} AS avg_qty,
-         |  ${davgSql("l_extendedprice")} AS avg_price,
-         |  ${davgSql("l_discount")} AS avg_disc,
+         |  CAST(SUM(q) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(pc) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(dp4) AS DOUBLE) / CAST(10000 AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(ch6) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+         |  CAST(SUM(pc) AS DOUBLE) / CAST(100 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+         |  CAST(SUM(dc) AS DOUBLE) / CAST(100 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
          |  COUNT(*) AS count_order
-         |FROM lineitem
-         |WHERE l_shipdate <= $ship2000
+         |FROM (
+         |  SELECT l_returnflag, l_linestatus,
+         |    CAST(round(l_quantity) AS BIGINT) AS q,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS dc,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+         |      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS dp4,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+         |      (100 - CAST(round(l_discount * 100) AS BIGINT)) *
+         |      (100 + CAST(round(l_tax * 100) AS BIGINT)) AS ch6
+         |  FROM lineitem
+         |  WHERE l_shipdate <= $ship2000)
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 

@@ -82,6 +82,17 @@ object Tables {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Hive-style partitioned parquet sink: one directory per value of
+    * `cols` so a reader filtering on them prunes whole directories
+    * before any file I/O (PartitionFilters in the scan, not data
+    * filters). The 100 TB layout rule: partition on the LOW-cardinality
+    * columns every query filters by (date, lang, source-bucket...),
+    * never on high-cardinality keys — 10⁶ tiny directories is its own
+    * failure mode. Pruning is pinned in `PartitioningSpec`.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
   /** Schema of the reference's opt-out extract
     * (FIXTURES.md §1.1; reference GSheetsETL_Lab2.py:16-18).
     */
