@@ -259,8 +259,47 @@ object Wnv {
         .groupBy(col("zone_id"))
         .agg(count(lit(1)).as("n_targets"))
         .orderBy(col("zone_id"))
+    }),
+
+    // S7 analogue (the exportMap PDF, reference Lab3ETL.py:112-127 /
+    // final_project2.py:146-168, re-expressed as data): the rendered
+    // per-zone summary table the map's legend communicates — one
+    // formatted line per high-risk zone. The presentation wrapper
+    // (title + subtitle header, single-file write) is
+    // [[exportSummaryReport]]; the subtitle is a PARAMETER where the
+    // reference blocks on interactive input() (Lab3ETL.py:118).
+    "wnv_map_export" -> ((s: SparkSession, d: String) => {
+      val sel = eraseSelection(s, d)
+      sel.join(broadcast(zones(s, d).filter(col("high_risk"))),
+          inZone(col("x_ft"), col("y_ft")), "inner")
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_targets"))
+        .select(col("zone_id"),
+          concat(lit("Zone "), col("zone_id").cast(StringType),
+            lit(": "), col("n_targets").cast(StringType),
+            lit(" target addresses")).as("line"))
+        .orderBy(col("zone_id"))
     })
   )
+
+  /** S7 presentation sink: writes the [[queries wnv_map_export]] summary
+    * table under a title/subtitle header to ONE local text file — the
+    * non-interactive analogue of the reference's exportToPDF. The body
+    * is ≤ |zones| rows (a presentation artifact, like Verify's dump), so
+    * the driver-side collect here is the correct shape — this is not a
+    * data-plane operator.
+    */
+  def exportSummaryReport(spark: SparkSession, dir: String,
+      out: java.nio.file.Path, subtitle: String): java.nio.file.Path = {
+    val lines = queries.toMap.apply("wnv_map_export")(spark, dir)
+      .select(col("line")).collect().map(_.getString(0))
+    val body = (Seq("West Nile Virus Outbreak — Target Addresses",
+      subtitle, "") ++ lines).mkString("\n") + "\n"
+    java.nio.file.Files.createDirectories(out.toAbsolutePath.getParent)
+    java.nio.file.Files.write(out,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out
+  }
 
   private val px = "p.x_ft"
   private val py = "p.y_ft"
@@ -354,6 +393,26 @@ object Wnv {
          |SELECT z.zone_id, COUNT(*) AS n_targets
          |FROM sel p JOIN z ON z.high_risk AND ${inZoneSql(px, py)}
          |GROUP BY z.zone_id
-         |ORDER BY z.zone_id""".stripMargin
+         |ORDER BY z.zone_id""".stripMargin,
+
+    "wnv_map_export" ->
+      s"""WITH pts AS ($pointsSql), z AS ($zonesSql),
+         |sel AS (
+         |  SELECT p.c_custkey, p.x_ft, p.y_ft
+         |  FROM pts p
+         |  WHERE EXISTS (SELECT 1 FROM z WHERE z.high_risk AND ${inZoneSql(px, py)})
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM pts o
+         |      WHERE o.c_custkey % 10 = 0
+         |        AND ${Geo.dist2Sql(px, py, "o.x_ft", "o.y_ft")}
+         |            <= CAST(2250000 AS DOUBLE))),
+         |counts AS (
+         |  SELECT z.zone_id, COUNT(*) AS n_targets
+         |  FROM sel p JOIN z ON z.high_risk AND ${inZoneSql(px, py)}
+         |  GROUP BY z.zone_id)
+         |SELECT zone_id,
+         |  'Zone ' || CAST(zone_id AS VARCHAR) || ': ' ||
+         |  CAST(n_targets AS VARCHAR) || ' target addresses' AS line
+         |FROM counts ORDER BY zone_id""".stripMargin
   )
 }

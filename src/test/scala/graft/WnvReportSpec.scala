@@ -43,4 +43,17 @@ class WnvReportSpec extends SparkSpec {
     assert(report.map(_.getString(0)).toSeq === Seq("825 Walnut St"))
     assert(report.head.length === 7)
   }
+
+  test("summary report (S7 analogue) writes title, subtitle, one line per zone") {
+    val out = java.nio.file.Files.createTempDirectory("report")
+      .resolve("wnv_summary.txt")
+    Wnv.exportSummaryReport(spark, sf, out, "August 2026 spray plan")
+    val lines = java.nio.file.Files.readAllLines(out)
+    assert(lines.get(0).contains("West Nile Virus"))
+    assert(lines.get(1) === "August 2026 spray plan")
+    val zoneLines = (3 until lines.size).map(lines.get)
+    val expected = graft.SparkEntry.queries("wnv_map_export")(spark, sf).count()
+    assert(zoneLines.size.toLong === expected && expected > 0)
+    assert(zoneLines.forall(_.matches("Zone \\d+: \\d+ target addresses")))
+  }
 }
