@@ -131,6 +131,22 @@ object Multimodal {
         .select(col("doc_id"), col("pos").cast(LongType).as("feat_no"),
           XF.r6(col("col").cast(DoubleType)).as("feat_val"))
         .orderBy(col("doc_id"), col("feat_no")))
+  ,
+
+    // exact payload dedup on the BYTES (round 4): the asset-level
+    // counterpart of dedup_exact — identical media shipped under
+    // different doc ids collapses on a binary md5, without ever decoding.
+    // One hash-groupBy shuffle of (16-byte digest, id), map-side
+    // partials; the first dedup pass a multimodal lake runs, before any
+    // decode cost is spent.
+    "mm_payload_dedup" -> ((s: SparkSession, d: String) =>
+      media(s, d)
+        .groupBy(md5(col("payload")).as("payload_md5"))
+        .agg(min(col("doc_id")).as("kept_doc_id"),
+          count(lit(1)).as("n_copies"),
+          min(col("mime")).as("mime"))
+        .select(col("kept_doc_id"), col("n_copies"), col("mime"))
+        .orderBy(col("kept_doc_id")))
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -167,6 +183,15 @@ object Multimodal {
          |  ROUND(CAST(CAST(('0x' || substr(md5(text), CAST(j * 3 + 1 AS INTEGER), 8)) AS BIGINT) % 1000 AS DOUBLE)
          |        / CAST(1000 AS DOUBLE), 6) AS feat_val
          |FROM documents, (SELECT unnest(range(8)) AS j)
-         |ORDER BY doc_id, feat_no""".stripMargin
+         |ORDER BY doc_id, feat_no""".stripMargin,
+
+    // DuckDB's md5 takes VARCHAR only; payload IS the UTF-8 encoding of
+    // text, so md5(text) digests the same bytes the Spark side hashes.
+    "mm_payload_dedup" ->
+      s"""SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies,
+         |  MIN(mime) AS mime
+         |FROM (SELECT doc_id, md5(text) AS pm, $mimeSql AS mime
+         |      FROM documents)
+         |GROUP BY pm ORDER BY kept_doc_id""".stripMargin
   )
 }

@@ -261,6 +261,28 @@ object Wnv {
         .orderBy(col("zone_id"))
     }),
 
+    // G2 analogue (apply_renderer, reference final_project.py:169-184:
+    // SimpleRenderer "Red fill with black outline", transparency 50 on
+    // the final_analysis layer): symbology as DATA — one style row per
+    // rendered zone carrying the reference's constants plus a graduated
+    // density class (quartile of target count, the classification a
+    // graduated renderer computes), so any front end can draw the map
+    // the reference styles by hand. Pure projection over the e2e counts.
+    "wnv_symbology" -> ((s: SparkSession, d: String) => {
+      val sel = eraseSelection(s, d)
+      val counts = sel.join(broadcast(zones(s, d).filter(col("high_risk"))),
+          inZone(col("x_ft"), col("y_ft")), "inner")
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_targets"))
+      counts.select(col("zone_id"), col("n_targets"),
+          lit("#FF0000").as("fill"), lit("#000000").as("outline"),
+          lit(0.5).as("opacity"),
+          ntile(4).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_targets"), col("zone_id")))
+            .cast(LongType).as("density_class"))
+        .orderBy(col("zone_id"))
+    }),
+
     // S7 analogue (the exportMap PDF, reference Lab3ETL.py:112-127 /
     // final_project2.py:146-168, re-expressed as data): the rendered
     // per-zone summary table the map's legend communicates — one
@@ -394,6 +416,28 @@ object Wnv {
          |FROM sel p JOIN z ON z.high_risk AND ${inZoneSql(px, py)}
          |GROUP BY z.zone_id
          |ORDER BY z.zone_id""".stripMargin,
+
+    "wnv_symbology" ->
+      s"""WITH pts AS ($pointsSql), z AS ($zonesSql),
+         |sel AS (
+         |  SELECT p.c_custkey, p.x_ft, p.y_ft
+         |  FROM pts p
+         |  WHERE EXISTS (SELECT 1 FROM z WHERE z.high_risk AND ${inZoneSql(px, py)})
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM pts o
+         |      WHERE o.c_custkey % 10 = 0
+         |        AND ${Geo.dist2Sql(px, py, "o.x_ft", "o.y_ft")}
+         |            <= CAST(2250000 AS DOUBLE))),
+         |counts AS (
+         |  SELECT z.zone_id, COUNT(*) AS n_targets
+         |  FROM sel p JOIN z ON z.high_risk AND ${inZoneSql(px, py)}
+         |  GROUP BY z.zone_id)
+         |SELECT zone_id, n_targets,
+         |  '#FF0000' AS fill, '#000000' AS outline,
+         |  CAST(0.5 AS DOUBLE) AS opacity,
+         |  CAST(ntile(4) OVER (ORDER BY n_targets, zone_id) AS BIGINT)
+         |    AS density_class
+         |FROM counts ORDER BY zone_id""".stripMargin,
 
     "wnv_map_export" ->
       s"""WITH pts AS ($pointsSql), z AS ($zonesSql),
