@@ -43,8 +43,10 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // best-of-2 per query (steady-state time, robust to one-off JIT/GC
-    // pauses), plus a third run when the two disagree >3x — this host
-    // shows CPU-steal windows that can stall both consecutive runs.
+    // pauses), plus a third run when the two disagree >1.5x — this host
+    // shows CPU-steal windows that can stall both consecutive runs, and
+    // a moderate disagreement is the cheapest tell that one of the two
+    // samples hit one.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -58,7 +60,7 @@ object Bench {
       }
       val times = Seq(once(), once()).flatten
       val all =
-        if (times.size == 2 && times.max / times.min > 3.0)
+        if (times.size == 2 && times.max / times.min > 1.5)
           times ++ once() else times
       // a query with no successful run reports -1, not a fast-fail time
       name -> (if (all.isEmpty) -1.0 else all.min)
