@@ -119,14 +119,21 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .filter(col("rk") <= col("n") - floor(col("n") * t) + 1 &&
         col("df") <= maxDf)
-      .select(col("doc_id"), col("s"), col("n"))
-    prefixes.select(col("doc_id").as("i"), col("s"), col("n").as("ni"))
-      .join(prefixes.select(col("doc_id").as("j"), col("s"), col("n").as("nj")),
-        Seq("s"))
-      .filter(col("i") < col("j") &&
-        col("ni").cast(DoubleType) >= col("nj").cast(DoubleType) * t - 1e-9 &&
-        col("nj").cast(DoubleType) >= col("ni").cast(DoubleType) * t - 1e-9)
-      .select(col("i"), col("j")).distinct()
+      .select(col("s"), struct(col("doc_id"), col("n")).as("dn"))
+    // pairs within each prefix shingle's posting list, generated from ONE
+    // computed prefix frame: group to (shingle, postings[]) and explode
+    // both pair slots. A prefixes-to-prefixes self-join here would
+    // re-derive the whole shingle+freq+window chain for each side (the
+    // planner does not reuse it across self-join branches — measured 2x
+    // the generator and window work); fan-out is identical (bounded by
+    // prefix posting-list length, i.e. capped doc frequency).
+    prefixes.groupBy(col("s")).agg(collect_list(col("dn")).as("ds"))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("a.n").cast(DoubleType) >= col("b.n").cast(DoubleType) * t - 1e-9 &&
+        col("b.n").cast(DoubleType) >= col("a.n").cast(DoubleType) * t - 1e-9)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
   }
 
   private val jaccardPairsSql: String =
@@ -289,9 +296,15 @@ object Dedup {
       val bands = mh.select(col("doc_id"),
           explode(array(bandStructs: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val cand = bands.select(col("doc_id").as("i"), col("band"), col("sig"))
-        .join(bands.select(col("doc_id").as("j"), col("band"), col("sig")),
-          Seq("band", "sig"))
+      // pairs from each band-bucket's posting list, computed from ONE
+      // signature frame (a bands-to-bands self-join would run the whole
+      // shingle+minhash aggregation once per side); bucket lists are
+      // bounded by band collision rate — the same skew the join form's
+      // fan-out has, mitigated by the band/row split either way.
+      val cand = bands.groupBy(col("band"), col("sig"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .select(explode(col("ds")).as("i"), col("ds"))
+        .select(col("i"), explode(col("ds")).as("j"))
         .filter(col("i") < col("j"))
         .select(col("i"), col("j")).distinct()
       // verify candidates with exact Jaccard per pair.
@@ -315,13 +328,16 @@ object Dedup {
             .as("bs"))
         .select(col("doc_id"), col("simhash"),
           col("bs.band").as("band"), col("bs.byte").as("byte"))
-      bands.select(col("doc_id").as("i"), col("simhash").as("sa"),
-          col("band"), col("byte"))
-        .join(bands.select(col("doc_id").as("j"), col("simhash").as("sb"),
-          col("band"), col("byte")), Seq("band", "byte"))
-        .filter(col("i") < col("j"))
-        .select(col("i"), col("j"),
-          bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      // same single-computation pattern as the LSH candidates: group each
+      // byte-band bucket's postings and explode the pair slots, so the
+      // 32-bit-sum simhash aggregation runs once, not once per join side.
+      bands.groupBy(col("band"), col("byte"))
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+        .select(explode(col("ds")).as("a"), col("ds"))
+        .select(col("a"), explode(col("ds")).as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .distinct()
         .filter(col("hamming") <= 6)
         .orderBy(col("i"), col("j"))
