@@ -42,6 +42,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS); read as long + truncate
+      // (Tables.t). Set up front so the loader's in-query set is only a
+      // fallback for driver-supplied sessions.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
