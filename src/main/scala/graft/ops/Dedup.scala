@@ -187,6 +187,33 @@ object Dedup {
       .select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** SimHash near-dup pairs (Hamming ≤ 6) via the 4×8-bit byte-band
+    * candidate join — the shared edge set for `dedup_simhash_pairs` and
+    * `dedup_clusters`. Single-computation pattern: group each byte-band
+    * bucket's postings from ONE signature frame and explode the pair
+    * slots, so the 32-bit-sum simhash aggregation runs once, not once per
+    * join side.
+    */
+  private def simhashPairs(spark: SparkSession, d: String): DataFrame = {
+    val sim = simhashDf(spark, d)
+    val bands = sim.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("band"),
+            shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("byte"))): _*))
+          .as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.byte").as("byte"))
+    bands.groupBy(col("band"), col("byte"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
+
   private val simhashSql: String = {
     val h = "s"
     val sums = (0 until SimBits).map(b =>
@@ -202,6 +229,23 @@ object Dedup {
        |  FROM sh GROUP BY doc_id),
        |simh AS (SELECT doc_id, $sim AS simhash FROM bits)""".stripMargin
   }
+
+  /** CTE chain producing `shp(i, j, hamming)` — the simhash near-dup pairs
+    * (DuckDB twin of [[simhashPairs]]); shared by the pairs and clusters
+    * oracles.
+    */
+  private val simhashPairsCteSql: String =
+    s"""$simhashSql,
+       |bands AS (
+       |  SELECT doc_id, simhash, b.band,
+       |         (simhash >> (8 * b.band)) & 255 AS byte
+       |  FROM simh, (SELECT unnest(range(0, 4)) AS band) b),
+       |shp AS (
+       |  SELECT DISTINCT a.doc_id i, b.doc_id j,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)""".stripMargin
 
   // ---- quantized embeddings ------------------------------------------
 
@@ -319,28 +363,54 @@ object Dedup {
       simhashDf(s, d).orderBy(col("doc_id"))),
 
     // SimHash near-dup pairs: byte-band candidate join + Hamming ≤ 6.
-    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => {
-      val sim = simhashDf(s, d)
-      val bands = sim.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(k =>
-            struct(lit(k).as("band"),
-              shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("byte"))): _*))
-            .as("bs"))
-        .select(col("doc_id"), col("simhash"),
-          col("bs.band").as("band"), col("bs.byte").as("byte"))
-      // same single-computation pattern as the LSH candidates: group each
-      // byte-band bucket's postings and explode the pair slots, so the
-      // 32-bit-sum simhash aggregation runs once, not once per join side.
-      bands.groupBy(col("band"), col("byte"))
-        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
-        .select(explode(col("ds")).as("a"), col("ds"))
-        .select(col("a"), explode(col("ds")).as("b"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 6)
-        .orderBy(col("i"), col("j"))
+    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) =>
+      simhashPairs(s, d).orderBy(col("i"), col("j"))),
+
+    // near-dup CLUSTERS: connected components over the simhash near-dup
+    // pair graph — the step a real pipeline runs after pair generation
+    // (keep one doc per component, not one per pair). Distributed
+    // min-label propagation: each iteration is one equi-join + one
+    // groupBy-min, both on the node id, so successive iterations REUSE the
+    // same hash partitioning (no extra exchanges); convergence is detected
+    // by the monotonically-decreasing label sum (labels only ever shrink
+    // toward the component minimum). Iteration count is bounded by the
+    // component DIAMETER — near-dup clusters are dense and shallow (2-4
+    // hops here). At 100 TB: same loop with periodic `checkpoint` to
+    // truncate lineage, or pointer-doubling / large-star-small-star
+    // (Kiveris et al., "Connected Components in MapReduce and Beyond") to
+    // cut rounds to O(log d); the per-round shape is identical.
+    "dedup_clusters" -> ((s: SparkSession, d: String) => {
+      val pairs = simhashPairs(s, d)
+      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+        .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+        .persist()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")).persist()
+      def lblSum(df: DataFrame): Long = {
+        val r = df.agg(sum(col("lbl"))).head
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      var before = lblSum(labels)
+      var converged = before == 0L
+      var iters = 0
+      while (!converged && iters < 25) {
+        val prop = edges
+          .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), col("lbl"))
+        val next = labels.union(prop).groupBy(col("node"))
+          .agg(min(col("lbl")).as("lbl")).persist()
+        val after = lblSum(next)
+        labels.unpersist()
+        labels = next
+        converged = after == before
+        before = after
+        iters += 1
+      }
+      edges.unpersist()
+      // final `labels` stays cached: the caller materializes it next, and
+      // the block is tiny (bounded by docs-in-pairs, not corpus size).
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // embedding-cosine near-dup: multiprobe sign-cell candidates (cell
@@ -413,17 +483,25 @@ object Dedup {
          |SELECT doc_id, simhash FROM simh ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash_pairs" ->
-      s"""WITH $simhashSql,
-         |bands AS (
-         |  SELECT doc_id, simhash, b.band,
-         |         (simhash >> (8 * b.band)) & 255 AS byte
-         |  FROM simh, (SELECT unnest(range(0, 4)) AS band) b)
-         |SELECT DISTINCT a.doc_id i, b.doc_id j,
-         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-         |ORDER BY i, j""".stripMargin,
+      s"""WITH $simhashPairsCteSql
+         |SELECT i, j, hamming FROM shp ORDER BY i, j""".stripMargin,
+
+    // connected components of the simhash pair graph: label propagation as
+    // a recursive CTE — a node reaches label l if a symmetric edge connects
+    // it to a node holding l; MIN over reached labels = component minimum
+    // (the same fixpoint the Spark loop converges to).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashPairsCteSql,
+         |sym AS (SELECT i AS src, j AS dst FROM shp
+         |        UNION ALL SELECT j, i FROM shp),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |lbl(node, l) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT s.dst, lbl.l FROM lbl JOIN sym s ON s.src = lbl.node
+         |  WHERE lbl.l < s.dst)
+         |SELECT node AS doc_id, MIN(l) AS cluster_id
+         |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // identical multiprobe candidate semantics as the Spark query: left
     // side probes home + 4 one-bit-flip cells, right side joins at home.
