@@ -48,6 +48,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
+      // defensive cap: plan strings are rendered for every SQL execution
+      // event even with the UI off; an accidentally-huge plan (e.g. an
+      // iterative loop missing its checkpoint) must not stall the driver
+      // rendering gigabytes of tree text.
+      .config("spark.sql.maxPlanStringLength", "100000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -60,8 +60,16 @@ object Live {
         .timeout(java.time.Duration.ofSeconds(10))
         .header("User-Agent", "graft-spark-etl/0.1")
         .GET().build()
-      client.send(req,
-        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      // a 429/5xx error body would otherwise parse as "no lon/lat" and
+      // become a silent geocode miss, indistinguishable from a genuine
+      // empty result — surface it as a transport failure instead (a
+      // retrying caller can tell the two apart).
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"HTTP ${resp.statusCode()} from $url")
+      resp.body()
     }
   }
 

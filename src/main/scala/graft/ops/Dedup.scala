@@ -108,6 +108,50 @@ object Dedup {
     *   for pairs whose entire prefix overlap is ultra-common shingles —
     *   the standard trade (see SCALE.md).
     */
+  /** Block size for [[postingPairs]]: rows carry at most 2·B postings
+    * (~tens of KB), far under any executor page budget. */
+  private val PairBlock = 1024
+
+  /** All unordered pairs within each bucket's posting list, generated
+    * from the ALREADY-GROUPED bucket frame with per-row memory bounded by
+    * `block`.
+    *
+    * `buckets` must carry an array column `ds` (postings — a scalar or a
+    * doc_id-led struct, unique within a bucket); the output keeps the
+    * bucket's other columns and adds pair slots `a` and `b` with `a < b`
+    * in payload (= doc_id) order. A pair can surface once per shared
+    * bucket, and twice within a same-block pairing — callers `.distinct()`
+    * exactly as the plain explode form required.
+    *
+    * Why blocks: `collect_list` makes the whole bucket ONE row, so the
+    * naive explode-twice keeps an O(L) array in a single row feeding an
+    * O(L²) explode — a single-task memory hotspot once bucket size grows
+    * with the corpus. Splitting the list into ceil(L/B) blocks and
+    * exploding block PAIRS (bi ≤ bj) emits the identical pair set from
+    * rows of at most 2·B postings. The L² pair CPU still lands on one
+    * task per bucket — bounded upstream in every caller (stop-shingle
+    * maxDf cap, LSH/byte band collision rates) — and the `.distinct()`
+    * that follows is a shuffle, so everything downstream of pair
+    * generation rebalances across the cluster regardless.
+    */
+  private[graft] def postingPairs(buckets: DataFrame,
+      block: Int = PairBlock): DataFrame = {
+    val lastBlock = floor((size(col("ds")) - 1).cast(DoubleType) / block)
+      .cast("int")
+    buckets
+      .withColumn("bi", explode(sequence(lit(0), greatest(lastBlock, lit(0)))))
+      .withColumn("ba", slice(col("ds"), col("bi") * block + 1, lit(block)))
+      .withColumn("bj", explode(sequence(col("bi"), greatest(lastBlock, lit(0)))))
+      .withColumn("bb", slice(col("ds"), col("bj") * block + 1, lit(block)))
+      .drop("ds")
+      .withColumn("x", explode(col("ba"))).drop("ba")
+      .withColumn("y", explode(col("bb"))).drop("bb")
+      .filter(col("x") =!= col("y"))
+      .withColumn("a", least(col("x"), col("y")))
+      .withColumn("b", greatest(col("x"), col("y")))
+      .drop("x", "y", "bi", "bj")
+  }
+
   private def prefixCandidates(sh: DataFrame, t: Double,
       maxDf: Long = Long.MaxValue): DataFrame = {
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -121,16 +165,14 @@ object Dedup {
         col("df") <= maxDf)
       .select(col("s"), struct(col("doc_id"), col("n")).as("dn"))
     // pairs within each prefix shingle's posting list, generated from ONE
-    // computed prefix frame: group to (shingle, postings[]) and explode
-    // both pair slots. A prefixes-to-prefixes self-join here would
-    // re-derive the whole shingle+freq+window chain for each side (the
-    // planner does not reuse it across self-join branches — measured 2x
-    // the generator and window work); fan-out is identical (bounded by
-    // prefix posting-list length, i.e. capped doc frequency).
-    prefixes.groupBy(col("s")).agg(collect_list(col("dn")).as("ds"))
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id") &&
+    // computed prefix frame (a prefixes-to-prefixes self-join here would
+    // re-derive the whole shingle+freq+window chain for each side — the
+    // planner does not reuse it across self-join branches; measured 2x
+    // the generator and window work), block-bounded via postingPairs.
+    // The size-ratio filter is symmetric, so slot normalization is safe.
+    postingPairs(prefixes.groupBy(col("s"))
+        .agg(collect_list(col("dn")).as("ds")))
+      .filter(
         col("a.n").cast(DoubleType) >= col("b.n").cast(DoubleType) * t - 1e-9 &&
         col("b.n").cast(DoubleType) >= col("a.n").cast(DoubleType) * t - 1e-9)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
@@ -203,11 +245,8 @@ object Dedup {
           .as("bs"))
       .select(col("doc_id"), col("simhash"),
         col("bs.band").as("band"), col("bs.byte").as("byte"))
-    bands.groupBy(col("band"), col("byte"))
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+    postingPairs(bands.groupBy(col("band"), col("byte"))
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds")))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
@@ -342,15 +381,11 @@ object Dedup {
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       // pairs from each band-bucket's posting list, computed from ONE
       // signature frame (a bands-to-bands self-join would run the whole
-      // shingle+minhash aggregation once per side); bucket lists are
-      // bounded by band collision rate — the same skew the join form's
-      // fan-out has, mitigated by the band/row split either way.
-      val cand = bands.groupBy(col("band"), col("sig"))
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .select(explode(col("ds")).as("i"), col("ds"))
-        .select(col("i"), explode(col("ds")).as("j"))
-        .filter(col("i") < col("j"))
-        .select(col("i"), col("j")).distinct()
+      // shingle+minhash aggregation once per side), block-bounded via
+      // postingPairs; bucket lists are bounded by band collision rate.
+      val cand = postingPairs(bands.groupBy(col("band"), col("sig"))
+          .agg(collect_list(col("doc_id")).as("ds")))
+        .select(col("a").as("i"), col("b").as("j")).distinct()
       // verify candidates with exact Jaccard per pair.
       verifyJaccard(cand, docSets(sh))
         .filter(col("jac") >= 0.7)
@@ -375,17 +410,26 @@ object Dedup {
     // by the monotonically-decreasing label sum (labels only ever shrink
     // toward the component minimum). Iteration count is bounded by the
     // component DIAMETER — near-dup clusters are dense and shallow (2-4
-    // hops here). At 100 TB: same loop with periodic `checkpoint` to
-    // truncate lineage, or pointer-doubling / large-star-small-star
-    // (Kiveris et al., "Connected Components in MapReduce and Beyond") to
-    // cut rounds to O(log d); the per-round shape is identical.
+    // hops here). Pointer-doubling / large-star-small-star (Kiveris et
+    // al., "Connected Components in MapReduce and Beyond") would cut
+    // rounds to O(log d) with the identical per-round shape.
+    //
+    // Each iteration ends in `localCheckpoint` (eager), NOT `persist`:
+    // `labels` feeds the next round TWICE (the propagation join and the
+    // union), so with plain caching the LOGICAL plan doubles per round —
+    // by round 25 the plan string hits Spark's 2 GiB cap and the driver
+    // spends minutes per action just rendering it (this timed out the
+    // round-4 bench). Checkpointing truncates lineage to a LogicalRDD, so
+    // the per-round plan is O(1); superseded checkpoint blocks are freed
+    // by the ContextCleaner once unreferenced, so repeated Bench/Verify
+    // invocations don't accumulate storage.
     "dedup_clusters" -> ((s: SparkSession, d: String) => {
       val pairs = simhashPairs(s, d)
       val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
         .union(pairs.select(col("j").as("src"), col("i").as("dst")))
-        .persist()
+        .localCheckpoint()
       var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")).persist()
+        .withColumn("lbl", col("node")).localCheckpoint()
       def lblSum(df: DataFrame): Long = {
         val r = df.agg(sum(col("lbl"))).head
         if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -393,22 +437,25 @@ object Dedup {
       var before = lblSum(labels)
       var converged = before == 0L
       var iters = 0
-      while (!converged && iters < 25) {
+      val maxIters = 50
+      while (!converged && iters < maxIters) {
         val prop = edges
           .join(labels.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"), col("lbl"))
         val next = labels.union(prop).groupBy(col("node"))
-          .agg(min(col("lbl")).as("lbl")).persist()
+          .agg(min(col("lbl")).as("lbl")).localCheckpoint()
         val after = lblSum(next)
-        labels.unpersist()
         labels = next
         converged = after == before
         before = after
         iters += 1
       }
-      edges.unpersist()
-      // final `labels` stays cached: the caller materializes it next, and
-      // the block is tiny (bounded by docs-in-pairs, not corpus size).
+      // a silent exit via the iteration cap would hand the caller wrong
+      // (non-converged) cluster ids with no signal — fail instead. The
+      // bound is component diameter; near-dup clusters are 2-4 hops.
+      require(converged,
+        s"dedup_clusters: label propagation did not converge in $maxIters " +
+          "iterations (component diameter exceeds cap)")
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),

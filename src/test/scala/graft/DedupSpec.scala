@@ -74,6 +74,27 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("count") > 1).count() === 0)
   }
 
+  test("postingPairs block decomposition emits the identical pair set") {
+    import spark.implicits._
+    // 7-posting bucket forces multi-block (bi < bj) rows at block=2/3;
+    // block=16 is the single-block fast path; block=1 is all-cross-block.
+    val buckets = Seq(
+      ("k1", Seq(5L, 3L, 9L, 1L, 7L, 2L, 8L)),
+      ("k2", Seq(4L, 6L, 0L)),
+      ("k3", Seq(11L))).toDF("k", "ds")
+    val expected = (for {
+      (k, ds) <- Seq("k1" -> Seq(5L, 3L, 9L, 1L, 7L, 2L, 8L),
+        "k2" -> Seq(4L, 6L, 0L), "k3" -> Seq(11L))
+      x <- ds; y <- ds if x < y
+    } yield (k, x, y)).toSet
+    for (block <- Seq(1, 2, 3, 16)) {
+      val got = Dedup.postingPairs(buckets, block)
+        .select(col("k"), col("a"), col("b")).distinct()
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === expected, s"block=$block")
+    }
+  }
+
   test("quantized cosine tracks float cosine within quantization error") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(col("vec_id") < 10)
