@@ -410,9 +410,15 @@ object Dedup {
     // by the monotonically-decreasing label sum (labels only ever shrink
     // toward the component minimum). Iteration count is bounded by the
     // component DIAMETER — near-dup clusters are dense and shallow (2-4
-    // hops here). Pointer-doubling / large-star-small-star (Kiveris et
-    // al., "Connected Components in MapReduce and Beyond") would cut
-    // rounds to O(log d) with the identical per-round shape.
+    // hops here for dense clusters, but sf0.1 contains near-dup CHAINS of
+    // diameter ~39), so each round also pointer-JUMPS — replaces every
+    // label by that label's own label (lbl(x) is itself a node, and
+    // labels only decrease, so lbl(lbl(x)) ≤ lbl(x)) — collapsing label
+    // chains geometrically, the Shiloach-Vishkin shortcut (cf. Kiveris et
+    // al., "Connected Components in MapReduce and Beyond"): measured
+    // 40 → 17 rounds at sf0.1. Remaining wall time is round-count ×
+    // fixed job latency — a scheduler cost that amortizes on a real
+    // cluster where each round moves real data.
     //
     // Each iteration ends in `localCheckpoint` (eager), NOT `persist`:
     // `labels` feeds the next round TWICE (the propagation join and the
@@ -442,8 +448,16 @@ object Dedup {
         val prop = edges
           .join(labels.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"), col("lbl"))
-        val next = labels.union(prop).groupBy(col("node"))
-          .agg(min(col("lbl")).as("lbl")).localCheckpoint()
+        val mins = labels.union(prop).groupBy(col("node"))
+          .agg(min(col("lbl")).as("lbl"))
+        // pointer jump (left join + coalesce only as belt-and-suspenders
+        // against a label not present as a node, which the invariant rules
+        // out): both sides are the same tiny post-agg frame.
+        val next = mins.join(
+            mins.select(col("node").as("lbl"), col("lbl").as("jump")),
+            Seq("lbl"), "left")
+          .select(col("node"), coalesce(col("jump"), col("lbl")).as("lbl"))
+          .localCheckpoint()
         val after = lblSum(next)
         labels = next
         converged = after == before
@@ -456,6 +470,7 @@ object Dedup {
       require(converged,
         s"dedup_clusters: label propagation did not converge in $maxIters " +
           "iterations (component diameter exceeds cap)")
+      System.err.println(s"[graft] dedup_clusters converged in $iters rounds")
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),
