@@ -50,6 +50,15 @@ object Curation {
   /** Passage width in tokens (non-overlapping). */
   private val ChunkW = 4
 
+  /** Sequence packing: shard fan-out and per-sequence token budget. */
+  private val PackShards = 8
+  private val PackBudget = 64
+
+  /** Curation gate thresholds (tuned to split the testdata non-trivially:
+    * ~9% too-short, ~48% low-diversity at sf0.01). */
+  private val GateMinTokens = 20
+  private val GateMinDiversity = 0.45
+
   /** Distinct k-token shingle hashes per doc via the
     * [[graft.functions.ShingleHashes]] generator (one JVM loop per doc,
     * longs downstream).
@@ -159,6 +168,50 @@ object Curation {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // sequence PACKING — the concat-then-chunk step that turns a curated
+    // corpus into fixed-budget training sequences: docs are hash-assigned
+    // to shards, laid out in deterministic (doc_id) order within each
+    // shard, and each doc is tagged with the sequence it starts in and
+    // its token offset there. One window per shard: shard count scales
+    // with the corpus (8 here; ~10^5 at 100 TB) so no partition ever
+    // holds more than corpus/shards tokens — never a global window.
+    "pack_sequences" -> ((s: SparkSession, d: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          pmod(XF.h32(concat(lit("pack:"), col("doc_id").cast(StringType))),
+            lit(PackShards)).as("shard"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          floor(col("start_tok").cast(DoubleType) / PackBudget)
+            .cast(LongType).as("seq_id"),
+          (col("start_tok") % PackBudget).as("tok_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // composite curation GATE: the single-scan keep/drop decision with
+    // per-reason flags (length floor, token-diversity floor) — the final
+    // filter step of a quality pipeline, kept embarrassingly parallel:
+    // narrow codegen'd expressions, zero shuffles before the output sort.
+    "curate_gate" -> ((s: SparkSession, d: String) => {
+      val ws = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(ws).cast(LongType).as("n_tokens"),
+          size(array_distinct(ws)).cast(LongType).as("n_distinct"))
+        .withColumn("distinct_ratio",
+          XF.r6(col("n_distinct").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)))
+        .withColumn("too_short", col("n_tokens") < GateMinTokens)
+        .withColumn("low_diversity", col("distinct_ratio") < GateMinDiversity)
+        .withColumn("keep", !col("too_short") && !col("low_diversity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // mixture table: per-(lang, source) doc/char mass and corpus share —
     // the input to sampling-weight decisions. Char sums are exact longs;
     // the share window runs over the ~|lang|×|source| aggregated rows
@@ -230,6 +283,42 @@ object Curation {
          |        FROM documents))
          |WHERE rk <= 5
          |ORDER BY lang, rk""".stripMargin,
+
+    // window SUM over BIGINT is HUGEINT in DuckDB (renders float64 via
+    // pandas) — cast back to BIGINT before the arithmetic.
+    "pack_sequences" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    ${XF.h32Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      - n_tokens AS start_tok
+         |  FROM base)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(FLOOR(CAST(start_tok AS DOUBLE) / CAST($PackBudget AS DOUBLE)) AS BIGINT) AS seq_id,
+         |  start_tok % $PackBudget AS tok_offset
+         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "curate_gate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, n_tokens, n_distinct,
+         |    ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS distinct_ratio
+         |  FROM g)
+         |SELECT doc_id, lang, n_tokens, n_distinct, distinct_ratio,
+         |  n_tokens < $GateMinTokens AS too_short,
+         |  distinct_ratio < CAST($GateMinDiversity AS DOUBLE) AS low_diversity,
+         |  (NOT (n_tokens < $GateMinTokens))
+         |    AND (NOT (distinct_ratio < CAST($GateMinDiversity AS DOUBLE))) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "doc_mixture_stats" ->
       """WITH g AS (

@@ -210,6 +210,41 @@ object Dedup {
   private def mhSql(k: Int): String =
     s"(s * ${mhA(k)} + ${mhB(k)}) % $MinhashP"
 
+  /** (doc_id, band, sig) minhash band signatures from a shingle frame —
+    * the LSH index rows shared by `dedup_minhash_lsh` (self-collision
+    * pairs) and `dedup_incremental` (new-batch probe against the corpus
+    * index). One groupBy-min shuffle, then a Bands-way explode.
+    */
+  private def minhashBands(sh: DataFrame): DataFrame = {
+    val mins = (0 until K).map(k => min(mhCol(k)).as(s"m$k"))
+    val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val sig = concat_ws("_",
+        (0 until Rows).map(r => col(s"m${b * Rows + r}")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** DuckDB twin of [[minhashBands]]: CTEs `mh` + `bands`; requires a
+    * shingle CTE `sh(doc_id, s)` in scope. */
+  private val minhashBandsSql: String = {
+    val mins = (0 until K).map(k =>
+      s"MIN(${mhSql(k)}) AS m$k").mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val sig = (0 until Rows).map(r => s"CAST(m${b * Rows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""mh AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   val SimBits = 32
@@ -369,16 +404,7 @@ object Dedup {
     // Jaccard verification at threshold 0.7.
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => {
       val sh = shingleDf(s, d)
-      val mins = (0 until K).map(k => min(mhCol(k)).as(s"m$k"))
-      val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      val bandStructs = (0 until Bands).map { b =>
-        val sig = concat_ws("_",
-          (0 until Rows).map(r => col(s"m${b * Rows + r}")): _*)
-        struct(lit(b).as("band"), sig.as("sig"))
-      }
-      val bands = mh.select(col("doc_id"),
-          explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val bands = minhashBands(sh)
       // pairs from each band-bucket's posting list, computed from ONE
       // signature frame (a bands-to-bands self-join would run the whole
       // shingle+minhash aggregation once per side), block-bounded via
@@ -391,6 +417,37 @@ object Dedup {
         .filter(col("jac") >= 0.7)
         .select(col("i"), col("j"), col("jac"))
         .orderBy(col("i"), col("j"))
+    }),
+
+    // INCREMENTAL dedup — the continuous-crawl shape: flag each NEW-batch
+    // doc (every 5th doc plays the incoming batch) against the EXISTING
+    // corpus with (a) an exact content-hash probe and (b) a minhash
+    // band-bucket probe (candidate-level: the index lookup a production
+    // pipeline runs before full Jaccard verification). Both probes are
+    // small-side-joins: the batch probes a corpus-side index — at 100 TB
+    // the corpus hash/band index is a precomputed bucketed table, so
+    // per-batch cost is O(batch ⋈ index buckets), never a corpus rescan.
+    "dedup_incremental" -> ((s: SparkSession, d: String) => {
+      val isNew = pmod(col("doc_id"), lit(5)) === 4
+      val keys = t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("key"))
+      val corpusKeys = keys.filter(!isNew)
+        .select(col("key")).distinct().withColumn("e", lit(1))
+      val exact = keys.filter(isNew)
+        .join(corpusKeys, Seq("key"), "left")
+        .select(col("doc_id"), col("e").isNotNull.as("is_exact_dup"))
+      val bands = minhashBands(shingleDf(s, d))
+      val corpusBands = bands.filter(!isNew)
+        .select(col("band"), col("sig")).distinct().withColumn("m", lit(1))
+      val bandHits = bands.filter(isNew)
+        .join(corpusBands, Seq("band", "sig"), "left")
+        .groupBy(col("doc_id"))
+        .agg((count(col("m")) > 0).as("is_band_candidate"))
+      // left join: a sub-shingle-width new doc has no bands at all.
+      exact.join(bandHits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("is_exact_dup"),
+          coalesce(col("is_band_candidate"), lit(false)).as("is_band_candidate"))
+        .orderBy(col("doc_id"))
     }),
 
     // SimHash signatures per document.
@@ -515,21 +572,9 @@ object Dedup {
          |SELECT i, j, jac FROM jac WHERE jac >= CAST(0.8 AS DOUBLE)
          |ORDER BY i, j""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val mins = (0 until K).map(k =>
-        s"MIN(${mhSql(k)}) AS m$k").mkString(",\n    ")
-      val bandSelects = (0 until Bands).map { b =>
-        val sig = (0 until Rows).map(r => s"CAST(m${b * Rows + r} AS VARCHAR)")
-          .mkString(" || '_' || ")
-        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
-      }.mkString("\n  UNION ALL\n  ")
+    "dedup_minhash_lsh" ->
       s"""WITH $jaccardPairsSql,
-         |mh AS (
-         |  SELECT doc_id,
-         |    $mins
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
+         |$minhashBandsSql,
          |cand AS (
          |  SELECT DISTINCT a.doc_id i, b.doc_id j
          |  FROM bands a JOIN bands b
@@ -537,8 +582,29 @@ object Dedup {
          |SELECT jac.i, jac.j, jac.jac
          |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
          |WHERE jac.jac >= CAST(0.7 AS DOUBLE)
-         |ORDER BY jac.i, jac.j""".stripMargin
-    },
+         |ORDER BY jac.i, jac.j""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH sh AS ($shingleSql),
+         |$minhashBandsSql,
+         |newkeys AS (
+         |  SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 5 = 4),
+         |corpuskeys AS (
+         |  SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 5 <> 4),
+         |exact AS (
+         |  SELECT n.doc_id, (c.key IS NOT NULL) AS is_exact_dup
+         |  FROM newkeys n LEFT JOIN corpuskeys c USING (key)),
+         |corpusbands AS (
+         |  SELECT DISTINCT band, sig FROM bands WHERE doc_id % 5 <> 4),
+         |bandhits AS (
+         |  SELECT b.doc_id, COUNT(c.band) > 0 AS is_band_candidate
+         |  FROM bands b LEFT JOIN corpusbands c
+         |    ON b.band = c.band AND b.sig = c.sig
+         |  WHERE b.doc_id % 5 = 4 GROUP BY b.doc_id)
+         |SELECT e.doc_id, e.is_exact_dup,
+         |  COALESCE(h.is_band_candidate, FALSE) AS is_band_candidate
+         |FROM exact e LEFT JOIN bandhits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $simhashSql

@@ -81,4 +81,31 @@ class CurationSpec extends SparkSpec {
     val s = q("doc_mixture_stats").agg(sum(col("char_share"))).head().getDouble(0)
     assert(math.abs(s - 1.0) < 1e-3)
   }
+
+  test("sequence packing lays every shard out contiguously") {
+    // (seq_id, tok_offset) reconstruct each doc's start token; within a
+    // shard (doc_id order) starts must advance by exactly n_tokens.
+    val rows = q("pack_sequences").collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+        r.getLong(3) * 64 + r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      var expectedStart = 0L
+      rs.sortBy(_._2).foreach { case (_, docId, nTok, start) =>
+        assert(start === expectedStart, s"shard $shard doc $docId")
+        expectedStart += nTok
+      }
+    }
+    assert(rows.forall(r => r._4 % 64 >= 0 && (r._4 % 64) < 64))
+  }
+
+  test("curation gate verdict is exactly the conjunction of its reasons") {
+    val rows = q("curate_gate").collect()
+    rows.foreach { r =>
+      val (tooShort, lowDiv, keep) =
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))
+      assert(keep === (!tooShort && !lowDiv), s"doc ${r.getLong(0)}")
+    }
+    // thresholds must split the corpus non-trivially or the gate tests nothing
+    assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)))
+  }
 }

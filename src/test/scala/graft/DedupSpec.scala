@@ -95,6 +95,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: exact dup implies band candidate; flags match brute force") {
+    val rows = graft.SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(rows.nonEmpty)
+    // an exact copy shares every shingle, hence every minhash band
+    rows.filter(_._2).foreach { case (id, _, band) =>
+      assert(band, s"doc $id exact dup but no band hit")
+    }
+    // brute-force the exact flag
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val corpus = texts.filter(_._1 % 5 != 4).map(_._2).toSet
+    val expected = texts.filter(_._1 % 5 == 4)
+      .map { case (id, t) => id -> corpus.contains(t) }.toMap
+    rows.foreach { case (id, exact, _) => assert(exact === expected(id), s"doc $id") }
+  }
+
   test("quantized cosine tracks float cosine within quantization error") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(col("vec_id") < 10)
