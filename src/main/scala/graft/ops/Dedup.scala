@@ -119,9 +119,11 @@ object Dedup {
     * `buckets` must carry an array column `ds` (postings — a scalar or a
     * doc_id-led struct, unique within a bucket); the output keeps the
     * bucket's other columns and adds pair slots `a` and `b` with `a < b`
-    * in payload (= doc_id) order. A pair can surface once per shared
-    * bucket, and twice within a same-block pairing — callers `.distinct()`
-    * exactly as the plain explode form required.
+    * in payload (= doc_id) order, each unordered pair exactly once PER
+    * BUCKET (same-block pairs keep only the ascending orientation;
+    * cross-block pairs occur once by construction and are normalized) —
+    * callers `.distinct()` across buckets exactly as the plain explode
+    * form required.
     *
     * Why blocks: `collect_list` makes the whole bucket ONE row, so the
     * naive explode-twice keeps an O(L) array in a single row feeding an
@@ -146,7 +148,8 @@ object Dedup {
       .drop("ds")
       .withColumn("x", explode(col("ba"))).drop("ba")
       .withColumn("y", explode(col("bb"))).drop("bb")
-      .filter(col("x") =!= col("y"))
+      .filter((col("bi") === col("bj") && col("x") < col("y")) ||
+        col("bi") < col("bj"))
       .withColumn("a", least(col("x"), col("y")))
       .withColumn("b", greatest(col("x"), col("y")))
       .drop("x", "y", "bi", "bj")
