@@ -371,6 +371,77 @@ object Dedup {
     s"""qe AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
        |qn AS (SELECT vec_id, q, ${idotSql("q", "q")} AS n2 FROM qe)""".stripMargin
 
+  /** Connected components over the simhash near-dup pair graph:
+    * `(doc_id, cluster_id)` where cluster_id is the component's min doc
+    * id. Shared by `dedup_clusters` (diagnostic view) and `dedup_apply`
+    * (the surviving-corpus pass).
+    *
+    * Distributed min-label propagation: each round is one equi-join +
+    * one groupBy-min, both on the node id (successive rounds reuse the
+    * hash partitioning), plus a pointer JUMP — every label is replaced
+    * by that label's own label (lbl(x) is itself a node and labels only
+    * decrease, so lbl(lbl(x)) ≤ lbl(x)), collapsing label chains
+    * geometrically: the Shiloach-Vishkin shortcut (cf. Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"); measured 40 → 17
+    * rounds on sf0.1's diameter-39 chain components. Convergence is the
+    * monotone label-sum fixpoint; the loop FAILS rather than return
+    * non-converged labels at the iteration cap. Remaining wall time is
+    * round-count × fixed job latency — scheduler cost that amortizes on
+    * a real cluster where each round moves real data.
+    *
+    * Every round ends in an eager `localCheckpoint`, NOT `persist`: the
+    * frame feeds the next round twice (the propagation join and the
+    * union), so with plain caching the LOGICAL plan doubles per round —
+    * by round 25 the plan string hits Spark's 2 GiB cap and the driver
+    * spends minutes per action just rendering it (this timed out the
+    * round-4 bench). Checkpointing truncates lineage to a LogicalRDD;
+    * superseded checkpoint blocks are freed by the ContextCleaner once
+    * unreferenced, so repeated Bench/Verify invocations don't accumulate
+    * storage. On a cluster, `checkpoint` to reliable storage also buys
+    * fault tolerance past executor loss.
+    */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = simhashPairs(s, d)
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    def lblSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("lbl"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var before = lblSum(labels)
+    var converged = before == 0L
+    var iters = 0
+    val maxIters = 50
+    while (!converged && iters < maxIters) {
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("lbl"))
+      val mins = labels.union(prop).groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"))
+      // pointer jump (left join + coalesce only as belt-and-suspenders
+      // against a label not present as a node, which the invariant rules
+      // out): both sides are the same tiny post-agg frame.
+      val next = mins.join(
+          mins.select(col("node").as("lbl"), col("lbl").as("jump")),
+          Seq("lbl"), "left")
+        .select(col("node"), coalesce(col("jump"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val after = lblSum(next)
+      labels = next
+      converged = after == before
+      before = after
+      iters += 1
+    }
+    require(converged,
+      s"dedup_clusters: label propagation did not converge in $maxIters " +
+        "iterations (component diameter exceeds cap)")
+    System.err.println(s"[graft] dedup_clusters converged in $iters rounds")
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // ---- driver-contract queries ---------------------------------------
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -462,76 +533,22 @@ object Dedup {
       simhashPairs(s, d).orderBy(col("i"), col("j"))),
 
     // near-dup CLUSTERS: connected components over the simhash near-dup
-    // pair graph — the step a real pipeline runs after pair generation
-    // (keep one doc per component, not one per pair). Distributed
-    // min-label propagation: each iteration is one equi-join + one
-    // groupBy-min, both on the node id, so successive iterations REUSE the
-    // same hash partitioning (no extra exchanges); convergence is detected
-    // by the monotonically-decreasing label sum (labels only ever shrink
-    // toward the component minimum). Iteration count is bounded by the
-    // component DIAMETER — near-dup clusters are dense and shallow (2-4
-    // hops here for dense clusters, but sf0.1 contains near-dup CHAINS of
-    // diameter ~39), so each round also pointer-JUMPS — replaces every
-    // label by that label's own label (lbl(x) is itself a node, and
-    // labels only decrease, so lbl(lbl(x)) ≤ lbl(x)) — collapsing label
-    // chains geometrically, the Shiloach-Vishkin shortcut (cf. Kiveris et
-    // al., "Connected Components in MapReduce and Beyond"): measured
-    // 40 → 17 rounds at sf0.1. Remaining wall time is round-count ×
-    // fixed job latency — a scheduler cost that amortizes on a real
-    // cluster where each round moves real data.
-    //
-    // Each iteration ends in `localCheckpoint` (eager), NOT `persist`:
-    // `labels` feeds the next round TWICE (the propagation join and the
-    // union), so with plain caching the LOGICAL plan doubles per round —
-    // by round 25 the plan string hits Spark's 2 GiB cap and the driver
-    // spends minutes per action just rendering it (this timed out the
-    // round-4 bench). Checkpointing truncates lineage to a LogicalRDD, so
-    // the per-round plan is O(1); superseded checkpoint blocks are freed
-    // by the ContextCleaner once unreferenced, so repeated Bench/Verify
-    // invocations don't accumulate storage.
-    "dedup_clusters" -> ((s: SparkSession, d: String) => {
-      val pairs = simhashPairs(s, d)
-      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-        .union(pairs.select(col("j").as("src"), col("i").as("dst")))
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")).localCheckpoint()
-      def lblSum(df: DataFrame): Long = {
-        val r = df.agg(sum(col("lbl"))).head
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      }
-      var before = lblSum(labels)
-      var converged = before == 0L
-      var iters = 0
-      val maxIters = 50
-      while (!converged && iters < maxIters) {
-        val prop = edges
-          .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"), col("lbl"))
-        val mins = labels.union(prop).groupBy(col("node"))
-          .agg(min(col("lbl")).as("lbl"))
-        // pointer jump (left join + coalesce only as belt-and-suspenders
-        // against a label not present as a node, which the invariant rules
-        // out): both sides are the same tiny post-agg frame.
-        val next = mins.join(
-            mins.select(col("node").as("lbl"), col("lbl").as("jump")),
-            Seq("lbl"), "left")
-          .select(col("node"), coalesce(col("jump"), col("lbl")).as("lbl"))
-          .localCheckpoint()
-        val after = lblSum(next)
-        labels = next
-        converged = after == before
-        before = after
-        iters += 1
-      }
-      // a silent exit via the iteration cap would hand the caller wrong
-      // (non-converged) cluster ids with no signal — fail instead. The
-      // bound is component diameter; near-dup clusters are 2-4 hops.
-      require(converged,
-        s"dedup_clusters: label propagation did not converge in $maxIters " +
-          "iterations (component diameter exceeds cap)")
-      System.err.println(s"[graft] dedup_clusters converged in $iters rounds")
-      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    // pair graph (see [[clusterLabels]] for the algorithm + checkpoint
+    // contract) — the step a real pipeline runs after pair generation.
+    "dedup_clusters" -> ((s: SparkSession, d: String) =>
+      clusterLabels(s, d).orderBy(col("doc_id"))),
+
+    // APPLY the dedup decision: the surviving corpus after near-dup
+    // clustering — each cluster keeps its min-id doc, unclustered docs
+    // pass through. This is the op a pipeline actually runs (pairs and
+    // clusters are diagnostics); one anti-join on the corpus key, cost
+    // O(cluster members), composable with any pair source.
+    "dedup_apply" -> ((s: SparkSession, d: String) => {
+      val removed = clusterLabels(s, d)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      t(s, d, "documents").join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
 
@@ -558,6 +575,24 @@ object Dedup {
         .orderBy(col("i"), col("j"))
     })
   )
+
+  /** Recursive-CTE connected components of the simhash pair graph,
+    * ending in `cl(doc_id, cluster_id)` — shared by the `dedup_clusters`
+    * and `dedup_apply` oracles (requires WITH RECURSIVE).
+    */
+  private val clustersCteSql: String =
+    s"""$simhashPairsCteSql,
+       |sym AS (SELECT i AS src, j AS dst FROM shp
+       |        UNION ALL SELECT j, i FROM shp),
+       |nodes AS (SELECT DISTINCT src AS node FROM sym),
+       |lbl(node, l) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT s.dst, lbl.l FROM lbl JOIN sym s ON s.src = lbl.node
+       |  WHERE lbl.l < s.dst),
+       |cl AS (
+       |  SELECT node AS doc_id, MIN(l) AS cluster_id
+       |  FROM lbl GROUP BY node)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "dedup_exact" ->
@@ -622,17 +657,16 @@ object Dedup {
     // it to a node holding l; MIN over reached labels = component minimum
     // (the same fixpoint the Spark loop converges to).
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $simhashPairsCteSql,
-         |sym AS (SELECT i AS src, j AS dst FROM shp
-         |        UNION ALL SELECT j, i FROM shp),
-         |nodes AS (SELECT DISTINCT src AS node FROM sym),
-         |lbl(node, l) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT s.dst, lbl.l FROM lbl JOIN sym s ON s.src = lbl.node
-         |  WHERE lbl.l < s.dst)
-         |SELECT node AS doc_id, MIN(l) AS cluster_id
-         |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clustersCteSql
+         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $clustersCteSql,
+         |removed AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+         |WHERE r.doc_id IS NULL
+         |ORDER BY d.doc_id""".stripMargin,
 
     // identical multiprobe candidate semantics as the Spark query: left
     // side probes home + 4 one-bit-flip cells, right side joins at home.

@@ -380,7 +380,28 @@ object Relational {
           coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st"),
           nullif(col("o_orderpriority"), lit("5-LOW")).as("prio_or_null"),
           when(col("o_totalprice") > 200000.0, col("o_totalprice")).as("big_or_null"))
-        .orderBy(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))),
+
+    // column PROFILING — the ANALYZE-TABLE shape: per-column null count,
+    // exact distinct count, min/max in ONE scan (an array-of-struct
+    // aggregate row exploded to long form). The multiple COUNT(DISTINCT)s
+    // plan as one Expand (rows × 4) + one aggregate — still a single pass
+    // over the table; at 100 TB swap the exact distincts for HLL sketches
+    // (`approx_count_distinct`, see agg_approx_distinct) and the same
+    // query shape holds with constant-size state.
+    "profile_columns" -> ((s: SparkSession, d: String) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      t(s, d, "lineitem")
+        .agg(array(cols.map(c => struct(
+          lit(c).as("column_name"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          count_distinct(col(c)).as("n_distinct"),
+          min(col(c)).cast(DoubleType).as("min_val"),
+          max(col(c)).cast(DoubleType).as("max_val"))): _*).as("p"))
+        .select(explode(col("p")).as("p"))
+        .select(col("p.*"))
+        .orderBy(col("column_name"))
+    })
   )
 
   private def dS(e: String) = dsumSql(e)
@@ -650,6 +671,18 @@ object Relational {
          |  CASE WHEN o_totalprice > CAST(200000 AS DOUBLE)
          |       THEN o_totalprice END AS big_or_null
          |FROM orders WHERE o_orderkey % 100 = 0
-         |ORDER BY o_orderkey""".stripMargin
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "profile_columns" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_val,
+           |  CAST(MAX($c) AS DOUBLE) AS max_val
+           |FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    }
   )
 }

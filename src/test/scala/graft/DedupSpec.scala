@@ -113,6 +113,22 @@ class DedupSpec extends SparkSpec {
     rows.foreach { case (id, exact, _) => assert(exact === expected(id), s"doc $id") }
   }
 
+  test("dedup_apply keeps exactly one doc per cluster plus all unclustered docs") {
+    val clusters = graft.SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val kept = graft.SparkEntry.queries("dedup_apply")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    // survivors = corpus minus non-min cluster members
+    val removed = clusters.filter { case (id, cl) => id != cl }.map(_._1).toSet
+    assert(kept.size.toLong === total - removed.size)
+    assert(removed.forall(id => !kept.contains(id)))
+    // every cluster's min member survives
+    clusters.groupBy(_._2).foreach { case (cl, members) =>
+      assert(kept.contains(members.map(_._1).min), s"cluster $cl")
+    }
+  }
+
   test("quantized cosine tracks float cosine within quantization error") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(col("vec_id") < 10)

@@ -54,6 +54,22 @@ class RelationalSpec extends SparkSpec {
       plan.contains("LessThan(l_quantity"), plan.take(2000))
   }
 
+  test("profile_columns scans the table once and its stats are consistent") {
+    val df = graft.SparkEntry.queries("profile_columns")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 0L, s"${r.getString(0)} nulls")     // testdata has none
+      assert(r.getLong(2) > 0L, s"${r.getString(0)} distinct")
+      assert(r.getDouble(3) <= r.getDouble(4), s"${r.getString(0)} min<=max")
+    }
+    // one pass: exactly one scan of lineitem in the FINAL plan (the AQE
+    // string repeats the tree under "== Initial Plan ==" — cut it off)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllIn(plan).length <= 1, plan.take(2000))
+  }
+
   test("q9 plans broadcast dims, one shuffle join, and a pushed name filter") {
     val df = graft.SparkEntry.queries("q9_profit_share")(spark, sf)
     df.count() // finalize the adaptive plan
