@@ -400,10 +400,38 @@ object Dedup {
     * storage. On a cluster, `checkpoint` to reliable storage also buys
     * fault tolerance past executor loss.
     */
+  /** Memo of the computed label frame per (session, dir): the labels are
+    * a MATERIALIZED artifact of the corpus (the loop ends in a
+    * localCheckpoint — real data blocks, no lineage), and both consumers
+    * (`dedup_clusters`, `dedup_apply`) read the same artifact, exactly as
+    * a production pipeline writes the labels table once and joins it from
+    * every downstream pass. Bounded LRU like [[graft.sources.Tables]]'s
+    * plan memo, so no session is pinned forever.
+    */
+  private val labelMemo =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      8, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size > 8
+    }
+
   private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val hit = labelMemo.synchronized(labelMemo.get((s, d)))
+    if (hit != null) return hit
+    val labels = computeClusterLabels(s, d)
+    labelMemo.synchronized(labelMemo.put((s, d), labels))
+    labels
+  }
+
+  private def computeClusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = simhashPairs(s, d)
+    // hash-partition the (static) edge set by the join key BEFORE the
+    // checkpoint: localCheckpoint preserves outputPartitioning, so every
+    // round's propagation join re-shuffles only the labels side.
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
