@@ -132,6 +132,41 @@ object Streams {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("c_mktsegment"))
 
+  // ---- sinks -----------------------------------------------------------
+
+  /** One micro-batch of the idempotent sink: write under a batch_id
+    * partition with DYNAMIC partition overwrite, so re-running the same
+    * (batchId, data) replaces its own directory byte-identically instead
+    * of appending duplicates. Factored out of the stream wiring so the
+    * replay path is directly testable.
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, path: String): Unit = {
+    val prev = batch.sparkSession.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "static")
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    finally batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** Exactly-once parquet sink via `foreachBatch`: foreachBatch is
+    * AT-LEAST-once (a crash between the sink write and the offset commit
+    * replays the batch), so the write itself must be idempotent — here by
+    * overwriting a batch_id partition ([[writeBatchIdempotent]]). This is
+    * the 100 TB file-sink pattern when downstream readers are external
+    * and the built-in parquet sink's _spark_metadata commit log can't be
+    * honored; readers see whole batch directories, never partial files
+    * (parquet job commit is atomic per directory).
+    */
+  def idempotentParquetSink(df: DataFrame, path: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) => writeBatchIdempotent(b, id, path))
+      .start()
+
   // ---- custom state: flatMapGroupsWithState ---------------------------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

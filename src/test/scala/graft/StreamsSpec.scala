@@ -196,4 +196,29 @@ class StreamsSpec extends SparkSpec {
       .select(col("n")).collect().map(_.getLong(0)).toSeq
     assert(u1 === Seq(1L, 1L), s"expected state expiry + restart, got $u1")
   }
+
+  test("idempotent parquet sink survives a micro-batch replay without duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val evs = sampleEvents().take(40)
+    val mem = MemoryStream[Ev]
+    val query = Streams.idempotentParquetSink(mem.toDF(), s"$dir/out", ckpt)
+    try {
+      val (b1, b2) = evs.splitAt(20)
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    val once = spark.read.parquet(s"$dir/out")
+    assert(once.count() === evs.length.toLong)
+    assert(once.select(col("batch_id")).distinct().count() === 2L)
+    // simulate the at-least-once replay window: re-deliver batch 0's data
+    // with the same batch id — the partition overwrite must leave the
+    // sink byte-identical, not append
+    Streams.writeBatchIdempotent(evs.take(20).toDF(), 0L, s"$dir/out")
+    val replayed = spark.read.parquet(s"$dir/out")
+    assert(replayed.count() === evs.length.toLong)
+    assert(replayed.select(col("event_id")).distinct().count() === evs.length.toLong)
+  }
 }
