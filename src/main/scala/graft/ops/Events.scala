@@ -183,6 +183,28 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // cohort RETENTION matrix: users bucketed by first-activity week
+    // (epoch-week of their earliest event), then distinct active users
+    // per (cohort_week, week_offset) — the standard growth-analytics
+    // triangle. Cohort assignment is a window MIN over ONE shuffle on
+    // user_id (no groupBy + self-join back); the retention rollup is a
+    // second shuffle whose key space is weeks², tiny at any scale. The
+    // distinct-user count partial-aggregates on (cohort, offset, user)
+    // before the exchange.
+    "events_retention" -> ((s: SparkSession, d: String) => {
+      val byUser = Window.partitionBy(col("user_id"))
+      val week = floor(XF.epochS(col("ts")) / lit(604800L)).cast(LongType)
+      t(s, d, "events")
+        .select(col("user_id"), week.as("week"))
+        .withColumn("cohort_week", min(col("week")).over(byUser))
+        .select(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // pivot: per-user event-type count matrix (explicit value list keeps
     // the plan one-pass; no extra distinct-values job).
     "events_pivot" -> ((s: SparkSession, d: String) =>
@@ -325,6 +347,20 @@ object Events {
          |  ON abs(c.cus - e.eus) <= 1800000000
          |GROUP BY e.event_id
          |ORDER BY e.event_id""".stripMargin,
+
+    "events_retention" ->
+      s"""WITH ev AS (
+         |  SELECT user_id,
+         |    CAST(FLOOR(${XF.epochSSql("ts")} / 604800) AS BIGINT) AS week
+         |  FROM events),
+         |co AS (
+         |  SELECT user_id, week,
+         |    MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+         |  FROM ev)
+         |SELECT cohort_week, week - cohort_week AS week_offset,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM co GROUP BY cohort_week, week_offset
+         |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "events_pivot" ->
       s"""SELECT user_id,

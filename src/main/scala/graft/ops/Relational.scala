@@ -401,6 +401,36 @@ object Relational {
         .select(explode(col("p")).as("p"))
         .select(col("p.*"))
         .orderBy(col("column_name"))
+    }),
+
+    // Z-ORDER layout key — the multi-dimensional data-skipping clustering
+    // step (Delta/Iceberg OPTIMIZE ZORDER shape): interleave the bits of
+    // two bounded coordinates (quantity: 6 bits; ship-epoch-fortnight:
+    // 8 bits) into one sort key, then verify the layout property the
+    // skipping index relies on — each z-bucket (zval >> 6 = one file's
+    // worth of key space) bounds BOTH dimensions, so per-file min/max
+    // stats prune scans on EITHER predicate column. At 100 TB the write
+    // path is `repartitionByRange(zval)` + `sortWithinPartitions(zval)`
+    // (range exchange on the computed key, same plan shape as
+    // write_partitioned's layout pass); this query is its oracle-checked
+    // bucket-compactness audit. Pure integer bit arithmetic — exact in
+    // both engines, codegen'd end to end.
+    "zorder_layout" -> ((s: SparkSession, d: String) => {
+      val x = col("l_quantity").cast(IntegerType).cast(LongType)
+      val y = floor(datediff(to_date(col("l_shipdate")),
+        to_date(lit("1992-01-01"))) / 16).cast(LongType)
+      val zval = (0 until 8).map { b =>
+        (shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)) +
+          (shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+      }.reduce(_ + _)
+      t(s, d, "lineitem")
+        .select(x.as("qty"), y.as("fortnight"), zval.as("zval"))
+        .groupBy(shiftright(col("zval"), 6).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"),
+          min(col("fortnight")).as("min_fn"),
+          max(col("fortnight")).as("max_fn"))
+        .orderBy(col("zbucket"))
     })
   )
 
@@ -683,6 +713,22 @@ object Relational {
            |  CAST(MAX($c) AS DOUBLE) AS max_val
            |FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    "zorder_layout" -> {
+      val z = (0 until 8).map(b =>
+        s"(((qty >> $b) & 1) << ${2 * b}) + (((fortnight >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH xy AS (
+         |  SELECT CAST(CAST(l_quantity AS INTEGER) AS BIGINT) AS qty,
+         |    CAST(FLOOR(datediff('day', DATE '1992-01-01',
+         |      CAST(l_shipdate AS DATE)) / 16.0) AS BIGINT) AS fortnight
+         |  FROM lineitem),
+         |zed AS (SELECT qty, fortnight, $z AS zval FROM xy)
+         |SELECT zval >> 6 AS zbucket, COUNT(*) AS n,
+         |  MIN(qty) AS min_qty, MAX(qty) AS max_qty,
+         |  MIN(fortnight) AS min_fn, MAX(fortnight) AS max_fn
+         |FROM zed GROUP BY zbucket ORDER BY zbucket""".stripMargin
     }
   )
 }

@@ -183,6 +183,39 @@ object Similarity {
             col("n").cast(DoubleType) / lit(1048576.0)).as("centroid"))
         .orderBy(col("label"), col("dim"))),
 
+    // per-DIMENSION embedding profile: mean / variance / min / max for
+    // each of the 64 dims in one pass — the drift/collapse monitor an
+    // embedding pipeline runs before trusting cosine geometry (a dim
+    // whose variance collapses, or a shifted mean, silently distorts
+    // every similarity above). Quantized integer power sums (Σq, Σq²)
+    // are exact and associative, so mean and variance are bit-identical
+    // at any parallelism; key space = 64 dims, so map-side partials
+    // collapse each partition to 64 cells before the one exchange. At
+    // 100 TB Σq² needs the decimal widening (qv² ≤ 2^40; ~2^23 rows per
+    // partial stays in long — swap sum(LONG) for sum(DECIMAL(38,0)) past
+    // that, same plan).
+    "emb_dim_stats" -> ((s: SparkSession, d: String) => {
+      val scale = 1048576.0 // 2^20, the qvec quantization step
+      val meanQ = col("sq").cast(DoubleType) / col("n").cast(DoubleType)
+      t(s, d, "embeddings")
+        .select(posexplode(Dedup.qvec(col("embedding"))).as(Seq("dim", "qv")))
+        .groupBy(col("dim").cast(LongType).as("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("qv")).as("sq"),
+          sum(col("qv") * col("qv")).as("sq2"),
+          min(col("qv")).as("mn"), max(col("qv")).as("mx"))
+        .select(col("dim"), col("n"),
+          graft.functions.XF.r6(meanQ / lit(scale)).as("mean"),
+          // E[q²]-E[q]² from exact integer sums; products/divisions are
+          // IEEE-exact-rounded (no pow — engines may route pow through
+          // exp/ln and diverge in the last ulp)
+          graft.functions.XF.r6(
+            (col("sq2").cast(DoubleType) / col("n").cast(DoubleType) -
+              meanQ * meanQ) / lit(scale * scale)).as("variance"),
+          graft.functions.XF.r6(col("mn").cast(DoubleType) / lit(scale)).as("min_val"),
+          graft.functions.XF.r6(col("mx").cast(DoubleType) / lit(scale)).as("max_val"))
+        .orderBy(col("dim"))
+    }),
+
     // pairwise similarity matrix for a tiny id range — the exhaustive
     // debugging view (bounded output: 20×20).
     "sim_pair_matrix" -> ((s: SparkSession, d: String) => {
@@ -283,6 +316,30 @@ object Similarity {
          |SELECT a.vec_id i, b.vec_id j, $cosAB AS cos
          |FROM qn a JOIN qn b ON a.vec_id < b.vec_id AND b.vec_id < 20
          |WHERE a.vec_id < 20
-         |ORDER BY i, j""".stripMargin
+         |ORDER BY i, j""".stripMargin,
+
+    "emb_dim_stats" -> {
+      // DuckDB bare numeric literals are DECIMAL, not DOUBLE (XF contract)
+      val sc = "CAST(1048576 AS DOUBLE)"
+      s"""WITH qe AS (SELECT ${Dedup.qvecSql} AS q FROM embeddings),
+         |cells AS (
+         |  SELECT CAST(i - 1 AS BIGINT) AS dim, q[i] AS qv
+         |  FROM qe, unnest(range(1, len(q) + 1)) t(i)),
+         |agg AS (
+         |  SELECT dim, COUNT(*) AS n,
+         |    CAST(SUM(qv) AS BIGINT) AS sq,
+         |    CAST(SUM(qv * qv) AS BIGINT) AS sq2,
+         |    MIN(qv) AS mn, MAX(qv) AS mx
+         |  FROM cells GROUP BY dim)
+         |SELECT dim, n,
+         |  ROUND(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / $sc, 6) AS mean,
+         |  ROUND((CAST(sq2 AS DOUBLE) / CAST(n AS DOUBLE) -
+         |    (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |    (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))) / ($sc * $sc), 6)
+         |    AS variance,
+         |  ROUND(CAST(mn AS DOUBLE) / $sc, 6) AS min_val,
+         |  ROUND(CAST(mx AS DOUBLE) / $sc, 6) AS max_val
+         |FROM agg ORDER BY dim""".stripMargin
+    }
   )
 }

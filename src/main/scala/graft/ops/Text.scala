@@ -159,6 +159,40 @@ object Text {
         .select(col("doc_id"), col("rk").cast(LongType).as("rk"),
           col("token"), col("tf"), col("score"))
         .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // bigram language-model SURPRISAL — the perplexity-proxy quality
+    // score a curation pipeline uses to rank documents: train corpus
+    // bigram counts, score each doc by -avg ln P(w'|w) with
+    // P(w'|w) = c(w,w') / c(w,·). ONE bigram frame feeds everything:
+    // conditional counts are a groupBy on (w1,w2); context totals
+    // re-aggregate the SAME counts frame ((w1) is a suffix-group of
+    // (w1,w2) — no second corpus pass); scoring joins back on the
+    // vocab²-bounded bigram key. At 100 TB the count tables are
+    // vocab-bounded (map-side partials collapse each partition to the
+    // model size) and broadcastable, so scoring is a single broadcast
+    // join over the corpus scan. ln is transcendental → rounded at 1e-6
+    // per the XF contract; the per-doc mean is an exact decimal sum of
+    // the rounded logs.
+    "text_surprisal" -> ((s: SparkSession, d: String) => {
+      val ws = toks(col("text"))
+      val bg = t(s, d, "documents")
+        .filter(size(ws) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(ws) - 1),
+            i => struct(element_at(ws, i).as("w1"),
+              element_at(ws, i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cBi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val cCtx = cBi.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      bg.join(cBi, Seq("w1", "w2")).join(cCtx, Seq("w1"))
+        .select(col("doc_id"),
+          XF.r6(log(col("c2").cast(DoubleType) /
+            col("c1").cast(DoubleType))).as("logp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          XF.r6(-XF.davg(col("logp"))).as("surprisal"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -247,6 +281,23 @@ object Text {
         |      ORDER BY score DESC, token) AS rk
         |  FROM scored)
         |SELECT doc_id, rk, token, tf, score FROM ranked
-        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "text_surprisal" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text,' ') AS ws FROM documents
+         |  WHERE len(string_split(text,' ')) >= 2),
+         |bg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |  FROM tk, unnest(range(1, len(ws))) t(i)),
+         |cbi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+         |cctx AS (SELECT w1, SUM(c2) AS c1 FROM cbi GROUP BY w1),
+         |sc AS (
+         |  SELECT doc_id,
+         |    ${XF.r6Sql("ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))")} AS logp
+         |  FROM bg JOIN cbi USING (w1, w2) JOIN cctx USING (w1))
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ${XF.r6Sql(s"-${XF.davgSql("logp")}")} AS surprisal
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
