@@ -68,4 +68,20 @@ class EventsSpec extends SparkSpec {
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((nV, nC, nP)))
     assert(got.getLong(0) >= got.getLong(1) && got.getLong(1) >= got.getLong(2))
   }
+
+  test("retention matches a JVM-side cohort replay") {
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / lit(604800L)).as("week"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cohort = evs.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = evs.map { case (u, w) => (cohort(u), w - cohort(u), u) }
+      .distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.length.toLong).toMap
+    val got = graft.SparkEntry.queries("events_retention")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    // offset-0 cohort sizes partition the user base
+    val offset0 = got.collect { case ((_, 0L), n) => n }.sum
+    assert(offset0 === cohort.size.toLong)
+  }
 }

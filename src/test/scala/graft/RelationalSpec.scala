@@ -82,4 +82,19 @@ class RelationalSpec extends SparkSpec {
       .agg(sum(col("year_share")).as("s")).collect()
     assert(shares.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-3))
   }
+
+  test("z-order buckets bound both dimensions (the data-skipping property)") {
+    val got = graft.SparkEntry.queries("zorder_layout")(spark, sf).collect()
+    // zbucket = zval >> 6 fixes every bit above the low 6 interleaved
+    // ones, leaving each dimension only its low 3 bits free: any bucket
+    // spans < 8 in BOTH qty and fortnight — the per-file min/max
+    // tightness that makes z-ordered stats prune either predicate.
+    got.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < 8, s"qty span in bucket ${r.getLong(0)}")
+      assert(r.getLong(5) - r.getLong(4) < 8, s"fn span in bucket ${r.getLong(0)}")
+    }
+    val total = got.map(_.getLong(1)).sum
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(total === rows)
+  }
 }

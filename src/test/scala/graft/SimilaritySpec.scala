@@ -69,4 +69,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length === n * (n - 1) / 2)
     assert(got.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("dim stats cover every dimension with consistent moments") {
+    val got = graft.SparkEntry.queries("emb_dim_stats")(spark, sf).collect()
+    assert(got.length === 64)
+    assert(got.forall(_.getLong(1) === vecs.size.toLong))
+    got.foreach { r =>
+      val (mean, variance, mn, mx) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(variance >= -1e-9, s"dim ${r.getLong(0)}")
+      assert(mn <= mean + 1e-6 && mean <= mx + 1e-6, s"dim ${r.getLong(0)}")
+    }
+    // spot-check dim 0 against a JVM-side integer power-sum replay
+    val q0 = vecs.values.map(v => math.floor(v(0) * 1048576.0).toLong).toSeq
+    val n = q0.size.toDouble
+    val wantMean = BigDecimal(q0.sum.toDouble / n / 1048576.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d0 = got.find(_.getLong(0) == 0L).get
+    assert(math.abs(d0.getDouble(2) - wantMean) < 1e-9)
+  }
 }

@@ -67,4 +67,32 @@ class TextSpec extends SparkSpec {
     // every score is >= 0 (df <= N ⇒ ln(N/df) >= 0).
     assert(rows.forall(_._3 >= 0.0))
   }
+
+  test("surprisal matches a JVM-side bigram model replay") {
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bigrams = docs.toSeq.flatMap { case (id, text) =>
+      text.split(" ").sliding(2).filter(_.length == 2)
+        .map(p => (id, p(0), p(1))).toSeq
+    }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+    val want = bigrams.groupBy(_._1).view.mapValues { bs =>
+      val logps = bs.map(b =>
+        BigDecimal(r6(math.log(c2((b._2, b._3)).toDouble / c1(b._2)))))
+      // exact decimal sum → double, THEN one IEEE division (same
+      // operation order as XF.davg, so the match is bit-exact pre-r6)
+      (bs.size.toLong, r6(-(logps.sum.toDouble / bs.size)))
+    }.toMap
+    val got = graft.SparkEntry.queries("text_surprisal")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, (n, s)) =>
+      assert(got(id)._1 === n, s"doc $id bigram count")
+      assert(math.abs(got(id)._2 - s) < 1e-9, s"doc $id surprisal")
+    }
+    // higher conditional predictability ⇒ lower surprisal: every score is
+    // positive (no bigram is certain corpus-wide at this corpus size)
+    assert(got.values.forall(_._2 > 0.0))
+  }
 }
