@@ -193,6 +193,28 @@ object Text {
         .agg(count(lit(1)).as("n_bigrams"),
           XF.r6(-XF.davg(col("logp"))).as("surprisal"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BPE MERGE CANDIDATES — the vocabulary-induction step: corpus-wide
+    // adjacent character-pair frequencies (each occurrence weighted,
+    // i.e. by token frequency), ranked; the top pair is BPE's first
+    // merge decision. Two explodes (token, then in-token position) feed
+    // one groupBy whose key space is the character-bigram alphabet
+    // (bounded, ~10³) — map-side partials collapse each partition to
+    // alphabet size, and the top-k is a TakeOrdered, never a full sort.
+    // Real BPE iterates merge→recount; one round is the oracle-checkable
+    // unit (the loop is driver-side, same shape each round).
+    "text_bpe_merges" -> ((s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(explode(toks(col("text"))).as("token"))
+        .filter(length(col("token")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("token")) - 1),
+          i => col("token").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
     })
   )
 
@@ -298,6 +320,16 @@ object Text {
          |  FROM bg JOIN cbi USING (w1, w2) JOIN cctx USING (w1))
          |SELECT doc_id, COUNT(*) AS n_bigrams,
          |  ${XF.r6Sql(s"-${XF.davgSql("logp")}")} AS surprisal
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_merges" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(string_split(text,' ')) AS token FROM documents),
+         |pr AS (
+         |  SELECT substr(token, i, 2) AS pair
+         |  FROM (SELECT token FROM tk WHERE length(token) >= 2) t2,
+         |       unnest(range(1, length(token))) t(i))
+         |SELECT pair, COUNT(*) AS n FROM pr
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
   )
 }

@@ -95,4 +95,16 @@ class TextSpec extends SparkSpec {
     // positive (no bigram is certain corpus-wide at this corpus size)
     assert(got.values.forall(_._2 > 0.0))
   }
+
+  test("bpe merge candidates match a JVM-side pair count") {
+    val counts = docs.values.toSeq
+      .flatMap(_.split(" "))
+      .filter(_.length >= 2)
+      .flatMap(tok => tok.sliding(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = graft.SparkEntry.queries("text_bpe_merges")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
 }
