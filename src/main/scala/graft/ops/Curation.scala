@@ -212,6 +212,33 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // TEMPERATURE-flattened mixture weights: w_i ∝ p_i^α (α = 0.7) over
+    // the per-(lang, source) char shares — the multinomial resampling
+    // that upweights low-resource strata when balancing a training
+    // mixture (the standard α-sampling knob of multilingual pretraining).
+    // Same aggregate-first shape as doc_mixture_stats: everything after
+    // the one corpus groupBy runs over ~|lang|×|source| rows. pow is
+    // transcendental → rounded at 1e-6 before the normalization, whose
+    // denominator is an exact decimal sum of the rounded values.
+    "sample_temperature" -> ((s: SparkSession, d: String) => {
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_chars")).as("chars"))
+        .withColumn("share", col("chars").cast(DoubleType) /
+          sum(col("chars")).over(wAll).cast(DoubleType))
+        .withColumn("praw", XF.r6(pow(col("share"), lit(0.7))))
+        .withColumn("sample_weight", XF.r6(col("praw") /
+          sum(col("praw").cast(DecimalType(28, 6))).over(wAll)
+            .cast(DoubleType)))
+        .select(col("lang"), col("source"),
+          XF.r6(col("share")).as("char_share"),
+          col("sample_weight"),
+          XF.r6(col("sample_weight") / col("share")).as("upsample_factor"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // mixture table: per-(lang, source) doc/char mass and corpus share —
     // the input to sampling-weight decisions. Char sums are exact longs;
     // the share window runs over the ~|lang|×|source| aggregated rows
@@ -319,6 +346,26 @@ object Curation {
          |  (NOT (n_tokens < $GateMinTokens))
          |    AND (NOT (distinct_ratio < CAST($GateMinDiversity AS DOUBLE))) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY lang, source),
+        |sh AS (
+        |  SELECT lang, source,
+        |    CAST(chars AS DOUBLE) / CAST(SUM(chars) OVER () AS DOUBLE) AS share
+        |  FROM g),
+        |pr AS (
+        |  SELECT lang, source, share,
+        |    ROUND(pow(share, CAST(0.7 AS DOUBLE)), 6) AS praw FROM sh),
+        |w AS (
+        |  SELECT lang, source, share, praw,
+        |    ROUND(praw / CAST(SUM(CAST(praw AS DECIMAL(28,6))) OVER ()
+        |      AS DOUBLE), 6) AS sample_weight
+        |  FROM pr)
+        |SELECT lang, source, ROUND(share, 6) AS char_share, sample_weight,
+        |  ROUND(sample_weight / share, 6) AS upsample_factor
+        |FROM w ORDER BY lang, source""".stripMargin,
 
     "doc_mixture_stats" ->
       """WITH g AS (

@@ -108,4 +108,19 @@ class CurationSpec extends SparkSpec {
     // thresholds must split the corpus non-trivially or the gate tests nothing
     assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)))
   }
+
+  test("temperature weights normalize and flatten the mixture") {
+    val rows = q("sample_temperature").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    // α < 1 flattens: the smallest stratum is upweighted, the largest
+    // downweighted (strict as long as shares differ, which they do here)
+    val smallest = rows.minBy(_._1)
+    val largest = rows.maxBy(_._1)
+    assert(smallest._3 > 1.0, s"smallest stratum $smallest")
+    assert(largest._3 < 1.0, s"largest stratum $largest")
+    // flattening preserves order without inverting it
+    assert(rows.sortBy(_._1).map(_._2).sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1) + 1e-9))
+  }
 }
