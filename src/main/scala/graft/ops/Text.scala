@@ -175,15 +175,26 @@ object Text {
     // per the XF contract; the per-doc mean is an exact decimal sum of
     // the rounded logs.
     "text_surprisal" -> ((s: SparkSession, d: String) => {
-      val ws = toks(col("text"))
+      // tokenize ONCE per row behind a projection boundary: referencing
+      // the split() expression inside the position lambda would re-run
+      // the tokenizer per element — O(len²) per document (measured 4×
+      // this query's total time). CollapseProject keeps the boundary:
+      // the alias is non-cheap and multiply-referenced.
       val bg = t(s, d, "documents")
-        .filter(size(ws) >= 2)
+        .select(col("doc_id"), toks(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(ws) - 1),
-            i => struct(element_at(ws, i).as("w1"),
-              element_at(ws, i + 1).as("w2")))).as("b"))
+          explode(transform(sequence(lit(1), size(col("ws")) - 1),
+            i => struct(element_at(col("ws"), i).as("w1"),
+              element_at(col("ws"), i + 1).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // materialize the (vocab²-bounded, tiny) conditional-count table
+      // once: without it the context-total branch re-derives the whole
+      // bigram aggregation from a THIRD corpus scan — plan-level reuse
+      // does not cross the two consumer branches (verified in the
+      // physical plan; same pitfall as Dedup's candidate-pair frames)
       val cBi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .localCheckpoint()
       val cCtx = cBi.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       bg.join(cBi, Seq("w1", "w2")).join(cCtx, Seq("w1"))
         .select(col("doc_id"),
