@@ -103,7 +103,10 @@ object Curation {
     // document-level dedup — catches boilerplate shared across otherwise
     // distinct docs).
     "text_chunk_dedup" -> ((s: SparkSession, d: String) => {
-      val ws = split(col("text"), " ")
+      // tokenize once per row behind a projection boundary — slice(ws)
+      // inside the chunk lambda would re-run split() per chunk (the
+      // same O(len²) pitfall text_surprisal hit; see that query's note)
+      val ws = col("ws")
       // guard: sequence(0, -1) would DESCEND for a sub-width doc; emit an
       // empty chunk list instead.
       val chunkHashes = when(size(ws) >= ChunkW,
@@ -112,6 +115,7 @@ object Curation {
           i => XF.h32(concat_ws(" ", slice(ws, i * ChunkW + 1, lit(ChunkW))))))
         .otherwise(array().cast(ArrayType(LongType)))
       t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"), explode(chunkHashes).as("chunk_hash"))
         .groupBy(col("chunk_hash"))
         .agg(count(lit(1)).as("n_occurrences"),
