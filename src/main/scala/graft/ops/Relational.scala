@@ -431,6 +431,81 @@ object Relational {
           min(col("fortnight")).as("min_fn"),
           max(col("fortnight")).as("max_fn"))
         .orderBy(col("zbucket"))
+    }),
+
+    // TPC-H Q18 shape (large-volume buyers): pre-aggregate the fact table
+    // FIRST (one shuffle on l_orderkey, map-side partials), apply the
+    // HAVING threshold to the tiny survivor set, and only then join the
+    // dimensions — at 100 TB the orders/customer joins see the ~10⁻³
+    // selective aggregate output, never raw lineitem. Quantity is
+    // integral in the data, so the sum is an exact long.
+    "q18_top_buyers" -> ((s: SparkSession, d: String) => {
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity")).cast(LongType)).as("sum_qty"))
+        .filter(col("sum_qty") > 250L)
+      big.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          dateS(col("o_orderdate")).as("o_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+    }),
+
+    // Runtime BLOOM-filter join pruning — the scan-reduction pattern that
+    // makes selective dim⋈fact joins viable at 100 TB when the dim side
+    // is too big to broadcast (a shuffled semi join would move the WHOLE
+    // fact table): build a bit-array from the dim keys entirely IN the
+    // engine (explode k=2 hash positions → bit_or per 64-bit word → one
+    // single-row array), broadcast the tiny bloom, prefilter the fact
+    // scan with codegen'd bit tests BEFORE the join's shuffle, and run
+    // the exact shuffled semi join only on survivors. The bloom admits
+    // false positives, so the residual join makes the result EXACT —
+    // identical to the plain semi join the oracle runs — while the
+    // fact-side shuffle shrinks by ~the dim selectivity. (Spark's own
+    // runtime bloom filters cover only equi-joins the optimizer plans
+    // itself; this is the hand-rolled form for everything else.)
+    // RelationalSpec asserts the plan shape — bit test on the scan,
+    // below the semi join — and exact parity with the un-bloomed join.
+    "join_bloom_prefilter" -> ((s: SparkSession, d: String) => {
+      val mBits = 4096 // 64 words; dim is ~300 keys → ~15% fill at k=2
+      // SQL form: the bloom lookup is a SCALAR SUBQUERY inside the scan's
+      // WHERE — an expression, not a join, so Catalyst cannot reorder the
+      // semi join underneath it (the DataFrame crossJoin formulation gets
+      // join-reordered above the semi join, inverting the plan). The
+      // subquery executes once and its array broadcasts as a literal.
+      def posSql(key: String, off: Int) =
+        s"pmod(CAST(conv(substring(md5(CAST($key AS STRING)), $off, 8), 16, 10) AS BIGINT), $mBits)"
+      def hitSql(p: String) =
+        s"""(element_at((SELECT bloom FROM bloomarr), CAST($p / 64 AS INT) + 1)
+           |   & shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))) <> 0""".stripMargin
+      t(s, d, "customer").createOrReplaceTempView("bloom_customer")
+      t(s, d, "orders").createOrReplaceTempView("bloom_orders")
+      s.sql(
+        s"""WITH dim AS (
+           |  SELECT c_custkey FROM bloom_customer
+           |  WHERE c_mktsegment = 'AUTOMOBILE'),
+           |words AS (
+           |  SELECT CAST(p / 64 AS BIGINT) AS word,
+           |    bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) AS bits
+           |  FROM (
+           |    SELECT explode(array(${posSql("c_custkey", 1)},
+           |                         ${posSql("c_custkey", 9)})) AS p
+           |    FROM dim)
+           |  GROUP BY 1),
+           |bloomarr AS (
+           |  SELECT transform(
+           |    sequence(CAST(0 AS BIGINT), CAST(${mBits / 64 - 1} AS BIGINT)),
+           |    w -> coalesce(element_at(wm, w), CAST(0 AS BIGINT))) AS bloom
+           |  FROM (SELECT map_from_entries(sort_array(
+           |          collect_list(struct(word, bits)))) AS wm FROM words))
+           |SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM bloom_orders
+           |WHERE ${hitSql(posSql("o_custkey", 1))}
+           |  AND ${hitSql(posSql("o_custkey", 9))}
+           |  AND o_custkey IN (SELECT c_custkey FROM dim)
+           |ORDER BY o_orderkey""".stripMargin)
     })
   )
 
@@ -729,6 +804,26 @@ object Relational {
          |  MIN(qty) AS min_qty, MAX(qty) AS max_qty,
          |  MIN(fortnight) AS min_fn, MAX(fortnight) AS max_fn
          |FROM zed GROUP BY zbucket ORDER BY zbucket""".stripMargin
-    }
+    },
+
+    "q18_top_buyers" ->
+      s"""SELECT c_custkey, c_name, o_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+         |  o_totalprice, sum_qty
+         |FROM (
+         |  SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 250)
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+
+    // the bloom is a lossless prefilter — the oracle is the plain semi join.
+    "join_bloom_prefilter" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM orders
+         |WHERE o_custkey IN (
+         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+         |ORDER BY o_orderkey""".stripMargin
   )
 }

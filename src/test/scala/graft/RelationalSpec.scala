@@ -97,4 +97,39 @@ class RelationalSpec extends SparkSpec {
     val rows = spark.read.parquet(s"$sf/lineitem.parquet").count()
     assert(total === rows)
   }
+
+  test("bloom prefilter is lossless and actually prunes the fact side") {
+    val bloomed = graft.SparkEntry.queries("join_bloom_prefilter")(spark, sf)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val plain = orders
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // exact parity: the residual semi join absorbs every false positive
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+    // and the plan must show the bit-test filter UNDER the semi join —
+    // the scan-side reduction is real, not post-join decoration.
+    val plan = bloomed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("element_at"), plan.take(3000))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(plan.indexOf("element_at") > plan.indexOf("LeftSemi"),
+      "bloom filter should sit below (print after) the semi join")
+  }
+
+  test("q18 aggregates lineitem before any join touches it") {
+    val df = graft.SparkEntry.queries("q18_top_buyers")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the HAVING-filtered aggregate must sit below both joins: no join
+    // operator may appear between the lineitem scan and the first
+    // HashAggregate (cheap structural proxy: the aggregate on sum_qty
+    // exists, and lineitem is scanned exactly once).
+    assert("lineitem\\.parquet".r.findAllIn(plan).length <= 1, plan.take(2000))
+    assert(plan.contains("sum_qty"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(5) > 250L))
+  }
 }
