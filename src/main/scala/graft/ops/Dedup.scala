@@ -502,6 +502,49 @@ object Dedup {
         .orderBy(col("i"), col("j"))
     }),
 
+    // ASYMMETRIC CONTAINMENT near-dup, threshold 0.9: flags documents
+    // whose shingle set is (almost) a SUBSET of another's — the
+    // quote/excerpt/boilerplate-wrapper duplication Jaccard misses (a
+    // paragraph inside a long page has tiny Jaccard but containment ~1).
+    // C(i→j) = |S(i)∩S(j)| / |S(i)|; a pair with C ≥ t must share one of
+    // the CONTAINED side's (n - floor(t·n) + 1) rarest shingles
+    // (pigeonhole on the ceil(t·n) required overlap; floor keeps the
+    // prefix conservative), so candidates come from an equi-join of the
+    // contained-side prefix against the full inverted index — fan-out
+    // bounded by shingle document frequency (stop-shingle df cap applies
+    // at 100 TB exactly as in prefixCandidates), never corpus². Both
+    // directions emit independently: every doc contributes a prefix.
+    "dedup_containment" -> ((s: SparkSession, d: String) => {
+      val tC = 0.9
+      val sh = shingleDf(s, d)
+      val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+      val prefixes = sh.join(freq, Seq("s"))
+        .withColumn("rk", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+        .filter(col("rk") <= col("n") - floor(col("n") * tC) + 1)
+        .select(col("s"), col("doc_id").as("i"))
+      val cand = prefixes
+        .join(sh.select(col("s"), col("doc_id").as("j")), Seq("s"))
+        .filter(col("i") =!= col("j"))
+        .select(col("i"), col("j")).distinct()
+      val docs = docSets(sh)
+      cand
+        .join(docs.select(col("doc_id").as("i"), col("ss").as("si"),
+          col("n").as("ni")), Seq("i"))
+        .join(docs.select(col("doc_id").as("j"), col("ss").as("sj")), Seq("j"))
+        .withColumn("inter",
+          size(array_intersect(col("si"), col("sj"))).cast(LongType))
+        .withColumn("containment",
+          col("inter").cast(DoubleType) / col("ni").cast(DoubleType))
+        .filter(col("containment") >= tC)
+        .select(col("i").as("contained"), col("j").as("container"),
+          col("containment"))
+        .orderBy(col("contained"), col("container"))
+    }),
+
     // MinHash + LSH banding: sub-quadratic candidate generation, exact
     // Jaccard verification at threshold 0.7.
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => {
@@ -637,6 +680,21 @@ object Dedup {
       s"""WITH $jaccardPairsSql
          |SELECT i, j, jac FROM jac WHERE jac >= CAST(0.8 AS DOUBLE)
          |ORDER BY i, j""".stripMargin,
+
+    // oracle: plain inverted-index self-join (both directions), exact
+    // containment — the Spark prefix filter is exact, so results match.
+    "dedup_containment" ->
+      s"""WITH sh AS ($shingleSql),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |jp AS (
+         |  SELECT a.doc_id i, b.doc_id j, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i AS contained, j AS container,
+         |  CAST(inter AS DOUBLE) / CAST(x.n AS DOUBLE) AS containment
+         |FROM jp JOIN sz x ON x.doc_id = i
+         |WHERE CAST(inter AS DOUBLE) / CAST(x.n AS DOUBLE) >= CAST(0.9 AS DOUBLE)
+         |ORDER BY contained, container""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $jaccardPairsSql,

@@ -129,6 +129,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment pairs are exact and include low-Jaccard subset dups") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("dedup_containment")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 >= 0.9))
+    // brute-force oracle over the same shingle sets
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val ws = text.split(" ")
+        id -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val brute = for {
+      (i, si) <- sets; (j, sj) <- sets
+      if i != j
+      inter = si.intersect(sj).size
+      if inter.toDouble / si.size >= 0.9
+    } yield (i, j)
+    assert(got.map(p => (p._1, p._2)).toSet === brute.toSet)
+    // containment dominates Jaccard on every pair (|A∩B|/|A| ≥
+    // |A∩B|/|A∪B|) — the reason it catches excerpt-in-page dups whose
+    // Jaccard sits below any usable threshold.
+    val bySet = sets.toMap
+    got.foreach { case (i, j, c) =>
+      val (si, sj) = (bySet(i), bySet(j))
+      val jac = si.intersect(sj).size.toDouble / si.union(sj).size
+      assert(c >= jac - 1e-12, s"pair ($i,$j): containment $c < jaccard $jac")
+    }
+  }
+
   test("quantized cosine tracks float cosine within quantization error") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(col("vec_id") < 10)
