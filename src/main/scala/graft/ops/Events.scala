@@ -205,6 +205,37 @@ object Events {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // CDC UPSERT — incremental view maintenance: treat events as a
+    // changelog keyed by (user_id, event_type) and maintain the
+    // latest-state snapshot INCREMENTALLY. The base snapshot (already
+    // compacted to one row per key, as a real pipeline would persist it)
+    // is merged with only the post-cutoff delta — union + one shuffle on
+    // the key, latest (ts, event_id) wins — and must equal the full
+    // recompute over all history (the oracle). At 100 TB the base is a
+    // bucketed table of |keys| rows and each merge moves the delta plus
+    // one row per touched key, never the event history; the window
+    // inside each side partial-compacts before the final merge, so
+    // per-key state is one row at every stage.
+    "events_cdc_upsert" -> ((s: SparkSession, d: String) => {
+      val cutoff = lit("2024-01-20 00:00:00").cast(TimestampType)
+      val us = XF.epochUs(col("ts"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      def latest(df: DataFrame): DataFrame =
+        df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          us.as("us"), col("value"))
+      val base = latest(ev.filter(col("ts") < cutoff))   // compacted state
+      val delta = ev.filter(col("ts") >= cutoff)         // incoming batch
+      latest(base.unionByName(delta))                    // the upsert merge
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"), col("us").as("last_us"),
+          col("value").as("last_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // pivot: per-user event-type count matrix (explicit value list keeps
     // the plan one-pass; no extra distinct-values job).
     "events_pivot" -> ((s: SparkSession, d: String) =>
@@ -361,6 +392,19 @@ object Events {
          |  COUNT(DISTINCT user_id) AS n_users
          |FROM co GROUP BY cohort_week, week_offset
          |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // oracle: the FULL recompute — latest row per key over all history.
+    // Matching it proves the incremental base+delta merge is exact.
+    "events_cdc_upsert" ->
+      s"""SELECT user_id, event_type, event_id AS last_event_id,
+         |  epoch_us(ts) AS last_us, value AS last_value
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id, event_type
+         |    ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1
+         |ORDER BY user_id, event_type""".stripMargin,
 
     "events_pivot" ->
       s"""SELECT user_id,

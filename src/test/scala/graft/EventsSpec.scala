@@ -84,4 +84,22 @@ class EventsSpec extends SparkSpec {
     val offset0 = got.collect { case ((_, 0L), n) => n }.sum
     assert(offset0 === cohort.size.toLong)
   }
+
+  test("cdc upsert: incremental base+delta merge equals full recompute") {
+    val merged = graft.SparkEntry.queries("events_cdc_upsert")(spark, sf)
+    // full recompute, independently formulated (groupBy max_by)
+    val full = graft.sources.Tables.t(spark, sf, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max_by(col("event_id"),
+          struct(col("ts"), col("event_id"))).as("last_event_id"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        max_by(col("value"),
+          struct(col("ts"), col("event_id"))).as("last_value"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // exactly one state row per observed key
+    val nKeys = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(merged.count() === nKeys)
+  }
 }
