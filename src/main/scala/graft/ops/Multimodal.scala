@@ -44,7 +44,7 @@ object Multimodal {
       (lit(64) + XF.h32(col("text"), 1) % 192).cast(IntegerType).as("width"),
       (lit(64) + XF.h32(col("text"), 9) % 192).cast(IntegerType).as("height"),
       (floor(col("n_chars") / FrameBytes) + 1).cast(IntegerType).as("n_frames"),
-      col("text"))
+      col("n_chars"), col("text"))
 
   private val mimeSql =
     """CASE WHEN source = 'src0' THEN 'image/png'
@@ -133,6 +133,36 @@ object Multimodal {
         .orderBy(col("doc_id"), col("feat_no")))
   ,
 
+    // RESIZE plumbing: aspect-preserving fit into a 128×128 box (integer
+    // arithmetic — exact in both engines) plus a DETERMINISTIC STUB for
+    // the pixel work: stride-sample the payload down to ≤256 bytes and
+    // fingerprint the result (a real pipeline swaps the sampler for a
+    // codec resize; dims, stride, batch shape and output schema are the
+    // real contract — same stub discipline as [[stubDecode]]). Narrow
+    // per-row expressions, embarrassingly parallel, no shuffle before
+    // the output sort; the payload is touched ONCE, after metadata-only
+    // arithmetic decides the target shape.
+    "mm_resize" -> ((s: SparkSession, d: String) => {
+      val longSide = greatest(col("width"), col("height")).cast(LongType)
+      val stride = ceil(col("n_chars").cast(DoubleType) / 256.0).cast(LongType)
+      val nS = ceil(col("n_chars").cast(DoubleType) /
+        col("stride").cast(DoubleType)).cast(LongType)
+      media(s, d)
+        .withColumn("out_w",
+          floor(col("width") * 128 / longSide).cast(LongType))
+        .withColumn("out_h",
+          floor(col("height") * 128 / longSide).cast(LongType))
+        .withColumn("stride", stride)
+        .withColumn("n_sampled", nS)
+        .withColumn("resized_fp", XF.h32(array_join(
+          transform(sequence(lit(0L), col("n_sampled") - 1),
+            i => col("text").substr((i * col("stride") + 1).cast(IntegerType),
+              lit(1))), "")))
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          col("stride"), col("n_sampled"), col("resized_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact payload dedup on the BYTES (round 4): the asset-level
     // counterpart of dedup_exact — identical media shipped under
     // different doc ids collapses on a binary md5, without ever decoding.
@@ -184,6 +214,31 @@ object Multimodal {
          |        / CAST(1000 AS DOUBLE), 6) AS feat_val
          |FROM documents, (SELECT unnest(range(8)) AS j)
          |ORDER BY doc_id, feat_no""".stripMargin,
+
+    // same stride-sample formula; string_agg(... ORDER BY i) rebuilds the
+    // sampled string deterministically.
+    "mm_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text, n_chars,
+         |    CAST(64 + ${XF.h32Sql("text", 1)} % 192 AS BIGINT) AS width,
+         |    CAST(64 + ${XF.h32Sql("text", 9)} % 192 AS BIGINT) AS height,
+         |    CAST(ceil(CAST(n_chars AS DOUBLE) / CAST(256 AS DOUBLE)) AS BIGINT) AS stride
+         |  FROM documents),
+         |m2 AS (
+         |  SELECT *,
+         |    CAST(floor(width * 128 / CAST(greatest(width, height) AS DOUBLE)) AS BIGINT) AS out_w,
+         |    CAST(floor(height * 128 / CAST(greatest(width, height) AS DOUBLE)) AS BIGINT) AS out_h,
+         |    CAST(ceil(CAST(n_chars AS DOUBLE) / CAST(stride AS DOUBLE)) AS BIGINT) AS n_sampled
+         |  FROM m),
+         |samp AS (
+         |  SELECT doc_id,
+         |    string_agg(substr(text, CAST(1 + i * stride AS INTEGER), 1), '' ORDER BY i) AS rs
+         |  FROM m2, unnest(range(0, n_sampled)) t(i)
+         |  GROUP BY doc_id)
+         |SELECT m2.doc_id, out_w, out_h, stride, n_sampled,
+         |  ${XF.h32Sql("rs")} AS resized_fp
+         |FROM m2 JOIN samp ON m2.doc_id = samp.doc_id
+         |ORDER BY m2.doc_id""".stripMargin,
 
     // DuckDB's md5 takes VARCHAR only; payload IS the UTF-8 encoding of
     // text, so md5(text) digests the same bytes the Spark side hashes.

@@ -56,4 +56,23 @@ class MultimodalSpec extends SparkSpec {
     assert(counts.values.sum ===
       spark.read.parquet(s"$sf/documents.parquet").count())
   }
+
+  test("resize fits the 128-box, preserves aspect, and bounds the sample") {
+    val dims = Multimodal.media(spark, sf)
+      .select(col("doc_id"), col("width"), col("height")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val out = graft.SparkEntry.queries("mm_resize")(spark, sf).collect()
+    assert(out.length === dims.size)
+    out.foreach { r =>
+      val (w, h) = dims(r.getLong(0))
+      val (ow, oh) = (r.getLong(1), r.getLong(2))
+      assert(math.max(ow, oh) === 128L, s"doc ${r.getLong(0)} long side")
+      assert(ow <= 128 && oh <= 128)
+      // aspect preserved to integer truncation: ow/oh within 1 unit of
+      // the exact scaled value
+      val scale = 128.0 / math.max(w, h)
+      assert(math.abs(ow - w * scale) <= 1 && math.abs(oh - h * scale) <= 1)
+      assert(r.getLong(4) <= 256, "sampled payload exceeds the stub budget")
+    }
+  }
 }
