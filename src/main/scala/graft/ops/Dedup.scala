@@ -516,7 +516,13 @@ object Dedup {
     // directions emit independently: every doc contributes a prefix.
     "dedup_containment" -> ((s: SparkSession, d: String) => {
       val tC = 0.9
-      val sh = shingleDf(s, d)
+      // four consumers (df counts, prefix ranks, index side, doc sets)
+      // read the shingle frame — materialize it once instead of running
+      // the md5-per-shingle generator once per branch (plan-level reuse
+      // does not cross the branches; same pitfall as the candidate-pair
+      // frames). At 100 TB this is the materialize-the-shingle-index
+      // step every containment/PPJoin system performs anyway.
+      val sh = shingleDf(s, d).localCheckpoint()
       val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       val wr = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
@@ -525,10 +531,17 @@ object Dedup {
         .withColumn("n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
         .filter(col("rk") <= col("n") - floor(col("n") * tC) + 1)
-        .select(col("s"), col("doc_id").as("i"))
+        .select(col("s"), col("doc_id").as("i"), col("n").as("ni"))
+      // doc-size side table: |docs| rows, broadcast onto the index so
+      // the size prune (inter ≤ nj ⇒ nj ≥ ceil(t·ni) for any qualifying
+      // pair) drops under-sized containers BEFORE the distinct and the
+      // set-array verify join ever see them.
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nj"))
       val cand = prefixes
         .join(sh.select(col("s"), col("doc_id").as("j")), Seq("s"))
         .filter(col("i") =!= col("j"))
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "j")), Seq("j"))
+        .filter(col("nj") >= ceil(col("ni") * tC))
         .select(col("i"), col("j")).distinct()
       val docs = docSets(sh)
       cand

@@ -209,21 +209,26 @@ object Text {
     // BPE MERGE CANDIDATES — the vocabulary-induction step: corpus-wide
     // adjacent character-pair frequencies (each occurrence weighted,
     // i.e. by token frequency), ranked; the top pair is BPE's first
-    // merge decision. Two explodes (token, then in-token position) feed
-    // one groupBy whose key space is the character-bigram alphabet
-    // (bounded, ~10³) — map-side partials collapse each partition to
-    // alphabet size, and the top-k is a TakeOrdered, never a full sort.
-    // Real BPE iterates merge→recount; one round is the oracle-checkable
-    // unit (the loop is driver-side, same shape each round).
+    // merge decision. A token's in-token pairs are identical across all
+    // its occurrences, so the corpus collapses to (distinct token,
+    // frequency) FIRST — the position explode then runs over the vocab,
+    // not the corpus (Zipf: orders of magnitude fewer rows), and the
+    // pair groupBy sums frequency weights for exactly the
+    // per-occurrence counts. Both groupBy key spaces are bounded (vocab,
+    // then char-bigram alphabet ~10³) with map-side partials; the top-k
+    // is a TakeOrdered, never a full sort. Real BPE iterates
+    // merge→recount; one round is the oracle-checkable unit (the loop is
+    // driver-side, same shape each round).
     "text_bpe_merges" -> ((s: SparkSession, d: String) => {
       t(s, d, "documents")
         .select(explode(toks(col("text"))).as("token"))
         .filter(length(col("token")) >= 2)
-        .select(explode(transform(
+        .groupBy(col("token")).agg(count(lit(1)).as("tn"))
+        .select(col("tn"), explode(transform(
           sequence(lit(1), length(col("token")) - 1),
           i => col("token").substr(i, lit(2)))).as("pair"))
         .groupBy(col("pair"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("tn")).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
     })
