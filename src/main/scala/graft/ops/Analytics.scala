@@ -199,7 +199,65 @@ object Analytics {
         .na.fill(0L)
         .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
           "event_type", "n")
-        .orderBy(col("user_id"), col("event_type")))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // ORDERED-SET AGGREGATES — mode and discrete median, the two the
+    // built-in surface lacks deterministic forms of (Spark's `mode` and
+    // DuckDB's `mode` both leave ties unspecified; approx_percentile is
+    // approximate). Both are computed from the (flag, qty, cnt)
+    // HISTOGRAM, not the raw rows: one corpus shuffle builds it, and
+    // every window after that runs over key-space-sized frames (flags ×
+    // distinct quantities ~ 10²) — the scale-correct shape for
+    // low-cardinality value domains. Ties: mode takes the SMALLEST
+    // modal value; median is percentile_disc(0.5) (smallest value whose
+    // cumulative count reaches half), both pinned by explicit ordering.
+    "agg_mode_median" -> ((s: SparkSession, d: String) => {
+      val hist = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast(LongType).as("qty"))
+        .groupBy(col("flag"), col("qty")).agg(count(lit(1)).as("cnt"))
+      val mode = hist
+        .withColumn("rn", row_number().over(Window.partitionBy(col("flag"))
+          .orderBy(col("cnt").desc, col("qty"))))
+        .filter(col("rn") === 1)
+        .select(col("flag"), col("qty").as("mode_qty"),
+          col("cnt").as("mode_n"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(Window
+          .partitionBy(col("flag")).orderBy(col("qty"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ntot",
+          sum(col("cnt")).over(Window.partitionBy(col("flag"))))
+      val median = cum
+        .filter(col("cum") * 2 >= col("ntot"))
+        .groupBy(col("flag"))
+        .agg(min(col("qty")).as("median_qty"), max(col("ntot")).as("n"))
+      mode.join(median, Seq("flag"))
+        .select(col("flag"), col("mode_qty"), col("mode_n"),
+          col("median_qty"), col("n"))
+        .orderBy(col("flag"))
+    }),
+
+    // TWO-PHASE SALTED AGGREGATION — the skew-safe groupBy twin of
+    // join_salted: a hot group key at 100 TB funnels its whole group
+    // through one reducer; salting the first phase spreads each key
+    // over 16 partial groups (deterministic hash salt — reproducible
+    // under task retry, unlike rand()), and the second phase combines
+    // 16 partials per key. Sums are long cents (associative, exact), so
+    // phase order cannot change a bit. The oracle is the UNSALTED
+    // aggregation — the equivalence IS the correctness claim.
+    "agg_salted_twophase" -> ((s: SparkSession, d: String) => {
+      val salted = t(s, d, "lineitem")
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+          pmod(XF.h32(concat(lit("salt:"),
+            col("l_orderkey").cast(StringType))), lit(16)).as("salt"))
+        .groupBy(col("l_suppkey"), col("salt"))
+        .agg(sum(col("cents")).as("c"), count(lit(1)).as("k"))
+      salted.groupBy(col("l_suppkey"))
+        .agg(sum(col("c")).as("revenue_cents"), sum(col("k")).as("n_items"))
+        .orderBy(col("l_suppkey"))
+    })
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -297,6 +355,40 @@ object Analytics {
         |SELECT u.user_id, ty.event_type, COALESCE(c.n, 0) AS n
         |FROM u CROSS JOIN ty
         |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = ty.event_type
-        |ORDER BY u.user_id, ty.event_type""".stripMargin
+        |ORDER BY u.user_id, ty.event_type""".stripMargin,
+
+    // histogram-derived mode + discrete median with pinned tie-breaks
+    // (the built-in mode/median leave ties and interpolation dialects
+    // unspecified across engines).
+    "agg_mode_median" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |mode AS (
+        |  SELECT flag, qty AS mode_qty, cnt AS mode_n,
+        |    row_number() OVER (PARTITION BY flag ORDER BY cnt DESC, qty) AS rn
+        |  FROM hist),
+        |cum AS (
+        |  SELECT flag, qty, cnt,
+        |    SUM(cnt) OVER (PARTITION BY flag ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY flag) AS ntot
+        |  FROM hist),
+        |med AS (
+        |  SELECT flag, MIN(qty) AS median_qty, CAST(MAX(ntot) AS BIGINT) AS n
+        |  FROM cum WHERE cum * 2 >= ntot GROUP BY flag)
+        |SELECT m.flag, m.mode_qty, m.mode_n, med.median_qty, med.n
+        |FROM mode m JOIN med USING (flag) WHERE m.rn = 1
+        |ORDER BY m.flag""".stripMargin,
+
+    // the oracle is the UNSALTED single-phase aggregation: matching it
+    // exactly is the salted plan's correctness claim.
+    "agg_salted_twophase" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
   )
 }

@@ -236,6 +236,38 @@ object Events {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // MULTI-TOUCH ATTRIBUTION — the marketing-analytics twin of the
+    // as-of join: every purchase splits its value EQUALLY across the
+    // user's view/click touches in the preceding 3 days (the as-of join
+    // credits only the nearest touch; linear attribution credits them
+    // all). Plan: user_id equi-join with the time-range residual (per
+    // purchase the candidate set is that user's touches — bounded by
+    // per-user activity, the same bound sessionization relies on), one
+    // window keyed by purchase id for the touch count, then a tiny
+    // per-type rollup. Two shuffles (user_id, purchase id) of
+    // touch-pair-sized frames; credit sums are exact decimal (XF.dsum)
+    // so the total is deterministic at any parallelism.
+    "events_attribution" -> ((s: SparkSession, d: String) => {
+      val winUs = 3L * 24 * 3600 * 1000000L
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          XF.epochUs(col("ts")).as("pts"), col("value"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("touch_type"),
+          XF.epochUs(col("ts")).as("tts"))
+      purchases.join(touches, Seq("user_id"))
+        .filter(col("tts") < col("pts") && col("tts") >= col("pts") - winUs)
+        .withColumn("n_touches",
+          count(lit(1)).over(Window.partitionBy(col("pid"))))
+        .withColumn("credit",
+          col("value") / col("n_touches").cast(DoubleType))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_credited"),
+          XF.r6(XF.dsum(col("credit"))).as("credited_value"))
+        .orderBy(col("touch_type"))
+    }),
+
     // pivot: per-user event-type count matrix (explicit value list keeps
     // the plan one-pass; no extra distinct-values job).
     "events_pivot" -> ((s: SparkSession, d: String) =>
@@ -405,6 +437,22 @@ object Events {
          |  FROM events)
          |WHERE rn = 1
          |ORDER BY user_id, event_type""".stripMargin,
+
+    "events_attribution" ->
+      s"""WITH p AS (
+         |  SELECT event_id AS pid, user_id, epoch_us(ts) AS pts, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |tc AS (
+         |  SELECT user_id, event_type AS touch_type, epoch_us(ts) AS tts
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |j AS (
+         |  SELECT pid, touch_type, value,
+         |    COUNT(*) OVER (PARTITION BY pid) AS n_touches
+         |  FROM p JOIN tc USING (user_id)
+         |  WHERE tts < pts AND tts >= pts - 259200000000)
+         |SELECT touch_type, COUNT(*) AS n_credited,
+         |  ${XF.r6Sql(XF.dsumSql("value / n_touches"))} AS credited_value
+         |FROM j GROUP BY touch_type ORDER BY touch_type""".stripMargin,
 
     "events_pivot" ->
       s"""SELECT user_id,

@@ -226,6 +226,35 @@ object Similarity {
         .select(col("i"), col("j"),
           qcos(idot(col("qa"), col("qb")), col("na2"), col("nb2")).as("cos"))
         .orderBy(col("i"), col("j"))
+    }),
+
+    // MUTUAL k-NN GRAPH — the edge set diversity filtering and
+    // graph-based dedup cluster on: node u keeps its 3 nearest
+    // neighbors (cosine desc, id asc — quantized cosine makes the
+    // ranking tie-stable), and an edge survives only if BOTH endpoints
+    // keep each other. Exact over a bounded slice (the oracle-checkable
+    // unit, like sim_pair_matrix); at corpus scale the directed-pair
+    // stage is replaced 1:1 by the sign-cell / multiprobe candidate
+    // equi-join (sim_ann_bucketed) — rank, mutuality and the output
+    // contract are unchanged, only candidate generation swaps.
+    "sim_knn_graph" -> ((s: SparkSession, d: String) => {
+      val e = qEmb(s, d).filter(col("vec_id") < 100)
+      val a = e.select(col("vec_id").as("u"), col("q").as("qa"),
+        col("n2").as("na2"))
+      val b = e.select(col("vec_id").as("v"), col("q").as("qb"),
+        col("n2").as("nb2"))
+      val nn = a.crossJoin(b).filter(col("u") =!= col("v"))
+        .select(col("u"), col("v"),
+          qcos(idot(col("qa"), col("qb")), col("na2"), col("nb2")).as("cos"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("u"))
+          .orderBy(col("cos").desc, col("v"))))
+        .filter(col("rk") <= 3)
+        .select(col("u"), col("v"), col("cos"))
+      nn.as("x").join(nn.as("y"),
+          col("x.u") === col("y.v") && col("x.v") === col("y.u") &&
+            col("x.u") < col("x.v"))
+        .select(col("x.u").as("i"), col("x.v").as("j"), col("x.cos"))
+        .orderBy(col("i"), col("j"))
     })
   )
 
@@ -316,6 +345,21 @@ object Similarity {
          |SELECT a.vec_id i, b.vec_id j, $cosAB AS cos
          |FROM qn a JOIN qn b ON a.vec_id < b.vec_id AND b.vec_id < 20
          |WHERE a.vec_id < 20
+         |ORDER BY i, j""".stripMargin,
+
+    "sim_knn_graph" ->
+      s"""WITH $qEmbSql,
+         |pairs AS (
+         |  SELECT a.vec_id u, b.vec_id v, $cosAB AS cos
+         |  FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 100 AND b.vec_id < 100),
+         |nn AS (
+         |  SELECT u, v, cos,
+         |    row_number() OVER (PARTITION BY u ORDER BY cos DESC, v) AS rk
+         |  FROM pairs)
+         |SELECT x.u AS i, x.v AS j, x.cos AS cos
+         |FROM nn x JOIN nn y ON x.u = y.v AND x.v = y.u AND x.u < x.v
+         |WHERE x.rk <= 3 AND y.rk <= 3
          |ORDER BY i, j""".stripMargin,
 
     "emb_dim_stats" -> {

@@ -231,6 +231,35 @@ object Text {
         .agg(sum(col("tn")).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    }),
+
+    // PII / DENYLIST SCRUB — the redaction pass a corpus runs before any
+    // text ships to training: regex arms for structured PII (emails,
+    // long digit runs — the real patterns; this synthetic corpus has no
+    // digits so they count 0, exercised structurally) plus a term
+    // denylist (two vocabulary words stand in for a sensitive-term
+    // list), replaced whole-token via \b anchors. Counts are measured on
+    // the ORIGINAL text; the fingerprint hashes the scrubbed text.
+    // Single scan, narrow codegen'd regex exprs, zero shuffle until the
+    // sort — at 100 TB this is a map-only pass writing scrubbed text
+    // back out, and the denylist (10³-10⁴ terms) compiles into one
+    // alternation per executor, never a join.
+    "text_pii_scrub" -> ((s: SparkSession, d: String) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val num = "\\d{8,}"
+      val deny = "\\b(key|hash)\\b"
+      val scrub = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"), num, "<NUM>"), deny, "<TERM>")
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast(LongType).as("n_email"),
+          regexp_count(col("text"), lit(num)).cast(LongType).as("n_number"),
+          regexp_count(col("text"), lit(deny)).cast(LongType)
+            .as("n_denylist"),
+          length(scrub).cast(LongType).as("n_chars_scrubbed"),
+          XF.h32(scrub).as("scrubbed_fp"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -346,6 +375,22 @@ object Text {
          |  FROM (SELECT token FROM tk WHERE length(token) >= 2) t2,
          |       unnest(range(1, length(token))) t(i))
          |SELECT pair, COUNT(*) AS n FROM pr
-         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "text_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val num = "\\d{8,}"
+      val deny = "\\b(key|hash)\\b"
+      val scrub = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'$email', '<EMAIL>', 'g'), '$num', '<NUM>', 'g'), " +
+        s"'$deny', '<TERM>', 'g')"
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$num')) AS BIGINT) AS n_number,
+         |  CAST(len(regexp_extract_all(text, '$deny')) AS BIGINT) AS n_denylist,
+         |  CAST(length($scrub) AS BIGINT) AS n_chars_scrubbed,
+         |  ${XF.h32Sql(scrub)} AS scrubbed_fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -116,4 +116,36 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(nz === raw)
   }
+
+  test("mode and discrete median match a brute-force recompute") {
+    val got = q("agg_mode_median").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byFlag = raw.groupBy(_._1)
+    assert(got.keySet === byFlag.keySet)
+    byFlag.foreach { case (flag, rows) =>
+      val qs = rows.map(_._2)
+      val counts = qs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // mode: max count, ties to the smallest value
+      val mode = counts.toSeq.maxBy { case (v, c) => (c, -v) }
+      val sorted = qs.sorted
+      // discrete median: smallest value whose cumulative count reaches n/2
+      val median = sorted((qs.size - 1) / 2)
+      assert(got(flag) === ((mode._1, mode._2, median, qs.size.toLong)), flag)
+    }
+  }
+
+  test("two-phase salted aggregation equals the unsalted groupBy") {
+    val got = q("agg_salted_twophase").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val plain = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("c"),
+        count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === plain)
+  }
 }

@@ -102,4 +102,32 @@ class EventsSpec extends SparkSpec {
       .select(col("user_id"), col("event_type")).distinct().count()
     assert(merged.count() === nKeys)
   }
+
+  test("linear attribution matches a brute-force per-purchase split") {
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val winUs = 3L * 24 * 3600 * 1000000L
+    val touches = evs.filter(e => e._3 == "view" || e._3 == "click")
+      .groupBy(_._2)
+    val credited = evs.filter(_._3 == "purchase").flatMap {
+      case (_, u, _, pts, value) =>
+        val w = touches.getOrElse(u, Array.empty)
+          .filter(t => t._4 < pts && t._4 >= pts - winUs)
+        w.map(t => (t._3, value / w.length))
+    }
+    val want = credited.groupBy(_._1).view.mapValues { cs =>
+      (cs.length.toLong,
+        BigDecimal(cs.map(c => BigDecimal(c._2).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = SparkEntry.queries("events_attribution")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got === want)
+  }
 }

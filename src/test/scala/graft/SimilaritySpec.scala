@@ -88,4 +88,21 @@ class SimilaritySpec extends SparkSpec {
     val d0 = got.find(_.getLong(0) == 0L).get
     assert(math.abs(d0.getDouble(2) - wantMean) < 1e-9)
   }
+
+  test("knn graph edges are exactly the mutual top-3 pairs") {
+    val vs = vecs.filter(_._1 < 100)
+    val top3 = vs.keys.map { u =>
+      u -> vs.keys.filter(_ != u).toSeq
+        .map(v => (v, qcos(vs(u), vs(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(3).map(_._1).toSet
+    }.toMap
+    val want = (for {
+      u <- vs.keys; v <- vs.keys
+      if u < v && top3(u)(v) && top3(v)(u)
+    } yield (u, v)).toSet
+    val got = graft.SparkEntry.queries("sim_knn_graph")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
 }

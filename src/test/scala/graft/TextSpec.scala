@@ -107,4 +107,21 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got === want)
   }
+
+  test("pii scrub counts and length delta match the denylist hits") {
+    val got = graft.SparkEntry.queries("text_pii_scrub")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    got.foreach { case (id, (em, num, deny, len)) =>
+      val toks = docs(id).split(" ")
+      val keys = toks.count(_ == "key")
+      val hashes = toks.count(_ == "hash")
+      // this corpus carries no structured PII; the regex arms count 0
+      assert(em === 0L && num === 0L, s"doc $id")
+      assert(deny === keys + hashes, s"doc $id")
+      // '<TERM>' (6 chars) replaces 'key' (3) and 'hash' (4)
+      assert(len === docs(id).length + 3L * keys + 2L * hashes, s"doc $id")
+    }
+  }
 }
