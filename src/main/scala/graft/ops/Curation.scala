@@ -257,6 +257,66 @@ object Curation {
           XF.r6(col("n_chars_sum").cast(DoubleType) /
             sum(col("n_chars_sum")).over(wAll).cast(DoubleType)).as("char_share"))
         .orderBy(col("lang"), col("source"))
+    }),
+
+    // END-TO-END CURATION PASS — the composed pipeline a pretraining
+    // corpus actually runs, as ONE lazy DAG: quality gate (curate_gate
+    // thresholds) → exact dedup among survivors (min doc_id per text
+    // hash) → temperature mixture weights over the SURVIVING mass
+    // (sample_temperature's α = 0.7) → deterministic hash sampling at
+    // rate min(1, 2·w) per stratum. Per-stage counts per (lang, source)
+    // are the output — the audit table a curation run reports. Shape:
+    // two corpus shuffles (text-hash dedup, stratum agg); the weight
+    // windows run over the ~|lang|×|source| frame; the sampling join
+    // broadcasts the tiny weighted-strata table back onto survivors.
+    // Every stage is deterministic (hash sampling, not rand()), so the
+    // whole pipeline is reproducible under retry — and hash-checkable.
+    "curate_pipeline_e2e" -> ((s: SparkSession, d: String) => {
+      val ws = split(col("text"), " ")
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"), size(ws).cast(LongType).as("n_tokens"),
+          size(array_distinct(ws)).cast(LongType).as("n_distinct"))
+        .withColumn("gated",
+          col("n_tokens") >= GateMinTokens &&
+            XF.r6(col("n_distinct").cast(DoubleType) /
+              col("n_tokens").cast(DoubleType)) >= GateMinDiversity)
+      val kept = base.filter(col("gated"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val aggAll = base.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("gated"), 1L).otherwise(0L)).as("n_gated"))
+      val aggKept = kept.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_deduped"), sum(col("n_chars")).as("chars"))
+      val strata = aggAll
+        .join(aggKept, Seq("lang", "source"), "left")
+        .na.fill(0L, Seq("n_deduped", "chars"))
+        .withColumn("share", col("chars").cast(DoubleType) /
+          sum(col("chars")).over(wAll).cast(DoubleType))
+        .withColumn("praw", XF.r6(pow(col("share"), lit(0.7))))
+        .withColumn("sample_weight", XF.r6(col("praw") /
+          sum(col("praw").cast(DecimalType(28, 6))).over(wAll)
+            .cast(DoubleType)))
+        .withColumn("thr", least(
+          round(col("sample_weight") * lit(2000000.0)).cast(LongType),
+          lit(1000000L)))
+      val sampled = kept
+        .join(broadcast(strata.select(col("lang"), col("source"),
+          col("thr"))), Seq("lang", "source"))
+        .filter(pmod(XF.h32(concat(lit("e2e:"),
+          col("doc_id").cast(StringType))), lit(1000000L)) < col("thr"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_sampled"))
+      strata.join(sampled, Seq("lang", "source"), "left")
+        .na.fill(0L, Seq("n_sampled"))
+        .select(col("lang"), col("source"), col("n_raw"), col("n_gated"),
+          col("n_deduped"), col("sample_weight"), col("n_sampled"))
+        .orderBy(col("lang"), col("source"))
     })
   )
 
@@ -379,6 +439,63 @@ object Curation {
         |SELECT lang, source, n_docs, n_chars_sum,
         |  ROUND(CAST(n_chars_sum AS DOUBLE) /
         |    CAST(SUM(n_chars_sum) OVER () AS DOUBLE), 6) AS char_share
-        |FROM g ORDER BY lang, source""".stripMargin
+        |FROM g ORDER BY lang, source""".stripMargin,
+
+    "curate_pipeline_e2e" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+         |      AS n_distinct
+         |  FROM documents),
+         |f AS (
+         |  SELECT *, (n_tokens >= $GateMinTokens AND
+         |    ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |      >= CAST($GateMinDiversity AS DOUBLE)) AS gated
+         |  FROM g),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, lang, source, n_chars,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+         |        AS rn
+         |    FROM f WHERE gated) WHERE rn = 1),
+         |aa AS (
+         |  SELECT lang, source, COUNT(*) AS n_raw,
+         |    CAST(SUM(CASE WHEN gated THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_gated
+         |  FROM f GROUP BY 1, 2),
+         |ak AS (
+         |  SELECT lang, source, COUNT(*) AS n_deduped,
+         |    CAST(SUM(n_chars) AS BIGINT) AS chars
+         |  FROM kept GROUP BY 1, 2),
+         |st AS (
+         |  SELECT aa.lang, aa.source, n_raw, n_gated,
+         |    COALESCE(n_deduped, 0) AS n_deduped,
+         |    COALESCE(chars, 0) AS chars
+         |  FROM aa LEFT JOIN ak ON aa.lang = ak.lang
+         |    AND aa.source = ak.source),
+         |w1 AS (
+         |  SELECT *, CAST(chars AS DOUBLE) /
+         |    CAST(SUM(chars) OVER () AS DOUBLE) AS share FROM st),
+         |w2 AS (
+         |  SELECT *, ROUND(pow(share, CAST(0.7 AS DOUBLE)), 6) AS praw
+         |  FROM w1),
+         |w3 AS (
+         |  SELECT *, ROUND(praw / CAST(SUM(CAST(praw AS DECIMAL(28,6)))
+         |    OVER () AS DOUBLE), 6) AS sample_weight FROM w2),
+         |w4 AS (
+         |  SELECT *, LEAST(CAST(round(sample_weight *
+         |    CAST(2000000 AS DOUBLE)) AS BIGINT), 1000000) AS thr FROM w3),
+         |sm AS (
+         |  SELECT kept.lang, kept.source, COUNT(*) AS n_sampled
+         |  FROM kept JOIN w4 ON kept.lang = w4.lang
+         |    AND kept.source = w4.source
+         |  WHERE ${XF.h32Sql("'e2e:' || CAST(kept.doc_id AS VARCHAR)")}
+         |    % 1000000 < thr
+         |  GROUP BY 1, 2)
+         |SELECT w4.lang, w4.source, n_raw, n_gated, n_deduped,
+         |  sample_weight, COALESCE(sm.n_sampled, 0) AS n_sampled
+         |FROM w4 LEFT JOIN sm ON w4.lang = sm.lang AND w4.source = sm.source
+         |ORDER BY w4.lang, w4.source""".stripMargin
   )
 }

@@ -236,6 +236,63 @@ object Events {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // TRAILING-WINDOW ANOMALY SCORE — the volume-monitoring pass run
+    // over every ingest stream: each (event_type, day) count is scored
+    // against the mean/std of ITS OWN trailing 7 days (frame ends at -1
+    // so the scored day never contaminates its baseline). The corpus
+    // collapses to type×day counts in one shuffle; every window after
+    // that runs over the tiny per-type day series. Moments come from
+    // integer power sums (Σn, Σn²) — exact, so z is one IEEE expression
+    // on identical operands in both engines, rounded at 1e-6.
+    "events_anomaly_zscore" -> ((s: SparkSession, d: String) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), XF.dateS(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("n")).over(w))
+        .withColumn("s2", sum(col("n") * col("n")).over(w))
+        .filter(col("k") === 7)
+        .withColumn("mean", col("s1").cast(DoubleType) / lit(7.0))
+        .withColumn("variance",
+          (col("s2").cast(DoubleType) -
+            col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / lit(7.0))
+            / lit(6.0))
+        .filter(col("variance") > 0.0)
+        .select(col("event_type"), col("day"), col("n"),
+          XF.r6(col("mean")).as("trailing_mean"),
+          XF.r6((col("n").cast(DoubleType) - col("mean")) /
+            sqrt(col("variance"))).as("zscore"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // TIME-WEIGHTED AVERAGE — the step-function mean per user (the
+    // correct aggregate for sampled gauges where readings persist until
+    // the next one; the plain AVG over-weights busy periods). ONE
+    // shuffle on user_id: lead() pairs each event with its successor's
+    // timestamp, weights are µs-exact longs, the value·duration sum
+    // accumulates as exact decimal — deterministic at any parallelism.
+    "events_time_weighted" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          XF.epochUs(col("ts")).as("us"), col("value"))
+        .withColumn("dur",
+          (lead(col("us"), 1).over(w) - col("us")).cast(DoubleType))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          XF.dsum(col("value") * col("dur")).as("wsum"),
+          (max(col("us")) - min(col("us"))).as("span_us"))
+        .filter(col("span_us") > 0L)
+        .select(col("user_id"), col("n_events"),
+          XF.r6(col("wsum") / col("span_us").cast(DoubleType))
+            .as("time_weighted_avg"))
+        .orderBy(col("user_id"))
+    }),
+
     // MULTI-TOUCH ATTRIBUTION — the marketing-analytics twin of the
     // as-of join: every purchase splits its value EQUALLY across the
     // user's view/click touches in the preceding 3 days (the as-of join
@@ -437,6 +494,50 @@ object Events {
          |  FROM events)
          |WHERE rn = 1
          |ORDER BY user_id, event_type""".stripMargin,
+
+    "events_anomaly_zscore" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         |         COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |win AS (
+         |  SELECT event_type, day, n,
+         |    COUNT(*) OVER w AS k,
+         |    CAST(SUM(n) OVER w AS BIGINT) AS s1,
+         |    CAST(SUM(n * n) OVER w AS BIGINT) AS s2
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         |sc AS (
+         |  SELECT event_type, day, n,
+         |    CAST(s1 AS DOUBLE) / CAST(7.0 AS DOUBLE) AS mean,
+         |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+         |       / CAST(7.0 AS DOUBLE)) / CAST(6.0 AS DOUBLE) AS variance
+         |  FROM win WHERE k = 7)
+         |SELECT event_type, day, n,
+         |  ROUND(mean, 6) AS trailing_mean,
+         |  ROUND((CAST(n AS DOUBLE) - mean) / sqrt(variance), 6) AS zscore
+         |FROM sc WHERE variance > CAST(0 AS DOUBLE)
+         |ORDER BY event_type, day""".stripMargin,
+
+    "events_time_weighted" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, value
+         |  FROM events),
+         |d AS (
+         |  SELECT user_id, us, value,
+         |    CAST(lead(us, 1) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) - us AS DOUBLE) AS dur
+         |  FROM e),
+         |g AS (
+         |  SELECT user_id, COUNT(*) AS n_events,
+         |    ${XF.dsumSql("value * dur")} AS wsum,
+         |    CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+         |  FROM d GROUP BY user_id)
+         |SELECT user_id, n_events,
+         |  ROUND(wsum / CAST(span_us AS DOUBLE), 6) AS time_weighted_avg
+         |FROM g WHERE span_us > 0
+         |ORDER BY user_id""".stripMargin,
 
     "events_attribution" ->
       s"""WITH p AS (

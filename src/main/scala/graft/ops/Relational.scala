@@ -506,6 +506,40 @@ object Relational {
            |  AND ${hitSql(posSql("o_custkey", 9))}
            |  AND o_custkey IN (SELECT c_custkey FROM dim)
            |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // MARKET-BASKET CO-OCCURRENCE — part pairs bought together in ≥ 2
+    // orders, with lift = P(ab)/(P(a)P(b)). The pair join is keyed by
+    // the ORDER (self-join on l_orderkey, pk_a < pk_b): fan-out per
+    // order is basket-size², and baskets are bounded by business
+    // reality (≤ 7 lines in TPC-H, ~10² anywhere) — so pair volume
+    // scales linearly with orders, never parts². Lift is computed
+    // entirely from integer counts (n_ab·N / (n_a·n_b): one IEEE
+    // division of exact longs) — deterministic at any parallelism. The
+    // item-count side is vocabulary-sized and broadcasts.
+    "orders_market_basket" -> ((s: SparkSession, d: String) => {
+      val bk = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = bk.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val itemN = bk.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val pairs = bk.select(col("ok"), col("pk").as("pa"))
+        .join(bk.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(broadcast(itemN.select(col("pk").as("pa"),
+          col("n_item").as("n_a"))), Seq("pa"))
+        .join(broadcast(itemN.select(col("pk").as("pb"),
+          col("n_item").as("n_b"))), Seq("pb"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("n_ab"),
+          r6((col("n_ab") * col("n_orders")).cast(DoubleType) /
+            (col("n_a") * col("n_b")).cast(DoubleType)).as("lift"))
+        .orderBy(col("n_ab").desc, col("pa"), col("pb"))
+        .limit(100)
     })
   )
 
@@ -824,6 +858,23 @@ object Relational {
          |FROM orders
          |WHERE o_custkey IN (
          |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
-         |ORDER BY o_orderkey""".stripMargin
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "orders_market_basket" ->
+      """WITH bk AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM bk),
+        |it AS (SELECT pk, COUNT(*) AS n_item FROM bk GROUP BY pk),
+        |pc AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_ab
+        |  FROM bk a JOIN bk b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pa, pb, n_ab,
+        |  ROUND(CAST(n_ab * n_orders AS DOUBLE) /
+        |        CAST(x.n_item * y.n_item AS DOUBLE), 6) AS lift
+        |FROM pc CROSS JOIN n
+        |JOIN it x ON x.pk = pa
+        |JOIN it y ON y.pk = pb
+        |ORDER BY n_ab DESC, pa, pb LIMIT 100""".stripMargin
   )
 }

@@ -123,4 +123,31 @@ class CurationSpec extends SparkSpec {
     assert(rows.sortBy(_._1).map(_._2).sliding(2)
       .forall(p => p.length < 2 || p(0) <= p(1) + 1e-9))
   }
+
+  test("e2e curation stage counts are a consistent funnel") {
+    val rows = graft.SparkEntry.queries("curate_pipeline_e2e")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // monotone funnel per stratum
+    rows.foreach { case (l, s, raw, gated, deduped, _, sampled) =>
+      assert(raw >= gated && gated >= deduped && deduped >= sampled,
+        s"($l,$s)")
+    }
+    // raw mass covers the corpus; weights normalize
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._3).sum === nDocs)
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-4)
+    // gate stage agrees with the standalone curate_gate operator
+    val gateKeep = graft.SparkEntry.queries("curate_gate")(spark, sf)
+      .filter(col("keep"))
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = rows.groupBy(_._1).view
+      .mapValues(_.map(_._4).sum).toMap
+    assert(byLang === gateKeep)
+    // something survives sampling somewhere
+    assert(rows.map(_._7).sum > 0L)
+  }
 }

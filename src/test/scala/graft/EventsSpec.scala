@@ -130,4 +130,55 @@ class EventsSpec extends SparkSpec {
       .toMap
     assert(got === want)
   }
+
+  test("anomaly z-scores match a brute-force trailing-window recompute") {
+    val daily = graft.sources.Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).flatMap { case (ty, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.flatMap { i =>
+        val wnd = sorted.slice(math.max(0, i - 7), i).map(_._3)
+        if (wnd.length != 7) None
+        else {
+          val s1 = wnd.sum.toDouble
+          val mean = s1 / 7.0
+          val variance = (wnd.map(n => n.toDouble * n).sum - s1 * s1 / 7.0) / 6.0
+          if (variance <= 0) None
+          else Some((ty, sorted(i)._2) ->
+            BigDecimal((sorted(i)._3 - mean) / math.sqrt(variance))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+    }
+    val got = SparkEntry.queries("events_anomaly_zscore")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4))
+      .toMap
+    assert(got === want.toMap)
+    assert(got.nonEmpty)
+  }
+
+  test("time-weighted average equals the step-function integral") {
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = evs.groupBy(_._1).collect {
+      case (u, rows) if rows.map(_._3).distinct.length > 1 =>
+        val sorted = rows.sortBy(e => (e._3, e._2))
+        val wsum = sorted.sliding(2).collect { case Array(a, b) =>
+          BigDecimal(a._4 * (b._3 - a._3).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+        val span = (sorted.last._3 - sorted.head._3).toDouble
+        u -> (rows.length.toLong, BigDecimal(wsum / span)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = SparkEntry.queries("events_time_weighted")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got === want)
+  }
 }

@@ -132,4 +132,28 @@ class RelationalSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(5) > 250L))
   }
+
+  test("market basket pairs and lift match a brute-force recompute") {
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val nOrders = byOrder.size.toLong
+    val itemN = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = byOrder.values.flatMap { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L).toMap
+    val want = pairN.toSeq.map { case ((a, b), n) =>
+      val lift = BigDecimal(n * nOrders.toDouble / (itemN(a) * itemN(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, n, lift)
+    }.sortBy { case (a, b, n, _) => (-n, a, b) }.take(100)
+    val got = SparkEntry.queries("orders_market_basket")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
