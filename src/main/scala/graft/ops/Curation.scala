@@ -275,18 +275,25 @@ object Curation {
       val ws = split(col("text"), " ")
       val wAll = org.apache.spark.sql.expressions.Window
         .partitionBy(lit(1))
+      // text is reduced to (hash, token counts) in the FIRST projection
+      // and never shuffled; the reduced frame is materialized once —
+      // four branches (stage counts, dedup, survivor mass, sampling)
+      // consume it, and plan-level reuse does not cross branches, so
+      // without the checkpoint the tokenize+md5 scan runs four times.
       val base = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          col("text"), size(ws).cast(LongType).as("n_tokens"),
+          md5(col("text")).as("th"),
+          size(ws).cast(LongType).as("n_tokens"),
           size(array_distinct(ws)).cast(LongType).as("n_distinct"))
         .withColumn("gated",
           col("n_tokens") >= GateMinTokens &&
             XF.r6(col("n_distinct").cast(DoubleType) /
               col("n_tokens").cast(DoubleType)) >= GateMinDiversity)
+        .localCheckpoint()
       val kept = base.filter(col("gated"))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+            .partitionBy(col("th")).orderBy(col("doc_id"))))
         .filter(col("rn") === 1)
       val aggAll = base.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_raw"),

@@ -518,11 +518,18 @@ object Relational {
     // division of exact longs) — deterministic at any parallelism. The
     // item-count side is vocabulary-sized and broadcasts.
     "orders_market_basket" -> ((s: SparkSession, d: String) => {
+      // the distinct basket frame feeds four branches (both pair sides,
+      // item counts, order count) — materialize it once; each branch
+      // would otherwise rerun the fact-table scan + distinct shuffle.
+      // ONE exchange on ok serves both the dedup (ok-partitioning
+      // satisfies the (ok, pk) clustering requirement) and the pair
+      // self-join (checkpoint preserves outputPartitioning, so neither
+      // join side re-shuffles).
       val bk = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val nOrders = bk.select(col("ok")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
+        .repartition(col("ok")).dropDuplicates("ok", "pk")
+        .localCheckpoint()
+      val nOrders = bk.agg(countDistinct(col("ok")).as("n_orders"))
       val itemN = bk.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
       val pairs = bk.select(col("ok"), col("pk").as("pa"))
         .join(bk.select(col("ok"), col("pk").as("pb")), Seq("ok"))
