@@ -547,6 +547,51 @@ object Relational {
             (col("n_a") * col("n_b")).cast(DoubleType)).as("lift"))
         .orderBy(col("n_ab").desc, col("pa"), col("pb"))
         .limit(100)
+    }),
+
+    // TPC-H Q13 shape — customer order-count distribution: LEFT join so
+    // zero-order customers land in the c_count = 0 bucket, then a
+    // histogram over the per-customer counts. Two aggregations whose
+    // key spaces shrink fast (customers, then distinct counts ~10²);
+    // the left join broadcasts nothing and shuffles on custkey once.
+    "q13_order_dist" -> ((s: SparkSession, d: String) => {
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(t(s, d, "orders").select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q7 shape, generalized to the full trade matrix — revenue
+    // between every DISTINCT (supplier nation, customer nation) pair by
+    // ship year (the classic fixes one pair; the matrix form is what a
+    // trade dashboard runs, same plan). Fact table streams through two
+    // broadcast dimension joins (supplier→nation, order/customer→
+    // nation); the cross-nation predicate applies as soon as both sides
+    // are known; revenue is exact long cents (×(100−disc) → c4 units).
+    "q7_nation_volume" -> ((s: SparkSession, d: String) => {
+      val suppNation = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custNation = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val rev = (round(col("l_extendedprice") * 100).cast(LongType) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
+      t(s, d, "lineitem")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg(sum(rev).as("revenue_c4"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     })
   )
 
@@ -866,6 +911,30 @@ object Relational {
          |WHERE o_custkey IN (
          |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q13_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(rev) AS BIGINT) AS revenue_c4
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name <> n2.n_name)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "orders_market_basket" ->
       """WITH bk AS (

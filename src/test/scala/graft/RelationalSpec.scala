@@ -156,4 +156,38 @@ class RelationalSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("q13 histogram masses add up to the customer count") {
+    val rows = SparkEntry.queries("q13_order_dist")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows.map(_._2).sum === nCust)
+    // order mass: Σ c_count·custdist = total orders (every order has a
+    // customer in this data)
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(r => r._1 * r._2).sum === nOrders)
+  }
+
+  test("q7 trade matrix is cross-nation only with positive revenue") {
+    val rows = SparkEntry.queries("q7_nation_volume")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 != r._2))
+    assert(rows.forall(_._4 > 0L))
+    // cross-check one cell against a brute-force recompute
+    val (sn, cn, yr, rev) = rows.head
+    val li = spark.sql(s"""
+      SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      FROM parquet.`$sf/lineitem.parquet`
+      JOIN parquet.`$sf/supplier.parquet` ON l_suppkey = s_suppkey
+      JOIN parquet.`$sf/nation.parquet` n1 ON s_nationkey = n1.n_nationkey
+      JOIN parquet.`$sf/orders.parquet` ON l_orderkey = o_orderkey
+      JOIN parquet.`$sf/customer.parquet` ON o_custkey = c_custkey
+      JOIN parquet.`$sf/nation.parquet` n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name = '$sn' AND n2.n_name = '$cn'
+        AND year(l_shipdate) = $yr""").head().getLong(0)
+    assert(li === rev)
+  }
 }
