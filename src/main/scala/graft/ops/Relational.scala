@@ -549,6 +549,54 @@ object Relational {
         .limit(100)
     }),
 
+    // PAGERANK over the co-purchase graph (3 damped iterations, d =
+    // 0.85) — the iterative-graph twin of dedup_clusters' label
+    // propagation: per round ONE equi-join of the edge frame against
+    // the current rank frame and one groupBy on the destination. The
+    // edge+degree frame is built once and checkpointed (every round
+    // reads it). The entire fixpoint runs in INTEGER MICRO-RANK units
+    // (floor divisions, long sums): float-valued pagerank would hinge
+    // on double→decimal rounding of arbitrary quotients, where the two
+    // engines' tie behavior near boundaries differs — integer
+    // arithmetic makes every round bit-identical at any parallelism by
+    // construction, and expressible as three unrolled CTEs in the
+    // oracle. The graph is undirected (both edge orientations emitted),
+    // so there are no dangling nodes and the driver-side scalar is just
+    // |V| (same driver-side role as dedup_clusters' convergence
+    // counter).
+    "graph_pagerank" -> ((s: SparkSession, d: String) => {
+      val bk = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .repartition(col("ok")).dropDuplicates("ok", "pk")
+      val pairs = bk.select(col("ok"), col("pk").as("pa"))
+        .join(bk.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+      val ed = edges
+        .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")),
+          Seq("src"))
+        .localCheckpoint()
+      val nV = ed.select(col("src")).distinct().count()
+      // micro-units: 1e6 = total rank mass 1.0; floor division
+      // throughout (documented — the spec of this operator is the
+      // integer trajectory, identical in any engine).
+      var ranks = ed.select(col("src").as("node")).distinct()
+        .withColumn("ru", lit(1000000L / nV))
+      for (_ <- 1 to 3) {
+        ranks = ed
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst"))
+          .agg((lit(150000L / nV) +
+            expr("85 * sum(ru DIV deg) DIV 100")).as("ru"))
+          .select(col("dst").as("node"), col("ru"))
+      }
+      ranks.select(col("node"), col("ru").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("node")).limit(50)
+    }),
+
     // TPC-H Q13 shape — customer order-count distribution: LEFT join so
     // zero-order customers land in the c_count = 0 bucket, then a
     // histogram over the per-customer counts. Two aggregations whose
@@ -911,6 +959,35 @@ object Relational {
          |WHERE o_custkey IN (
          |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
          |ORDER BY o_orderkey""".stripMargin,
+
+    "graph_pagerank" -> {
+      def iter(k: Int): String =
+        s"""r$k AS (
+           |  SELECT e.dst AS node,
+           |    (150000 // nn.n) + (85 * CAST(SUM(r.ru // dg.deg) AS BIGINT))
+           |      // 100 AS ru
+           |  FROM e JOIN dg ON dg.src = e.src
+           |  JOIN r${k - 1} r ON r.node = e.src
+           |  CROSS JOIN nn GROUP BY e.dst, nn.n)""".stripMargin
+      s"""WITH bk AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |pc AS (
+         |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_ab
+         |  FROM bk a JOIN bk b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT pa AS src, pb AS dst FROM pc
+         |      UNION ALL SELECT pb, pa FROM pc),
+         |dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT COUNT(DISTINCT src) AS n FROM e),
+         |r0 AS (
+         |  SELECT DISTINCT src AS node, 1000000 // nn.n AS ru
+         |  FROM e CROSS JOIN nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node, CAST(ru AS BIGINT) AS rank_micro FROM r3
+         |ORDER BY rank_micro DESC, node LIMIT 50""".stripMargin
+    },
 
     "q13_order_dist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (

@@ -157,6 +157,36 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("pagerank micro-rank trajectory matches a JVM replay") {
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // note: .filter(...).keys, NOT .collect { case (p, _) => p } — collect
+    // on a Map with a tuple-valued function rebuilds a Map and silently
+    // dedupes pairs by first element
+    val pairs = baskets.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = deg.keySet
+    val n = nodes.size.toLong
+    var ru = nodes.map(_ -> 1000000L / n).toMap
+    (1 to 3).foreach { _ =>
+      val in = edges.groupBy(_._2)
+      ru = nodes.map { v =>
+        v -> (150000L / n +
+          85L * in(v).map { case (s, _) => ru(s) / deg(s) }.sum / 100L)
+      }.toMap
+    }
+    val want = ru.toSeq.sortBy { case (v, r) => (-r, v) }.take(50)
+    val got = SparkEntry.queries("graph_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("q13 histogram masses add up to the customer count") {
     val rows = SparkEntry.queries("q13_order_dist")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
