@@ -236,6 +236,55 @@ object Events {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // MARKOV TRANSITION MATRIX — first-order event-sequence model: per
+    // user, lag() pairs each event with its predecessor (session
+    // boundaries = user boundaries; the first event per user has no
+    // predecessor and is excluded), then (from, to) counts row-normalize
+    // into transition probabilities. ONE user_id shuffle for the lag;
+    // the count/probability frames are |types|² — trivial forever.
+    // Probabilities are one IEEE division of exact counts, rounded 1e-6.
+    "events_markov_transitions" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val trans = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          XF.epochUs(col("ts")).as("us"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      trans
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n"),
+          XF.r6(col("n").cast(DoubleType) /
+            col("row_total").cast(DoubleType)).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // SCD TYPE-2 HISTORY — the full-version twin of events_cdc_upsert's
+    // latest-state snapshot: every change to a (user, type) key becomes
+    // a validity interval [valid_from, valid_to), closed by the next
+    // version's timestamp via lead(); the open current version is
+    // flagged. ONE shuffle on the key; all interval arithmetic is
+    // µs-exact longs. This is the warehouse dimension-history layout a
+    // changelog compacts into.
+    "events_scd2_history" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          XF.epochUs(col("ts")).as("us"), col("value"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_from_us", col("us"))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("version").cast(LongType).as("version"), col("value"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+        .orderBy(col("user_id"), col("event_type"), col("version"))
+    }),
+
     // TRAILING-WINDOW ANOMALY SCORE — the volume-monitoring pass run
     // over every ingest stream: each (event_type, day) count is scored
     // against the mean/std of ITS OWN trailing 7 days (frame ends at -1
@@ -494,6 +543,31 @@ object Events {
          |  FROM events)
          |WHERE rn = 1
          |ORDER BY user_id, event_type""".stripMargin,
+
+    "events_markov_transitions" ->
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS from_type
+         |  FROM events),
+         |tc AS (
+         |  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+         |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, n,
+         |  ROUND(CAST(n AS DOUBLE) /
+         |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+         |FROM tc ORDER BY from_type, to_type""".stripMargin,
+
+    "events_scd2_history" ->
+      s"""SELECT user_id, event_type, event_id,
+         |  CAST(row_number() OVER w AS BIGINT) AS version, value,
+         |  epoch_us(ts) AS valid_from_us,
+         |  lead(epoch_us(ts), 1) OVER w AS valid_to_us,
+         |  lead(epoch_us(ts), 1) OVER w IS NULL AS is_current
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id, event_type
+         |             ORDER BY epoch_us(ts), event_id)
+         |ORDER BY user_id, event_type, version""".stripMargin,
 
     "events_anomaly_zscore" ->
       s"""WITH daily AS (

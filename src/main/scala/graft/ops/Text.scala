@@ -233,6 +233,31 @@ object Text {
         .limit(20)
     }),
 
+    // CHARACTER-ENTROPY quality signal — low-entropy docs are repeated
+    // filler / encoding junk, high-entropy docs are noise; the classic
+    // cheap scorer between them. Char counts come from one explode +
+    // (doc, char) groupBy (key space = docs × alphabet; map-side
+    // partials collapse hard); each -p·ln p term is rounded at 1e-6
+    // (transcendental) and the per-doc sum accumulates as exact decimal
+    // — deterministic at any parallelism, same contract as surprisal.
+    "text_entropy" -> ((s: SparkSession, d: String) => {
+      val counts = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "") // guard: split-dialect empty edges
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      counts
+        .withColumn("n", sum(col("cnt")).over(wd))
+        .withColumn("p", col("cnt").cast(DoubleType) /
+          col("n").cast(DoubleType))
+        .withColumn("term", XF.r6(-col("p") * log(col("p"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_chars"),
+          XF.r6(XF.dsum(col("term"))).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII / DENYLIST SCRUB — the redaction pass a corpus runs before any
     // text ships to training: regex arms for structured PII (emails,
     // long digit runs — the real patterns; this synthetic corpus has no
@@ -376,6 +401,21 @@ object Text {
          |       unnest(range(1, length(token))) t(i))
          |SELECT pair, COUNT(*) AS n FROM pr
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "text_entropy" ->
+      s"""WITH counts AS (
+         |  SELECT doc_id, c AS ch, COUNT(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+         |        FROM documents)
+         |  WHERE c <> '' GROUP BY 1, 2),
+         |wp AS (
+         |  SELECT doc_id, cnt,
+         |    CAST(cnt AS DOUBLE) /
+         |      CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS p
+         |  FROM counts)
+         |SELECT doc_id, COUNT(*) AS n_distinct_chars,
+         |  ${XF.r6Sql(XF.dsumSql(XF.r6Sql("-p * ln(p)")))} AS entropy
+         |FROM wp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_pii_scrub" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -131,6 +131,49 @@ class EventsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("markov transition rows are probability distributions over true counts") {
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = evs.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(e => (e._3, e._2)).map(_._4).sliding(2)
+        .collect { case Array(a, b) => (a, b) }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("events_markov_transitions")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.view.mapValues(_._1).toMap === want)
+    // each from_type row of the matrix sums to ~1
+    got.groupBy(_._1._1).foreach { case (ft, cells) =>
+      assert(math.abs(cells.values.map(_._2).sum - 1.0) < 1e-4, ft)
+    }
+  }
+
+  test("scd2 intervals tile each key's timeline with one open version") {
+    val rows = SparkEntry.queries("events_scd2_history")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)), r.getBoolean(7)))
+    val nEvents = graft.sources.Tables.t(spark, sf, "events").count()
+    assert(rows.length === nEvents)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (key, vs) =>
+      val sorted = vs.sortBy(_._3)
+      // versions are consecutive from 1
+      assert(sorted.map(_._3).toSeq === (1L to sorted.length).toSeq, key)
+      // each interval closes exactly at the next version's start
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5.contains(b._4), key)
+        case _ =>
+      }
+      // exactly the last version is open and flagged current
+      assert(sorted.count(_._6) === 1 && sorted.last._6, key)
+      assert(sorted.last._5.isEmpty, key)
+    }
+  }
+
   test("anomaly z-scores match a brute-force trailing-window recompute") {
     val daily = graft.sources.Tables.t(spark, sf, "events")
       .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))

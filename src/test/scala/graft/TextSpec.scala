@@ -108,6 +108,24 @@ class TextSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("char entropy matches a JVM recompute") {
+    val got = graft.SparkEntry.queries("text_entropy")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val counts = text.groupBy(identity).view.mapValues(_.length).toMap
+      val n = text.length.toDouble
+      val terms = counts.values.map { c =>
+        val p = c / n
+        BigDecimal(r6(-p * math.log(p)))
+      }
+      val want = (counts.size.toLong, r6(terms.sum.toDouble))
+      assert(got(id) === want, s"doc $id")
+    }
+  }
+
   test("pii scrub counts and length delta match the denylist hits") {
     val got = graft.SparkEntry.queries("text_pii_scrub")(spark, sf)
       .collect()
