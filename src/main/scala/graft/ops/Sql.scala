@@ -86,7 +86,35 @@ object Sql {
        |FROM ranked WHERE rk <= 5
        |GROUP BY nk ORDER BY nk""".stripMargin
 
+  // SQL-dialect PIVOT clause (parser surface — the DataFrame .pivot side
+  // is events_pivot). The oracle uses the dialect-portable FILTER form:
+  // PIVOT syntax differs between engines, the result contract doesn't.
+  private val pivotSpark =
+    """SELECT * FROM (
+      |  SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders)
+      |PIVOT (COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+      |         AS DOUBLE) AS total
+      |       FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private val pivotOracle =
+    s"""SELECT o_orderpriority,
+       |  COUNT(*) FILTER (o_orderstatus = 'F') AS f_n,
+       |  ${dsumSql("o_totalprice")
+            .replace("o_totalprice", "CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_total,
+       |  COUNT(*) FILTER (o_orderstatus = 'O') AS o_n,
+       |  ${dsumSql("o_totalprice")
+            .replace("o_totalprice", "CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS o_total,
+       |  COUNT(*) FILTER (o_orderstatus = 'P') AS p_n,
+       |  ${dsumSql("o_totalprice")
+            .replace("o_totalprice", "CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS p_total
+       |FROM orders GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sql_pivot" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "orders"); s.sql(pivotSpark)
+    }),
     "sql_exists_subquery" -> ((s: SparkSession, d: String) => {
       reg(s, d, "supplier", "customer"); s.sql(existsSub)
     }),
@@ -108,6 +136,7 @@ object Sql {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_pivot" -> pivotOracle,
     "sql_exists_subquery" -> existsSub,
     "sql_cte_window" -> cte,
     "sql_q6_forecast" -> q6,

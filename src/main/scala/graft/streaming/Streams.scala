@@ -169,6 +169,56 @@ object Streams {
 
   // ---- custom state: flatMapGroupsWithState ---------------------------
 
+  case class TypeDay(event_type: String, day: String, n: Long)
+  case class DayScore(event_type: String, day: String, n: Long,
+    trailing_mean: Double, zscore: Double)
+
+  /** STREAMING ANOMALY SCORER — the stateful-stream twin of the batch
+    * `events_anomaly_zscore`: keyed by event_type, state is the last 7
+    * finalized (day, count) rows (a few hundred bytes per key, bounded
+    * by |types| keys — no timeout needed), and each incoming day is
+    * scored against the trailing window BEFORE being appended to it, so
+    * a day never contaminates its own baseline, exactly like the batch
+    * frame's `ROWS -7 .. -1`.
+    *
+    * Input contract: finalized daily counts in day order per key — what
+    * a watermarked tumbling-day aggregation in Append mode emits
+    * upstream. Within a micro-batch, rows are sorted by day before
+    * folding (a batch can carry several finalized days). StreamsSpec
+    * drives it through MemoryStream and pins equality with the batch
+    * query's scores.
+    */
+  def anomalyScores(daily: Dataset[TypeDay]): Dataset[DayScore] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Seq[(String, Long)], DayScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ty: String, rows: Iterator[TypeDay],
+         state: GroupState[Seq[(String, Long)]]) =>
+          var hist = state.getOption.getOrElse(Seq.empty)
+          val out = rows.toSeq.sortBy(_.day).flatMap { r =>
+            val scored =
+              if (hist.length == 7) {
+                val s1 = hist.map(_._2).sum.toDouble
+                val s2 = hist.map(c => c._2.toDouble * c._2).sum
+                val mean = s1 / 7.0
+                val variance = (s2 - s1 * s1 / 7.0) / 6.0
+                if (variance > 0)
+                  Some(DayScore(ty, r.day, r.n,
+                    BigDecimal(mean).setScale(6,
+                      BigDecimal.RoundingMode.HALF_UP).toDouble,
+                    BigDecimal((r.n - mean) / math.sqrt(variance)).setScale(6,
+                      BigDecimal.RoundingMode.HALF_UP).toDouble))
+                else None
+              } else None
+            hist = (hist :+ (r.day, r.n)).takeRight(7)
+            scored
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)

@@ -221,4 +221,34 @@ class StreamsSpec extends SparkSpec {
     assert(replayed.count() === evs.length.toLong)
     assert(replayed.select(col("event_id")).distinct().count() === evs.length.toLong)
   }
+
+  test("streaming anomaly scores equal the batch trailing-window query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // finalized daily counts, day-ordered per key — what the upstream
+    // watermarked day window emits
+    val daily = graft.sources.Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .count().orderBy(col("day"))
+      .collect()
+      .map(r => Streams.TypeDay(r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val mem = MemoryStream[Streams.TypeDay]
+    val query = Streams.anomalyScores(mem.toDS()).writeStream
+      .format("memory").queryName("zs").outputMode("append").start()
+    try {
+      val (b1, b2) = daily.splitAt(daily.length / 2)
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("zs").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val want = SparkEntry.queries("events_anomaly_zscore")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
