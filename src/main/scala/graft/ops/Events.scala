@@ -236,6 +236,47 @@ object Events {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // INTERVAL-INTERVAL OVERLAP JOIN — per session, how many OTHER
+    // sessions were concurrent (the concurrency/capacity question).
+    // A session×session theta join is corpus²; instead each interval
+    // explodes into the 1-hour buckets it spans (fan-out = duration/1h,
+    // bounded by the session-gap construction) and candidates come from
+    // the bucket equi-join, deduped, with the exact overlap predicate
+    // as residual — the interval generalization of events_range_join's
+    // point-in-interval bucketing. The session frame is checkpointed:
+    // both join sides and the zero-overlap left join read it.
+    "events_session_overlap" -> ((s: SparkSession, d: String) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = XF.epochUs(col("ts"))
+      val newSess = when(
+        us - lag(us, 1).over(byUser) >= gapUs ||
+          lag(us, 1).over(byUser).isNull, 1L).otherwise(0L)
+      val sess = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), us.as("us"),
+          sum(newSess).over(byUser).as("session_no"))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(min(col("us")).as("st"), max(col("us")).as("en"))
+        .localCheckpoint()
+      val bucketW = 3600000000L // 1 h
+      def bucketed(p: String): DataFrame = sess.select(
+        col("user_id").as(p + "u"), col("session_no").as(p + "n"),
+        col("st").as(p + "st"), col("en").as(p + "en"),
+        explode(sequence(floor(col("st") / bucketW).cast(LongType),
+          floor(col("en") / bucketW).cast(LongType))).as("bk"))
+      val overlaps = bucketed("a").join(bucketed("b"), Seq("bk"))
+        .filter(!(col("au") === col("bu") && col("an") === col("bn")))
+        .filter(col("ast") <= col("ben") && col("bst") <= col("aen"))
+        .select(col("au"), col("an"), col("bu"), col("bn")).distinct()
+        .groupBy(col("au").as("user_id"), col("an").as("session_no"))
+        .agg(count(lit(1)).as("nc"))
+      sess.join(overlaps, Seq("user_id", "session_no"), "left")
+        .select(col("user_id"), col("session_no"),
+          col("st").as("session_start_us"), col("en").as("session_end_us"),
+          coalesce(col("nc"), lit(0L)).as("n_concurrent"))
+        .orderBy(col("user_id"), col("session_no"))
+    }),
+
     // MARKOV TRANSITION MATRIX — first-order event-sequence model: per
     // user, lag() pairs each event with its predecessor (session
     // boundaries = user boundaries; the first event per user has no
@@ -543,6 +584,38 @@ object Events {
          |  FROM events)
          |WHERE rn = 1
          |ORDER BY user_id, event_type""".stripMargin,
+
+    // the oracle is the plain theta join — identical values, no buckets.
+    "events_session_overlap" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $gapUs
+         |           OR lag(epoch_us(ts)) OVER w IS NULL
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sn AS (
+         |  SELECT user_id, us,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS session_no
+         |  FROM e),
+         |sess AS (
+         |  SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+         |    MIN(us) AS st, MAX(us) AS en
+         |  FROM sn GROUP BY 1, 2),
+         |ov AS (
+         |  SELECT a.user_id, a.session_no, COUNT(*) AS nc
+         |  FROM sess a JOIN sess b
+         |    ON a.st <= b.en AND b.st <= a.en
+         |   AND NOT (a.user_id = b.user_id AND a.session_no = b.session_no)
+         |  GROUP BY 1, 2)
+         |SELECT s.user_id, s.session_no,
+         |  s.st AS session_start_us, s.en AS session_end_us,
+         |  COALESCE(ov.nc, 0) AS n_concurrent
+         |FROM sess s LEFT JOIN ov
+         |  ON s.user_id = ov.user_id AND s.session_no = ov.session_no
+         |ORDER BY s.user_id, s.session_no""".stripMargin,
 
     "events_markov_transitions" ->
       s"""WITH seq AS (

@@ -549,6 +549,76 @@ object Relational {
         .limit(100)
     }),
 
+    // REFERENTIAL-INTEGRITY AUDIT — every foreign-key edge of the
+    // schema checked in one output table: child row count + orphan
+    // count per edge. Each edge is a LEFT join against the DISTINCT
+    // parent key set (dim key sets broadcast; the fact-side scan
+    // streams), so the whole audit is a union of seven
+    // broadcast-join aggregates — the standing data-quality gate a
+    // warehouse runs after every load.
+    "audit_referential" -> ((s: SparkSession, d: String) => {
+      def edge(nm: String, child: DataFrame, fk: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.select(col(fk).as("k"))
+          .join(broadcast(parent.select(col(pk).as("k")).distinct()
+            .withColumn("hit", lit(1))), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan"))
+          .select(lit(nm).as("edge"), col("n_child"), col("n_orphan"))
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      Seq(
+        edge("customer_nation", t(s, d, "customer"), "c_nationkey",
+          t(s, d, "nation"), "n_nationkey"),
+        edge("lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem_part", li, "l_partkey", t(s, d, "part"), "p_partkey"),
+        edge("lineitem_supplier", li, "l_suppkey",
+          t(s, d, "supplier"), "s_suppkey"),
+        edge("nation_region", t(s, d, "nation"), "n_regionkey",
+          t(s, d, "region"), "r_regionkey"),
+        edge("orders_customer", o, "o_custkey",
+          t(s, d, "customer"), "c_custkey"),
+        edge("supplier_nation", t(s, d, "supplier"), "s_nationkey",
+          t(s, d, "nation"), "n_nationkey"))
+        .reduce(_.unionByName(_))
+        .orderBy(col("edge"))
+    }),
+
+    // EQUI-WIDTH HISTOGRAM — 50k-wide buckets over order totals via
+    // integer floor division (portable and exact; no width_bucket
+    // dialect dependence). One scan, one groupBy over ≤ range/width
+    // keys, map-side partials collapse everything.
+    "agg_histogram" -> ((s: SparkSession, d: String) => {
+      val w = 50000L
+      t(s, d, "orders")
+        .select((floor(col("o_totalprice") / w) * w).cast(LongType)
+          .as("bucket_lo"))
+        .groupBy(col("bucket_lo"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bucket_hi", col("bucket_lo") + w)
+        .select(col("bucket_lo"), col("bucket_hi"), col("n"))
+        .orderBy(col("bucket_lo"))
+    }),
+
+    // FUZZY JOIN — near-identical part names by edit distance ≤ 3,
+    // with first-character BLOCKING (the scale technique: candidates
+    // come from a cheap equi-join on a blocking key — phonetic code,
+    // n-gram, prefix — and the quadratic levenshtein only runs inside
+    // blocks; the oracle encodes the identical blocking, so the
+    // operator is exact w.r.t. its declared semantics). The distinct
+    // name frame is vocabulary-sized.
+    "fuzzy_join_parts" -> ((s: SparkSession, d: String) => {
+      val names = t(s, d, "part").select(col("p_name").as("nm")).distinct()
+      val a = names.select(col("nm").as("na"),
+        substring(col("nm"), 1, 1).as("blk"))
+      val b = names.select(col("nm").as("nb"),
+        substring(col("nm"), 1, 1).as("blk"))
+      a.join(b, Seq("blk")).filter(col("na") < col("nb"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")).cast(LongType))
+        .filter(col("dist") <= 3)
+        .select(col("na"), col("nb"), col("dist"))
+        .orderBy(col("na"), col("nb"))
+    }),
+
     // PAGERANK over the co-purchase graph (3 damped iterations, d =
     // 0.85) — the iterative-graph twin of dedup_clusters' label
     // propagation: per round ONE equi-join of the edge frame against
@@ -959,6 +1029,48 @@ object Relational {
          |WHERE o_custkey IN (
          |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
          |ORDER BY o_orderkey""".stripMargin,
+
+    "audit_referential" -> {
+      def edgeSql(nm: String, child: String, fk: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$nm' AS edge, COUNT(*) AS n_child,
+           |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_orphan
+           |FROM $child LEFT JOIN
+           |  (SELECT DISTINCT $pk AS k FROM $parent) p ON $fk = p.k"""
+          .stripMargin
+      Seq(
+        edgeSql("customer_nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edgeSql("lineitem_orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edgeSql("lineitem_part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        edgeSql("lineitem_supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        edgeSql("nation_region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        edgeSql("orders_customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edgeSql("supplier_nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    },
+
+    "agg_histogram" ->
+      """SELECT bucket_lo, bucket_lo + 50000 AS bucket_hi, COUNT(*) AS n
+        |FROM (SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT)
+        |        AS bucket_lo FROM orders)
+        |GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin,
+
+    "fuzzy_join_parts" ->
+      """WITH nm AS (SELECT DISTINCT p_name AS nm FROM part)
+        |SELECT a.nm AS na, b.nm AS nb,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM nm a JOIN nm b
+        |  ON substr(a.nm, 1, 1) = substr(b.nm, 1, 1) AND a.nm < b.nm
+        |WHERE levenshtein(a.nm, b.nm) <= 3
+        |ORDER BY na, nb""".stripMargin,
 
     "graph_pagerank" -> {
       def iter(k: Int): String =

@@ -131,6 +131,23 @@ class EventsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("session overlap counts match a brute-force interval scan") {
+    val sessions = SparkEntry.queries("events_sessions")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = SparkEntry.queries("events_session_overlap")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size === sessions.length)
+    sessions.foreach { case (u, sn, st, en) =>
+      val nc = sessions.count { case (u2, sn2, st2, en2) =>
+        (u2, sn2) != (u, sn) && st <= en2 && st2 <= en
+      }
+      assert(got((u, sn)) === ((st, en, nc.toLong)), s"session ($u,$sn)")
+    }
+  }
+
   test("markov transition rows are probability distributions over true counts") {
     val evs = graft.sources.Tables.t(spark, sf, "events")
       .select(col("user_id"), col("event_id"),

@@ -157,6 +157,54 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("referential audit reports full row counts and zero orphans") {
+    val rows = SparkEntry.queries("audit_referential")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows.size === 7)
+    // the generated testdata is referentially intact
+    assert(rows.values.forall(_._2 === 0L), rows.toString)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(rows("lineitem_orders")._1 === li)
+    assert(rows("lineitem_part")._1 === li)
+  }
+
+  test("histogram buckets partition the order total mass") {
+    val rows = SparkEntry.queries("agg_histogram")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    assert(rows.map(_._3).sum === orders.count())
+    rows.foreach { case (lo, hi, _) => assert(hi === lo + 50000L) }
+    // every order total falls inside its claimed bucket
+    val (mn, mx) = (rows.map(_._1).min, rows.map(_._2).max)
+    val range = orders.agg(min(col("o_totalprice")), max(col("o_totalprice")))
+      .head()
+    assert(range.getDouble(0) >= mn && range.getDouble(1) < mx)
+  }
+
+  test("fuzzy pairs are exactly the blocked close name pairs") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    val want = (for {
+      a <- names; b <- names
+      if a < b && a.head == b.head && lev(a, b) <= 3
+    } yield (a, b, lev(a, b).toLong)).sortBy(p => (p._1, p._2)).toSeq
+    val got = SparkEntry.queries("fuzzy_join_parts")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("pagerank micro-rank trajectory matches a JVM replay") {
     val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey").distinct().collect()
