@@ -236,6 +236,73 @@ object Events {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // A/B-TEST READOUT — deterministic hash bucketing (the assignment a
+    // real experiment framework computes: stable under retry, no
+    // rand()) into two variants, then per-variant exposure/conversion
+    // counts and the two-proportion z statistic. Everything reduces to
+    // exact integer counts in ONE user-level aggregation; the z formula
+    // is one chain of IEEE ops on those integers, rounded at 1e-6.
+    "events_ab_test" -> ((s: SparkSession, d: String) => {
+      val variant = pmod(XF.h32(concat(lit("exp1:"),
+        col("user_id").cast(StringType))), lit(2L))
+      // conversion = any BIG purchase (value > 200): every user makes
+      // some purchase in this data, so plain "any purchase" is
+      // degenerate (pooled rate 1.0 → zero z denominator)
+      val perUser = t(s, d, "events")
+        .select(col("user_id"), variant.as("variant"),
+          (col("event_type") === "purchase" && col("value") > 200.0)
+            .cast(LongType).as("is_conv"))
+        .groupBy(col("user_id"), col("variant"))
+        .agg(max(col("is_conv")).as("converted"))
+      // both arms in ONE conditional global aggregation (no per-arm
+      // filter branches + rejoin — fewer plan stages, and the divisions
+      // only ever see the final single row)
+      perUser.agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("variant") === 0, col("converted")).otherwise(0L))
+            .as("ca"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("variant") === 1, col("converted")).otherwise(0L))
+            .as("cb"))
+        .withColumn("pa", col("ca").cast(DoubleType) /
+          col("na").cast(DoubleType))
+        .withColumn("pb", col("cb").cast(DoubleType) /
+          col("nb").cast(DoubleType))
+        .withColumn("pp", (col("ca") + col("cb")).cast(DoubleType) /
+          (col("na") + col("nb")).cast(DoubleType))
+        .select(col("na"), col("ca"), XF.r6(col("pa")).as("rate_a"),
+          col("nb"), col("cb"), XF.r6(col("pb")).as("rate_b"),
+          // degenerate pooled rate (0 or 1) → no variance → null z;
+          // the when() also keeps ANSI mode from evaluating the
+          // division when the denominator would be zero
+          when(col("pp") > 0.0 && col("pp") < 1.0,
+            XF.r6((col("pb") - col("pa")) /
+              sqrt(col("pp") * (lit(1.0) - col("pp")) *
+                (lit(1.0) / col("na") + lit(1.0) / col("nb")))))
+            .as("zstat"))
+    }),
+
+    // TOP EVENT PATHS — the most common 3-step event-type sequences
+    // (the sequence-mining readout behind funnel design): two lead()
+    // steps on ONE user_id shuffle build per-event trigrams (user
+    // boundaries cut paths via the window), then a count over the
+    // |types|³-bounded path space and a TakeOrdered top-20.
+    "events_top_paths" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          XF.epochUs(col("ts")).as("us"), col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
     // INTERVAL-INTERVAL OVERLAP JOIN — per session, how many OTHER
     // sessions were concurrent (the concurrency/capacity question).
     // A session×session theta join is corpus²; instead each interval
@@ -584,6 +651,50 @@ object Events {
          |  FROM events)
          |WHERE rn = 1
          |ORDER BY user_id, event_type""".stripMargin,
+
+    "events_ab_test" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    ${XF.h32Sql("'exp1:' || CAST(user_id AS VARCHAR)")} % 2
+         |      AS variant,
+         |    MAX(CASE WHEN event_type = 'purchase'
+         |               AND value > CAST(200 AS DOUBLE)
+         |             THEN 1 ELSE 0 END) AS converted
+         |  FROM events GROUP BY 1, 2),
+         |ab AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS na,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+         |      AS BIGINT) AS ca,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nb,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+         |      AS BIGINT) AS cb
+         |  FROM pu),
+         |r AS (
+         |  SELECT *, CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+         |    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+         |    CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pp
+         |  FROM ab)
+         |SELECT na, ca, ROUND(pa, 6) AS rate_a,
+         |  nb, cb, ROUND(pb, 6) AS rate_b,
+         |  CASE WHEN pp > CAST(0 AS DOUBLE) AND pp < CAST(1 AS DOUBLE)
+         |    THEN ROUND((pb - pa) / sqrt(pp * (CAST(1 AS DOUBLE) - pp) *
+         |      (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6)
+         |  END AS zstat
+         |FROM r""".stripMargin,
+
+    "events_top_paths" ->
+      s"""WITH tri AS (
+         |  SELECT event_type || '>' ||
+         |    lead(event_type, 1) OVER w || '>' ||
+         |    lead(event_type, 2) OVER w AS path
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id
+         |               ORDER BY epoch_us(ts), event_id))
+         |SELECT path, COUNT(*) AS n FROM tri WHERE path IS NOT NULL
+         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     // the oracle is the plain theta join — identical values, no buckets.
     "events_session_overlap" ->

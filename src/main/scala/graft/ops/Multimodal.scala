@@ -170,6 +170,28 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // FRAME-LEVEL DEDUP — near-dup detection at the frame granularity
+    // (intros, logos, and freeze frames repeat across videos): every
+    // frame's fingerprint groups corpus-wide, and fingerprints seen in
+    // more than one document are reported with their occurrence count
+    // and keeper (min doc). One explode + one fp-keyed groupBy with
+    // map-side partials — frame volume is payload/FrameBytes, and the
+    // group key space collapses to the distinct-frame count.
+    "mm_frame_dedup" -> ((s: SparkSession, d: String) =>
+      media(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
+        .select(col("doc_id"),
+          XF.h32(col("text")
+            .substr(col("frame_no") * FrameBytes + lit(1), lit(FrameBytes)))
+            .as("frame_fp"))
+        .groupBy(col("frame_fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_frames"),
+          min(col("doc_id")).as("kept_doc_id"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("frame_fp"))),
+
     // exact payload dedup on the BYTES (round 4): the asset-level
     // counterpart of dedup_exact — identical media shipped under
     // different doc ids collapses on a binary md5, without ever decoding.
@@ -203,6 +225,21 @@ object Multimodal {
          |  FROM documents)
          |WHERE frame_no % 4 = 0
          |ORDER BY doc_id, frame_no""".stripMargin,
+
+    "mm_frame_dedup" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id,
+         |    ${XF.h32Sql(s"substr(text, frame_no * $FrameBytes + 1, $FrameBytes)")}
+         |      AS frame_fp
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      unnest(range(0, CAST(floor(n_chars / $FrameBytes) + 1 AS BIGINT)))
+         |        AS frame_no
+         |    FROM documents))
+         |SELECT frame_fp, COUNT(DISTINCT doc_id) AS n_docs,
+         |  COUNT(*) AS n_frames, MIN(doc_id) AS kept_doc_id
+         |FROM fr GROUP BY frame_fp HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY frame_fp""".stripMargin,
 
     "mm_features" -> {
       val feats = (0 until 8).map(j =>

@@ -635,14 +635,21 @@ object Relational {
     // |V| (same driver-side role as dedup_clusters' convergence
     // counter).
     "graph_pagerank" -> ((s: SparkSession, d: String) => {
+      // basket frame feeds both pair-join sides; the qualifying-pair
+      // frame feeds both edge orientations AND the degree count — each
+      // materialized once (the same single-computation rule as
+      // orders_market_basket; without these the corpus scan + self-join
+      // rerun per consumer).
       val bk = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .repartition(col("ok")).dropDuplicates("ok", "pk")
+        .localCheckpoint()
       val pairs = bk.select(col("ok"), col("pk").as("pa"))
         .join(bk.select(col("ok"), col("pk").as("pb")), Seq("ok"))
         .filter(col("pa") < col("pb"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 2)
+        .localCheckpoint()
       val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
         .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
       val ed = edges

@@ -111,7 +111,30 @@ object Sql {
        |FROM orders GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // LATERAL VIEW explode — the Hive-dialect generator syntax in Spark's
+  // parser; the oracle uses DuckDB's unnest, same contract.
+  private val lateralSpark =
+    """SELECT lang, token, COUNT(*) AS n
+      |FROM documents
+      |LATERAL VIEW explode(split(text, ' ')) tok AS token
+      |WHERE length(token) >= 8
+      |GROUP BY lang, token
+      |ORDER BY lang, n DESC, token
+      |LIMIT 50""".stripMargin
+
+  private val lateralOracle =
+    """SELECT lang, token, COUNT(*) AS n
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+      |      FROM documents)
+      |WHERE length(token) >= 8
+      |GROUP BY lang, token
+      |ORDER BY lang, n DESC, token
+      |LIMIT 50""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sql_lateral_explode" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "documents"); s.sql(lateralSpark)
+    }),
     "sql_pivot" -> ((s: SparkSession, d: String) => {
       reg(s, d, "orders"); s.sql(pivotSpark)
     }),
@@ -136,6 +159,7 @@ object Sql {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_lateral_explode" -> lateralOracle,
     "sql_pivot" -> pivotOracle,
     "sql_exists_subquery" -> existsSub,
     "sql_cte_window" -> cte,

@@ -131,6 +131,48 @@ class EventsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("ab test arms partition users and z matches a JVM recompute") {
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val conv = evs.groupBy(_._1).view.mapValues(_.exists(e =>
+      e._2 == "purchase" && e._3 > 200.0)).toMap
+    val byArm = conv.keys.groupBy(u => h32(s"exp1:$u") % 2)
+    val (na, ca) = (byArm(0L).size.toLong, byArm(0L).count(conv).toLong)
+    val (nb, cb) = (byArm(1L).size.toLong, byArm(1L).count(conv).toLong)
+    val r = SparkEntry.queries("events_ab_test")(spark, sf).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)) ===
+      ((na, ca, nb, cb)))
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pp = (ca + cb).toDouble / (na + nb)
+    if (pp > 0 && pp < 1) {
+      val z = (pb - pa) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+      assert(r.getDouble(6) ===
+        BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    } else assert(r.isNullAt(6))
+  }
+
+  test("top paths are the true trigram counts") {
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = evs.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(e => (e._3, e._2)).map(_._4).sliding(3)
+        .collect { case Array(a, b, c) => s"$a>$b>$c" }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = SparkEntry.queries("events_top_paths")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
   test("session overlap counts match a brute-force interval scan") {
     val sessions = SparkEntry.queries("events_sessions")(spark, sf)
       .collect()

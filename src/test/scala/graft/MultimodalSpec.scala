@@ -75,4 +75,33 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(4) <= 256, "sampled payload exceeds the stub budget")
     }
   }
+
+  test("frame dedup reports exactly the cross-doc repeated frames") {
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val frames = docs.flatMap { case (id, text, nChars) =>
+      (0L to nChars / 64).map { f =>
+        val start = (f * 64).toInt
+        val fp = h32(text.slice(start, start + 64))
+        (fp, id)
+      }
+    }
+    val want = frames.groupBy(_._1).collect {
+      case (fp, occ) if occ.map(_._2).distinct.length >= 2 =>
+        fp -> (occ.map(_._2).distinct.length.toLong, occ.length.toLong,
+          occ.map(_._2).min)
+    }
+    val got = graft.SparkEntry.queries("mm_frame_dedup")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === want.toMap)
+    assert(got.nonEmpty)
+  }
 }
