@@ -549,6 +549,70 @@ object Relational {
         .limit(100)
     }),
 
+    // RFM SEGMENTATION — the classic customer scoring: recency (days
+    // since last order at the corpus horizon), frequency (order
+    // count), monetary (exact long-cents total), each cut into
+    // quartiles by ntile over the customer frame, concatenated into
+    // the segment code. One shuffle builds the per-customer frame
+    // (customer-count-sized); the three ntile windows run over it with
+    // deterministic (metric, key) orderings.
+    "orders_rfm" -> ((s: SparkSession, d: String) => {
+      val horizon = to_timestamp(lit("2002-01-01 00:00:00"))
+      val perCust = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          datediff(horizon, max(col("o_orderdate"))).cast(LongType)
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("o_totalprice") * 100).cast(LongType))
+            .as("monetary_cents"))
+      def quartile(c: String, asc: Boolean): org.apache.spark.sql.Column =
+        ntile(4).over(Window.orderBy(
+          (if (asc) col(c).asc else col(c).desc), col("o_custkey")))
+          .cast(LongType)
+      perCust
+        .withColumn("r_score", quartile("recency_days", asc = true))
+        .withColumn("f_score", quartile("frequency", asc = false))
+        .withColumn("m_score", quartile("monetary_cents", asc = false))
+        .withColumn("segment", concat(col("r_score"), col("f_score"),
+          col("m_score")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // SWEEP-LINE CONCURRENCY CURVE — peak concurrent sessions per day:
+    // every session contributes a +1 at its start and a −1 just after
+    // its end; the running sum over the global time-ordered delta
+    // stream IS the concurrency curve, and the per-day max is the
+    // capacity readout. The companion of events_session_overlap — the
+    // same question answered by the sweep-line algorithm instead of
+    // the pair join (O(n log n), no pair blowup; the global ordering
+    // is the documented scale bound: range-partition the deltas and
+    // prefix-sum partition offsets — the standard distributed scan).
+    "events_concurrency_curve" -> ((s: SparkSession, d: String) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val newSess = when(
+        us - lag(us, 1).over(byUser) >= 30L * 60 * 1000000 ||
+          lag(us, 1).over(byUser).isNull, 1L).otherwise(0L)
+      val sess = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), us.as("us"),
+          sum(newSess).over(byUser).as("session_no"))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(min(col("us")).as("st"), max(col("us")).as("en"))
+      val deltas = sess.select(col("st").as("at"), lit(1L).as("d"))
+        .unionByName(sess.select((col("en") + 1).as("at"),
+          lit(-1L).as("d")))
+      val sweep = Window.orderBy(col("at"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("conc", sum(col("d")).over(sweep))
+        .groupBy(date_format(timestamp_micros(col("at")), "yyyy-MM-dd").as("day"))
+        .agg(max(col("conc")).as("peak_concurrency"),
+          count(lit(1)).as("n_boundary_events"))
+        .orderBy(col("day"))
+    }),
+
     // REFERENTIAL-INTEGRITY AUDIT — every foreign-key edge of the
     // schema checked in one output table: child row count + orphan
     // count per edge. Each edge is a LEFT join against the DISTINCT
@@ -1036,6 +1100,60 @@ object Relational {
          |WHERE o_custkey IN (
          |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
          |ORDER BY o_orderkey""".stripMargin,
+
+    "orders_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+        |      DATE '2002-01-01') AS BIGINT) AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY o_custkey),
+        |sc AS (
+        |  SELECT *,
+        |    CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey)
+        |      AS BIGINT) AS r_score,
+        |    CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+        |      AS BIGINT) AS f_score,
+        |    CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+        |      AS BIGINT) AS m_score
+        |  FROM pc)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |    CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+
+    "events_concurrency_curve" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+         |           >= 1800000000
+         |           OR lag(epoch_us(ts)) OVER w IS NULL
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sn AS (
+         |  SELECT user_id, us,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS session_no
+         |  FROM e),
+         |sess AS (
+         |  SELECT user_id, session_no, MIN(us) AS st, MAX(us) AS en
+         |  FROM sn GROUP BY 1, 2),
+         |deltas AS (
+         |  SELECT st AS at, 1 AS d FROM sess
+         |  UNION ALL SELECT en + 1, -1 FROM sess),
+         |curve AS (
+         |  SELECT at, CAST(SUM(d) OVER (ORDER BY at, d
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS conc
+         |  FROM deltas)
+         |SELECT strftime(make_timestamp(at), '%Y-%m-%d') AS day,
+         |  MAX(conc) AS peak_concurrency, COUNT(*) AS n_boundary_events
+         |FROM curve GROUP BY 1 ORDER BY day""".stripMargin,
 
     "audit_referential" -> {
       def edgeSql(nm: String, child: String, fk: String,

@@ -157,6 +157,52 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("rfm quartiles balance and metrics match a brute-force recompute") {
+    val rows = SparkEntry.queries("orders_rfm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate, r.getLong(2)))
+    val horizon = java.time.LocalDate.of(2002, 1, 1)
+    val byCust = orders.groupBy(_._1)
+    assert(rows.length === byCust.size)
+    rows.foreach { case (ck, rec, freq, mon, rs, fs, ms, seg) =>
+      val os = byCust(ck)
+      assert(freq === os.length.toLong, ck)
+      assert(mon === os.map(_._3).sum, ck)
+      val last = os.map(_._2).maxBy(_.toEpochDay)
+      assert(rec === java.time.temporal.ChronoUnit.DAYS.between(last, horizon), ck)
+      assert(Seq(rs, fs, ms).forall(x => x >= 1 && x <= 4), ck)
+      assert(seg === s"$rs$fs$ms", ck)
+    }
+    // each score's quartiles are balanced to within one customer
+    Seq(5, 6).foreach { i =>
+      val sizes = rows.groupBy(_.productElement(i - 1)).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("concurrency curve peak matches a JVM sweep line") {
+    val sessions = SparkEntry.queries("events_sessions")(spark, sf)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val deltas = (sessions.map(s => (s._1, 1L)) ++
+      sessions.map(s => (s._2 + 1, -1L))).sortBy(d => (d._1, d._2))
+    var run = 0L
+    val curve = deltas.map { case (at, d) => run += d; (at, run) }
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val want = curve.groupBy { case (at, _) =>
+      fmt.format(java.time.Instant.ofEpochSecond(at / 1000000))
+    }.view.mapValues(v => (v.map(_._2).max, v.length.toLong)).toMap
+    val got = SparkEntry.queries("events_concurrency_curve")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === want)
+  }
+
   test("referential audit reports full row counts and zero orphans") {
     val rows = SparkEntry.queries("audit_referential")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
