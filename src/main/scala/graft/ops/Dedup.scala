@@ -577,6 +577,42 @@ object Dedup {
         .orderBy(col("i"), col("j"))
     }),
 
+    // MINHASH ESTIMATOR CALIBRATION — per LSH candidate pair, the
+    // sketch-estimated Jaccard (matching minhashes / K) against the
+    // exact set Jaccard, with the absolute error: the table that tells
+    // you whether K and the banding are tuned for the corpus before
+    // trusting the sketch at 100 TB (where exact verification is
+    // sampled, not universal). Candidates and signatures come from the
+    // same frames dedup_minhash_lsh uses; band-collision pairs sharing
+    // NO shingle get exact Jaccard 0 (the estimator's false-positive
+    // rows — precisely the ones worth seeing here).
+    "dedup_minhash_estimate" -> ((s: SparkSession, d: String) => {
+      val sh = shingleDf(s, d)
+      val mins = (0 until K).map(k => min(mhCol(k)).as(s"m$k"))
+      val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val bands = minhashBands(sh)
+      val cand = postingPairs(bands.groupBy(col("band"), col("sig"))
+          .agg(collect_list(col("doc_id")).as("ds")))
+        .select(col("a").as("i"), col("b").as("j")).distinct()
+      val matches = (0 until K).map(k =>
+        when(col(s"a.m$k") === col(s"b.m$k"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val est = cand
+        .join(mh.as("a"), col("i") === col("a.doc_id"))
+        .join(mh.as("b"), col("j") === col("b.doc_id"))
+        .select(col("i"), col("j"), matches.as("n_match"))
+      val exact = verifyJaccard(cand, docSets(sh))
+        .select(col("i"), col("j"), col("jac"))
+      est.join(exact, Seq("i", "j"))
+        .select(col("i"), col("j"), col("n_match"),
+          XF.r6(col("n_match").cast(DoubleType) / lit(K.toDouble))
+            .as("est_jac"),
+          XF.r6(col("jac")).as("exact_jac"),
+          XF.r6(abs(col("n_match").cast(DoubleType) / lit(K.toDouble) -
+            col("jac"))).as("abs_err"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // INCREMENTAL dedup — the continuous-crawl shape: flag each NEW-batch
     // doc (every 5th doc plays the incoming batch) against the EXISTING
     // corpus with (a) an exact content-hash probe and (b) a minhash
@@ -720,6 +756,29 @@ object Dedup {
          |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
          |WHERE jac.jac >= CAST(0.7 AS DOUBLE)
          |ORDER BY jac.i, jac.j""".stripMargin,
+
+    "dedup_minhash_estimate" -> {
+      val matchSum = (0 until K).map(k =>
+        s"(CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $jaccardPairsSql,
+         |$minhashBandsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id i, b.doc_id j
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.i, c.j, CAST($matchSum AS BIGINT) AS n_match
+         |  FROM cand c JOIN mh a ON a.doc_id = c.i
+         |  JOIN mh b ON b.doc_id = c.j)
+         |SELECT e.i, e.j, e.n_match,
+         |  ROUND(CAST(n_match AS DOUBLE) / CAST($K AS DOUBLE), 6)
+         |    AS est_jac,
+         |  ROUND(COALESCE(jac.jac, CAST(0 AS DOUBLE)), 6) AS exact_jac,
+         |  ROUND(abs(CAST(n_match AS DOUBLE) / CAST($K AS DOUBLE) -
+         |    COALESCE(jac.jac, CAST(0 AS DOUBLE))), 6) AS abs_err
+         |FROM est e LEFT JOIN jac ON jac.i = e.i AND jac.j = e.j
+         |ORDER BY e.i, e.j""".stripMargin
+    },
 
     "dedup_incremental" ->
       s"""WITH sh AS ($shingleSql),

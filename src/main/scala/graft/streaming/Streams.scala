@@ -169,6 +169,47 @@ object Streams {
 
   // ---- custom state: flatMapGroupsWithState ---------------------------
 
+  case class KeyState(user_id: Long, event_type: String,
+    last_event_id: Long, last_us: Long, last_value: Double)
+
+  /** STREAMING CDC UPSERT — the stateful-stream twin of the batch
+    * `events_cdc_upsert`: state per (user, type) key is the current
+    * latest row; each micro-batch folds its events in (µs, event_id)
+    * order and emits the key's new state — an Update-mode changelog of
+    * the latest-state table the batch query computes at rest. State is
+    * one small row per live key (the store the batch compaction would
+    * bootstrap); StreamsSpec pins final-state equality with the batch
+    * query after an out-of-order two-batch replay.
+    */
+  def cdcLatestState(events: Dataset[Ev]): Dataset[KeyState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[KeyState, KeyState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), evs: Iterator[Ev],
+         state: GroupState[KeyState]) =>
+          // µs-exact event time (getTime alone is ms and would merge
+          // same-millisecond versions the batch query distinguishes)
+          def us(e: Ev): Long =
+            e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+          val incoming = evs.toSeq.sortBy(e => (us(e), e.event_id))
+          val next = incoming.foldLeft(state.getOption) { (cur, e) =>
+            cur match {
+              case Some(st) if st.last_us > us(e) ||
+                (st.last_us == us(e) && st.last_event_id >= e.event_id) =>
+                cur
+              case _ => Some(KeyState(key._1, key._2, e.event_id, us(e),
+                e.value))
+            }
+          }
+          next match {
+            case Some(st) if !state.getOption.contains(st) =>
+              state.update(st); Iterator(st)
+            case _ => Iterator.empty
+          }
+      }
+  }
+
   case class TypeDay(event_type: String, day: String, n: Long)
   case class DayScore(event_type: String, day: String, n: Long,
     trailing_mean: Double, zscore: Double)

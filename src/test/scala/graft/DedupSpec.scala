@@ -5,6 +5,34 @@ import graft.ops.Dedup
 
 class DedupSpec extends SparkSpec {
 
+  test("minhash estimate covers all LSH candidates consistently") {
+    val rows = SparkEntry.queries("dedup_minhash_estimate")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(rows.nonEmpty)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (pair, (nMatch, est, exact, err)) =>
+      // a shared band pins its 3 row hashes equal
+      assert(nMatch >= 3 && nMatch <= 12, pair)
+      assert(est === r6(nMatch / 12.0), pair)
+      // exact_jac in the output is itself rounded, so replaying err
+      // from it can differ by one more half-ulp at the 1e-6 scale
+      assert(math.abs(err - r6(math.abs(nMatch / 12.0 - exact))) <= 2e-6,
+        pair)
+    }
+    // the confirmed LSH near-dups all appear with their exact jaccard
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    lsh.foreach { case (pair, jac) =>
+      assert(rows.contains(pair), pair)
+      assert(math.abs(rows(pair)._3 - jac) < 1e-6, pair)
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = graft.SparkEntry.queries("dedup_exact")(spark, sf)
     val kept = once.select(col("kept_doc_id"))

@@ -222,6 +222,35 @@ class StreamsSpec extends SparkSpec {
     assert(replayed.select(col("event_id")).distinct().count() === evs.length.toLong)
   }
 
+  test("streaming cdc state converges to the batch latest-state snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = sampleEvents()
+    val mem = MemoryStream[Ev]
+    val query = Streams.cdcLatestState(mem.toDS()).writeStream
+      .format("memory").queryName("cdc").outputMode("update").start()
+    try {
+      // out-of-order delivery: second half first
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      mem.addData(b2); query.processAllAvailable()
+      mem.addData(b1); query.processAllAvailable()
+    } finally query.stop()
+    // per-key final state = the max-version update emitted
+    val got = spark.table("cdc").collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(3), r.getLong(2), r.getDouble(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = SparkEntry.queries("events_cdc_upsert")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(3), r.getLong(2), r.getDouble(4))))
+      .filter(k => evs.exists(e => e.user_id == k._1._1 &&
+        e.event_type == k._1._2))
+      .toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming anomaly scores equal the batch trailing-window query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
