@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan shape pins for the round-5 operators: the candidate
+  * generation in every pair-producing query must be an equi-join
+  * (bucket, block, or key), never a cartesian/nested-loop fallback —
+  * these asserts fail loudly if a future refactor lets Catalyst fall
+  * back to the quadratic plan. (Counterpart of the shape pins in
+  * BandJoinRuleSpec / DedupSpec / RelationalSpec for earlier rounds.)
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private val mustBeEquiJoined = Seq(
+    "events_session_overlap", // hour-bucket equi-join, overlap residual
+    "graph_pagerank",         // edge equi-joins per iteration
+    "fuzzy_join_parts",       // blocking-key equi-join
+    "dedup_containment",      // prefix-vs-index shingle equi-join
+    "dedup_minhash_estimate", // band-bucket candidates
+    "curate_pipeline_e2e",    // hash-partition dedup + broadcast strata
+    "events_attribution")     // user_id equi-join, time residual
+
+  mustBeEquiJoined.foreach { q =>
+    test(s"$q plans without cartesian or nested-loop joins") {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(1500)}")
+    }
+  }
+
+  test("orders_market_basket pair join is keyed; only the scalar is BNLJ") {
+    val p = plan("orders_market_basket")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the single-row n_orders broadcast is the one permitted
+    // nested-loop (a 1×N scalar attach, not a pair generator)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"unexpected nested-loop joins\n${p.take(1500)}")
+  }
+
+  test("audit_referential broadcasts every parent key set") {
+    val p = plan("audit_referential")
+    // seven edges, each a BroadcastHashJoin against the parent keys
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n === 7, s"expected 7 broadcast joins, saw $n\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("text_pii_scrub is map-only: no exchange before the sort") {
+    val p = plan("text_pii_scrub")
+    // exactly the top-k/sort exchange, nothing from the scrub itself
+    val exchanges = "Exchange (?:rangepartitioning|hashpartitioning)".r
+      .findAllIn(p).length
+    assert(exchanges <= 1, s"scrub added exchanges\n${p.take(1500)}")
+  }
+}
