@@ -287,6 +287,44 @@ object Relational {
           .select(col("o_custkey")))
         .orderBy(col("c_custkey"))),
 
+    // BAG-semantics intersect/except (…ALL): multiplicities matter —
+    // a customer with 3 P-orders and 2 F-orders contributes
+    // min(3,2)=2 rows to the intersection and 3-2=1 to the difference.
+    "set_intersect_all" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey"))
+        .intersectAll(t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))),
+
+    "set_except_all" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey"))
+        .exceptAll(t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))),
+
+    // RIGHT outer join — the remaining join-type slot: parts with
+    // their lineitem count, null-preserved from the right side.
+    "join_right_parts" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem").select(col("l_partkey"), col("l_quantity"))
+        .join(t(s, d, "part").select(col("p_partkey"), col("p_name")),
+          col("l_partkey") === col("p_partkey"), "right")
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(count(col("l_partkey")).as("n_lineitems"),
+          coalesce(sum(round(col("l_quantity")).cast(LongType)), lit(0L))
+            .as("total_qty"))
+        .orderBy(col("p_partkey"))),
+
+    // grouping_id over a rollup — disambiguates NULL-as-data from
+    // NULL-as-subtotal (the part of the rollup surface agg_rollup's
+    // value columns alone cannot express).
+    "agg_grouping_id" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))),
+
     // UNION ALL keeps duplicates (bag semantics) — distinct from the
     // set-union above.
     "set_union_all" -> ((s: SparkSession, d: String) =>
@@ -1100,6 +1138,33 @@ object Relational {
          |WHERE o_custkey IN (
          |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
          |ORDER BY o_orderkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "join_right_parts" ->
+      """SELECT p_partkey, p_name, COUNT(l_partkey) AS n_lineitems,
+        |  COALESCE(CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT),
+        |    0) AS total_qty
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY p_partkey""".stripMargin,
+
+    "agg_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
 
     "orders_rfm" ->
       """WITH pc AS (

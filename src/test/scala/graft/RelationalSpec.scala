@@ -157,6 +157,45 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("bag set ops respect multiplicities; right join covers all parts") {
+    val p = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "P").groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "F").groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inter = SparkEntry.queries("set_intersect_all")(spark, sf)
+      .groupBy(col("o_custkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val diff = SparkEntry.queries("set_except_all")(spark, sf)
+      .groupBy(col("o_custkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (p.keySet ++ f.keySet).foreach { k =>
+      val (np, nf) = (p.getOrElse(k, 0L), f.getOrElse(k, 0L))
+      assert(inter.getOrElse(k, 0L) === math.min(np, nf), k)
+      assert(diff.getOrElse(k, 0L) === math.max(0L, np - nf), k)
+    }
+    val rj = SparkEntry.queries("join_right_parts")(spark, sf)
+    assert(rj.count() ===
+      spark.read.parquet(s"$sf/part.parquet").count())
+  }
+
+  test("grouping_id distinguishes subtotal levels of the rollup") {
+    val rows = SparkEntry.queries("agg_grouping_id")(spark, sf)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3)))
+    // gid 0 = leaf, 1 = priority subtotal, 3 = grand total
+    assert(rows.map(_._4).toSet === Set(0L, 1L, 3L))
+    val grand = rows.filter(_._4 == 3L)
+    assert(grand.length === 1 && grand.head._1.isEmpty && grand.head._2.isEmpty)
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(grand.head._3 === nOrders)
+    assert(rows.filter(_._4 == 0L).map(_._3).sum === nOrders)
+    // a NULL inside gid=0 rows would be data, not subtotal — none here,
+    // but the gid column is what makes that distinction expressible
+    rows.filter(_._4 == 1L).foreach(r => assert(r._2.isEmpty, r))
+  }
+
   test("rfm quartiles balance and metrics match a brute-force recompute") {
     val rows = SparkEntry.queries("orders_rfm")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
