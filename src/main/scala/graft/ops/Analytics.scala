@@ -238,6 +238,27 @@ object Analytics {
         .orderBy(col("flag"))
     }),
 
+    // MOVING MEDIAN — order statistics over a sliding frame, which no
+    // built-in window aggregate provides exactly: collect the 7-row
+    // trailing frame per (type, day), sort the array, index its
+    // middle. The collected frame is bounded by the frame SPEC (7
+    // rows), not the data — the distinction that makes collect_list
+    // inside a window legitimate here and a memory hazard anywhere the
+    // frame is unbounded. Day series per type are tiny forever.
+    "win_moving_median" -> ((s: SparkSession, d: String) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), XF.dateS(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("frame", sort_array(collect_list(col("n")).over(w)))
+        .filter(size(col("frame")) === 7)
+        .select(col("event_type"), col("day"), col("n"),
+          element_at(col("frame"), 4).as("median7"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // TWO-PHASE SALTED AGGREGATION — the skew-safe groupBy twin of
     // join_salted: a hot group key at 100 TB funnels its whole group
     // through one reducer; salting the first phase spreads each key
@@ -381,6 +402,20 @@ object Analytics {
         |SELECT m.flag, m.mode_qty, m.mode_n, med.median_qty, med.n
         |FROM mode m JOIN med USING (flag) WHERE m.rn = 1
         |ORDER BY m.flag""".stripMargin,
+
+    "win_moving_median" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         |    COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |fr AS (
+         |  SELECT event_type, day, n,
+         |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS frame
+         |  FROM daily)
+         |SELECT event_type, day, n, frame[4] AS median7
+         |FROM fr WHERE len(frame) = 7
+         |ORDER BY event_type, day""".stripMargin,
 
     // the oracle is the UNSALTED single-phase aggregation: matching it
     // exactly is the salted plan's correctness claim.

@@ -183,6 +183,36 @@ object Similarity {
             col("n").cast(DoubleType) / lit(1048576.0)).as("centroid"))
         .orderBy(col("label"), col("dim"))),
 
+    // EMBEDDING OUTLIERS — the per-class farthest members: each label's
+    // centroid in floor-div micro units (floor via pmod keeps Spark's
+    // truncating DIV and DuckDB's flooring // in agreement on negative
+    // sums), then each member's EXACT integer squared distance to its
+    // centroid, ranked per label, top 3 kept. (q−c) ≤ 2^21 per dim so
+    // the 64-dim squared sum stays ≤ 2^48 — exact in a long. The
+    // curation pass that flags corrupt/mislabeled embeddings before
+    // they poison retrieval; centroid frame is labels × dims and
+    // broadcasts.
+    "emb_outliers" -> ((s: SparkSession, d: String) => {
+      val cells = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(Dedup.qvec(col("embedding"))).as(Seq("dim", "qv")))
+      val cent = cells.groupBy(col("label"), col("dim"))
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("c", expr("(sq - pmod(sq, n)) DIV n")) // exact: divisible
+        .select(col("label"), col("dim"), col("c"))
+      val d2 = cells
+        .join(broadcast(cent), Seq("label", "dim"))
+        .withColumn("dd", col("qv") - col("c"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sum(col("dd") * col("dd")).as("dist2"))
+      d2.withColumn("rk", row_number().over(Window.partitionBy(col("label"))
+          .orderBy(col("dist2").desc, col("vec_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("label").cast(LongType).as("label"), col("vec_id"),
+          col("dist2"), col("rk").cast(LongType).as("rk"))
+        .orderBy(col("label"), col("rk"))
+    }),
+
     // per-DIMENSION embedding profile: mean / variance / min / max for
     // each of the 64 dims in one pass — the drift/collapse monitor an
     // embedding pipeline runs before trusting cosine geometry (a dim
@@ -361,6 +391,33 @@ object Similarity {
          |FROM nn x JOIN nn y ON x.u = y.v AND x.v = y.u AND x.u < x.v
          |WHERE x.rk <= 3 AND y.rk <= 3
          |ORDER BY i, j""".stripMargin,
+
+    "emb_outliers" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim, q[i] AS qv
+         |  FROM (SELECT vec_id, label, ${Dedup.qvecSql} AS q
+         |        FROM embeddings),
+         |       unnest(range(1, len(q) + 1)) t(i)),
+         |cent AS (
+         |  SELECT label, dim,
+         |    (CAST(SUM(qv) AS BIGINT) -
+         |     ((CAST(SUM(qv) AS BIGINT) % COUNT(*) + COUNT(*)) % COUNT(*)))
+         |      // COUNT(*) AS c
+         |  FROM cells GROUP BY 1, 2),
+         |d2 AS (
+         |  SELECT cells.label, vec_id,
+         |    CAST(SUM((qv - c) * (qv - c)) AS BIGINT) AS dist2
+         |  FROM cells JOIN cent ON cells.label = cent.label
+         |    AND cells.dim = cent.dim
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT label, vec_id, dist2,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY dist2 DESC, vec_id) AS rk
+         |  FROM d2)
+         |SELECT CAST(label AS BIGINT) AS label, vec_id, dist2,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM rk WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
 
     "emb_dim_stats" -> {
       // DuckDB bare numeric literals are DECIMAL, not DOUBLE (XF contract)

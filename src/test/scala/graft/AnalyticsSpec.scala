@@ -117,6 +117,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(nz === raw)
   }
 
+  test("moving median matches a JVM sliding-frame recompute") {
+    val daily = graft.sources.Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.collect {
+        case i if i >= 6 =>
+          val frame = sorted.slice(i - 6, i + 1).map(_._3).sorted
+          (sorted(i)._1, sorted(i)._2) -> frame(3)
+      }
+    }.toMap
+    val got = SparkEntry.queries("win_moving_median")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("mode and discrete median match a brute-force recompute") {
     val got = q("agg_mode_median").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -89,6 +89,35 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(d0.getDouble(2) - wantMean) < 1e-9)
   }
 
+  test("embedding outliers are the true farthest-from-centroid members") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray.map(v =>
+          math.floor(v.toDouble * 1048576.0).toLong)))
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (label, vs) =>
+      val n = vs.length.toLong
+      val dims = vs.head._3.length
+      val cent = (0 until dims).map { d =>
+        val s = vs.map(_._3(d)).sum
+        (s - (((s % n) + n) % n)) / n // floor division
+      }
+      vs.map { case (id, _, q) =>
+        val d2 = (0 until dims).map { d =>
+          val dd = q(d) - cent(d); dd * dd
+        }.sum
+        (label, id, d2)
+      }.sortBy(v => (-v._3, v._2)).take(3).zipWithIndex
+        .map { case ((l, id, d2), i) => (l, i + 1L) -> (id, d2) }
+    }
+    val got = SparkEntry.queries("emb_outliers")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === want.toMap)
+    assert(got.nonEmpty)
+  }
+
   test("knn graph edges are exactly the mutual top-3 pairs") {
     val vs = vecs.filter(_._1 < 100)
     val top3 = vs.keys.map { u =>
