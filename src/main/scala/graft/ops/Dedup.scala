@@ -218,9 +218,14 @@ object Dedup {
     * pairs) and `dedup_incremental` (new-batch probe against the corpus
     * index). One groupBy-min shuffle, then a Bands-way explode.
     */
-  private def minhashBands(sh: DataFrame): DataFrame = {
+  /** Per-doc K-column minhash signature frame (one groupBy-min shuffle). */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
     val mins = (0 until K).map(k => min(mhCol(k)).as(s"m$k"))
-    val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Band rows from an existing signature frame (Bands-way explode). */
+  private def bandsFromSigs(mh: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val sig = concat_ws("_",
         (0 until Rows).map(r => col(s"m${b * Rows + r}")): _*)
@@ -229,6 +234,9 @@ object Dedup {
     mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
+
+  private def minhashBands(sh: DataFrame): DataFrame =
+    bandsFromSigs(minhashSigs(sh))
 
   /** DuckDB twin of [[minhashBands]]: CTEs `mh` + `bands`; requires a
     * shingle CTE `sh(doc_id, s)` in scope. */
@@ -588,9 +596,12 @@ object Dedup {
     // rows — precisely the ones worth seeing here).
     "dedup_minhash_estimate" -> ((s: SparkSession, d: String) => {
       val sh = shingleDf(s, d)
-      val mins = (0 until K).map(k => min(mhCol(k)).as(s"m$k"))
-      val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      val bands = minhashBands(sh)
+      // the signature frame feeds both the band explode and the
+      // per-pair match-count join — materialize it once (docs × 12
+      // longs; without this the shingle scan + 12-way min aggregation
+      // run once per branch)
+      val mh = minhashSigs(sh).localCheckpoint()
+      val bands = bandsFromSigs(mh)
       val cand = postingPairs(bands.groupBy(col("band"), col("sig"))
           .agg(collect_list(col("doc_id")).as("ds")))
         .select(col("a").as("i"), col("b").as("j")).distinct()

@@ -26,7 +26,10 @@ import graft.sources.Tables.t
   */
 object Events {
 
-  private val gapUs = 30L * 60 * 1000000 // 30-min session gap
+  // 30-min session gap — shared with the Relational-side session
+  // consumers (events_concurrency_curve) so the two overlap algorithms
+  // can never drift onto different session definitions
+  private[ops] val gapUs = 30L * 60 * 1000000
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
@@ -264,18 +267,23 @@ object Events {
           sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"),
           sum(when(col("variant") === 1, col("converted")).otherwise(0L))
             .as("cb"))
-        .withColumn("pa", col("ca").cast(DoubleType) /
-          col("na").cast(DoubleType))
-        .withColumn("pb", col("cb").cast(DoubleType) /
-          col("nb").cast(DoubleType))
-        .withColumn("pp", (col("ca") + col("cb")).cast(DoubleType) /
-          (col("na") + col("nb")).cast(DoubleType))
+        // every division is when()-guarded: ANSI mode faults ANY zero
+        // divisor (doubles included), and an empty arm (all users
+        // hashing to one variant on a tiny corpus) must yield null
+        // rates, not a query error
+        .withColumn("pa", when(col("na") > 0, col("ca").cast(DoubleType) /
+          col("na").cast(DoubleType)))
+        .withColumn("pb", when(col("nb") > 0, col("cb").cast(DoubleType) /
+          col("nb").cast(DoubleType)))
+        .withColumn("pp", when(col("na") + col("nb") > 0,
+          (col("ca") + col("cb")).cast(DoubleType) /
+            (col("na") + col("nb")).cast(DoubleType)))
         .select(col("na"), col("ca"), XF.r6(col("pa")).as("rate_a"),
           col("nb"), col("cb"), XF.r6(col("pb")).as("rate_b"),
-          // degenerate pooled rate (0 or 1) → no variance → null z;
-          // the when() also keeps ANSI mode from evaluating the
-          // division when the denominator would be zero
-          when(col("pp") > 0.0 && col("pp") < 1.0,
+          // degenerate pooled rate (0 or 1, or an empty arm) → no
+          // variance → null z
+          when(col("na") > 0 && col("nb") > 0 &&
+              col("pp") > 0.0 && col("pp") < 1.0,
             XF.r6((col("pb") - col("pa")) /
               sqrt(col("pp") * (lit(1.0) - col("pp")) *
                 (lit(1.0) / col("na") + lit(1.0) / col("nb")))))
@@ -673,13 +681,19 @@ object Events {
          |      AS BIGINT) AS cb
          |  FROM pu),
          |r AS (
-         |  SELECT *, CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
-         |    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
-         |    CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pp
+         |  SELECT *,
+         |    CASE WHEN na > 0
+         |      THEN CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) END AS pa,
+         |    CASE WHEN nb > 0
+         |      THEN CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) END AS pb,
+         |    CASE WHEN na + nb > 0
+         |      THEN CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+         |    END AS pp
          |  FROM ab)
          |SELECT na, ca, ROUND(pa, 6) AS rate_a,
          |  nb, cb, ROUND(pb, 6) AS rate_b,
-         |  CASE WHEN pp > CAST(0 AS DOUBLE) AND pp < CAST(1 AS DOUBLE)
+         |  CASE WHEN na > 0 AND nb > 0
+         |         AND pp > CAST(0 AS DOUBLE) AND pp < CAST(1 AS DOUBLE)
          |    THEN ROUND((pb - pa) / sqrt(pp * (CAST(1 AS DOUBLE) - pp) *
          |      (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6)
          |  END AS zstat

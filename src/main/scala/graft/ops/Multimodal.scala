@@ -144,7 +144,13 @@ object Multimodal {
     // arithmetic decides the target shape.
     "mm_resize" -> ((s: SparkSession, d: String) => {
       val longSide = greatest(col("width"), col("height")).cast(LongType)
-      val stride = ceil(col("n_chars").cast(DoubleType) / 256.0).cast(LongType)
+      // empty payload guard: n_chars = 0 would make the stride 0 and
+      // the sample count 0/0 — an ANSI divide-by-zero. stride floors
+      // at 1; n_sampled is then 0 and the empty sequence produces the
+      // empty-string fingerprint, which is the right degenerate answer.
+      val stride = greatest(
+        ceil(col("n_chars").cast(DoubleType) / 256.0).cast(LongType),
+        lit(1L))
       val nS = ceil(col("n_chars").cast(DoubleType) /
         col("stride").cast(DoubleType)).cast(LongType)
       media(s, d)
@@ -161,8 +167,13 @@ object Multimodal {
         // The split is hoisted to its own column — inside the transform
         // lambda it would re-evaluate per element.
         .withColumn("chars", split(col("text"), ""))
+        // sequence(0, -1) DESCENDS in Spark, so an empty doc
+        // (n_sampled = 0) takes the empty-array branch explicitly
         .withColumn("resized_fp", XF.h32(array_join(
-          transform(sequence(lit(0L), col("n_sampled") - 1),
+          transform(
+            when(col("n_sampled") > 0,
+              sequence(lit(0L), col("n_sampled") - 1))
+              .otherwise(array().cast("array<bigint>")),
             i => element_at(col("chars"),
               (i * col("stride") + 1).cast(IntegerType))), "")))
         .select(col("doc_id"), col("out_w"), col("out_h"),
@@ -180,7 +191,13 @@ object Multimodal {
     "mm_frame_dedup" -> ((s: SparkSession, d: String) =>
       media(s, d)
         .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
+          // exclude frames starting past the payload end: a doc whose
+          // length is an exact multiple of FrameBytes gets a trailing
+          // EMPTY frame from the n_frames formula, and the constant
+          // empty-string fingerprint would link every such doc into one
+          // bogus "repeated frame" cluster
+          explode(filter(sequence(lit(0), col("n_frames") - 1),
+            i => i * FrameBytes < col("n_chars"))).as("frame_no"))
         .select(col("doc_id"),
           XF.h32(col("text")
             .substr(col("frame_no") * FrameBytes + lit(1), lit(FrameBytes)))
@@ -232,10 +249,11 @@ object Multimodal {
          |    ${XF.h32Sql(s"substr(text, frame_no * $FrameBytes + 1, $FrameBytes)")}
          |      AS frame_fp
          |  FROM (
-         |    SELECT doc_id, text,
+         |    SELECT doc_id, text, n_chars,
          |      unnest(range(0, CAST(floor(n_chars / $FrameBytes) + 1 AS BIGINT)))
          |        AS frame_no
-         |    FROM documents))
+         |    FROM documents)
+         |  WHERE frame_no * $FrameBytes < n_chars)
          |SELECT frame_fp, COUNT(DISTINCT doc_id) AS n_docs,
          |  COUNT(*) AS n_frames, MIN(doc_id) AS kept_doc_id
          |FROM fr GROUP BY frame_fp HAVING COUNT(DISTINCT doc_id) >= 2
@@ -266,7 +284,8 @@ object Multimodal {
          |  SELECT doc_id, text, n_chars,
          |    CAST(64 + ${XF.h32Sql("text", 1)} % 192 AS BIGINT) AS width,
          |    CAST(64 + ${XF.h32Sql("text", 9)} % 192 AS BIGINT) AS height,
-         |    CAST(ceil(CAST(n_chars AS DOUBLE) / CAST(256 AS DOUBLE)) AS BIGINT) AS stride
+         |    GREATEST(CAST(ceil(CAST(n_chars AS DOUBLE) /
+         |      CAST(256 AS DOUBLE)) AS BIGINT), 1) AS stride
          |  FROM documents),
          |m2 AS (
          |  SELECT *,
@@ -280,8 +299,8 @@ object Multimodal {
          |  FROM m2, unnest(range(0, n_sampled)) t(i)
          |  GROUP BY doc_id)
          |SELECT m2.doc_id, out_w, out_h, stride, n_sampled,
-         |  ${XF.h32Sql("rs")} AS resized_fp
-         |FROM m2 JOIN samp ON m2.doc_id = samp.doc_id
+         |  ${XF.h32Sql("COALESCE(rs, '')")} AS resized_fp
+         |FROM m2 LEFT JOIN samp ON m2.doc_id = samp.doc_id
          |ORDER BY m2.doc_id""".stripMargin,
 
     // DuckDB's md5 takes VARCHAR only; payload IS the UTF-8 encoding of

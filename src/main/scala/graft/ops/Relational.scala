@@ -518,11 +518,15 @@ object Relational {
       def hitSql(p: String) =
         s"""(element_at((SELECT bloom FROM bloomarr), CAST($p / 64 AS INT) + 1)
            |   & shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))) <> 0""".stripMargin
-      t(s, d, "customer").createOrReplaceTempView("bloom_customer")
-      t(s, d, "orders").createOrReplaceTempView("bloom_orders")
+      // per-invocation view names: fixed names would be shared mutable
+      // session state (two concurrent constructions — or two data dirs —
+      // would race on them and could resolve each other's tables)
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+      t(s, d, "customer").createOrReplaceTempView(s"bloom_customer_$tag")
+      t(s, d, "orders").createOrReplaceTempView(s"bloom_orders_$tag")
       s.sql(
         s"""WITH dim AS (
-           |  SELECT c_custkey FROM bloom_customer
+           |  SELECT c_custkey FROM bloom_customer_$tag
            |  WHERE c_mktsegment = 'AUTOMOBILE'),
            |words AS (
            |  SELECT CAST(p / 64 AS BIGINT) AS word,
@@ -539,7 +543,7 @@ object Relational {
            |  FROM (SELECT map_from_entries(sort_array(
            |          collect_list(struct(word, bits)))) AS wm FROM words))
            |SELECT o_orderkey, o_custkey, o_totalprice
-           |FROM bloom_orders
+           |FROM bloom_orders_$tag
            |WHERE ${hitSql(posSql("o_custkey", 1))}
            |  AND ${hitSql(posSql("o_custkey", 9))}
            |  AND o_custkey IN (SELECT c_custkey FROM dim)
@@ -631,7 +635,7 @@ object Relational {
         .orderBy(col("ts"), col("event_id"))
       val us = unix_micros(col("ts"))
       val newSess = when(
-        us - lag(us, 1).over(byUser) >= 30L * 60 * 1000000 ||
+        us - lag(us, 1).over(byUser) >= Events.gapUs ||
           lag(us, 1).over(byUser).isNull, 1L).otherwise(0L)
       val sess = t(s, d, "events")
         .select(col("user_id"), col("event_id"), us.as("us"),

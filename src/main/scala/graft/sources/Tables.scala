@@ -108,27 +108,52 @@ object Tables {
     * ceil(bytes / targetBytes) files via a round-robin repartition
     * (even output sizes; no semantic ordering is claimed — callers
     * needing clustered layout sort by their z-order key instead, see
-    * `zorder_layout`). The rewrite stages into a sibling directory and
-    * swaps only after success, so a crashed compaction leaves the
-    * table intact. Returns (files_before, files_after).
+    * `zorder_layout`).
+    *
+    * SCOPE: one FLAT file directory — for a partitioned table, run it
+    * per leaf partition directory (compaction is embarrassingly
+    * parallel across partitions). A nested layout is REFUSED, not
+    * silently flattened: reading `path` recursively while listing only
+    * top-level files would duplicate every nested row into the root.
+    *
+    * Crash safety: the rewrite stages into a sibling directory, the
+    * old files are parked in a backup sibling before the staged files
+    * move in, and the backup is dropped last — a crash at any point
+    * leaves every row present in `path`, `._compact_backup`, or
+    * `._compact_staging` (recover by restoring the backup), never
+    * silently lost. The swap itself is not atomic for concurrent
+    * READERS; like every file-level compactor, pause readers or layer
+    * a manifest (Delta/Iceberg) for read-during-compact.
+    * Returns (files_before, files_after).
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val dir = new java.io.File(path)
+    require(dir.isDirectory, s"compact: $path is not a directory")
     def dataFiles = dir.listFiles((_, n) => n.endsWith(".parquet")).toSeq
+    require(!dir.listFiles.exists(f => f.isDirectory &&
+      !f.getName.startsWith("._compact_")),
+      s"compact: $path has nested directories (partitioned layout) — " +
+        "compact each leaf partition directory instead")
     val before = dataFiles.size
+    require(before > 0, s"compact: no parquet files in $path")
     val totalBytes = dataFiles.map(_.length()).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val staging = path + "._compact_staging"
+    val staging = new java.io.File(path + "._compact_staging")
     spark.read.parquet(path).repartition(nOut)
-      .write.mode("overwrite").parquet(staging)
-    val stagingDir = new java.io.File(staging)
-    dataFiles.foreach(_.delete())
-    stagingDir.listFiles((_, n) => n.endsWith(".parquet") || n == "_SUCCESS")
+      .write.mode("overwrite").parquet(staging.getPath)
+    // park the old files (recoverable), move the staged files in,
+    // then drop the backup — no window where the data exists nowhere
+    val backup = new java.io.File(path + "._compact_backup")
+    backup.mkdirs()
+    dataFiles.foreach(f => java.nio.file.Files.move(f.toPath,
+      new java.io.File(backup, f.getName).toPath))
+    staging.listFiles((_, n) => n.endsWith(".parquet") || n == "_SUCCESS")
       .foreach(f => java.nio.file.Files.move(f.toPath,
         new java.io.File(dir, f.getName).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING))
-    stagingDir.listFiles().foreach(_.delete()); stagingDir.delete()
+    staging.listFiles().foreach(_.delete()); staging.delete()
+    backup.listFiles().foreach(_.delete()); backup.delete()
     (before, dataFiles.size)
   }
 }

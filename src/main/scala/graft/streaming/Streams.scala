@@ -140,16 +140,14 @@ object Streams {
     * of appending duplicates. Factored out of the stream wiring so the
     * replay path is directly testable.
     */
-  def writeBatchIdempotent(batch: DataFrame, batchId: Long, path: String): Unit = {
-    val prev = batch.sparkSession.conf
-      .get("spark.sql.sources.partitionOverwriteMode", "static")
-    batch.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try batch.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
-    finally batch.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", prev)
-  }
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, path: String): Unit =
+    // writer-scoped dynamic overwrite: only this batch's partition is
+    // replaced. (The session-conf form would leak dynamic semantics to
+    // any concurrent partitioned overwrite in the same session.)
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
 
   /** Exactly-once parquet sink via `foreachBatch`: foreachBatch is
     * AT-LEAST-once (a crash between the sink write and the offset commit

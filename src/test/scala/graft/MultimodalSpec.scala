@@ -86,7 +86,7 @@ class MultimodalSpec extends SparkSpec {
       .select("doc_id", "text", "n_chars").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val frames = docs.flatMap { case (id, text, nChars) =>
-      (0L to nChars / 64).map { f =>
+      (0L to nChars / 64).filter(_ * 64 < nChars).map { f =>
         val start = (f * 64).toInt
         val fp = h32(text.slice(start, start + 64))
         (fp, id)

@@ -60,4 +60,15 @@ class SourcesSpec extends SparkSpec {
     val after = spark.read.parquet(dir).collect().map(_.toString).sorted
     assert(after.toSeq === before.toSeq)
   }
+
+  test("compaction refuses partitioned layouts instead of flattening them") {
+    val dir = Files.createTempDirectory("compact_part").toString + "/t"
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("partitioned layout"))
+    // the refused table is untouched
+    assert(spark.read.parquet(dir).count() === orders.count())
+  }
 }
