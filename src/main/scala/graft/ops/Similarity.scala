@@ -183,6 +183,41 @@ object Similarity {
             col("n").cast(DoubleType) / lit(1048576.0)).as("centroid"))
         .orderBy(col("label"), col("dim"))),
 
+    // ANN RECALL REPORT — per query, how many of the exact top-5 the
+    // 1-cell bucketed probe recovered (the tuning table behind the
+    // nprobe knob: recall < 1 is the DOCUMENTED trade of cell probing,
+    // and this is the measurement that decides whether to widen it).
+    // Both rankings reuse the exact quantized cosine, so the report is
+    // bit-deterministic; the exact side is Q×N with a tiny broadcast
+    // query set — the calibration pass runs on a sample at 100 TB.
+    "sim_recall_bucketed" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      def rank5(scored: DataFrame): DataFrame = scored
+        .withColumn("cos",
+          qcos(idot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("qid"), col("cid"))
+      val cand = qEmb(s, d)
+        .select(col("vec_id").as("cid"), col("q").as("cv"),
+          col("n2").as("cn2"))
+      val exact = rank5(broadcast(queriesSide(s, d))
+        .join(cand, col("qid") =!= col("cid")))
+      val approx = rank5(
+        broadcast(queriesSide(s, d).withColumn("cell", bucket("qv")))
+          .join(cand.withColumn("cell", bucket("cv")), Seq("cell"))
+          .filter(col("qid") =!= col("cid")))
+      exact
+        .join(approx.withColumn("hit", lit(1L)), Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          graft.functions.XF.r6(col("n_hits").cast(DoubleType) / lit(TopK.toDouble))
+            .as("recall_at_5"))
+        .orderBy(col("qid"))
+    }),
+
     // EMBEDDING OUTLIERS — the per-class farthest members: each label's
     // centroid in floor-div micro units (floor via pmod keeps Spark's
     // truncating DIV and DuckDB's flooring // in agreement on negative
@@ -391,6 +426,35 @@ object Similarity {
          |FROM nn x JOIN nn y ON x.u = y.v AND x.v = y.u AND x.u < x.v
          |WHERE x.rk <= 3 AND y.rk <= 3
          |ORDER BY i, j""".stripMargin,
+
+    "sim_recall_bucketed" ->
+      s"""WITH $qEmbSql,
+         |exact AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT a.vec_id qid, b.vec_id cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY $cosAB DESC, b.vec_id) AS rnk
+         |    FROM qn a JOIN qn b
+         |      ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+         |  WHERE rnk <= $TopK),
+         |cells AS (SELECT vec_id, q, n2, ${bucketSql("q")} AS cell FROM qn),
+         |approx AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT a.vec_id qid, b.vec_id cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY $cosAB DESC, b.vec_id) AS rnk
+         |    FROM cells a JOIN cells b
+         |      ON a.cell = b.cell AND a.vec_id % 50 = 0
+         |     AND a.vec_id <> b.vec_id)
+         |  WHERE rnk <= $TopK)
+         |SELECT e.qid,
+         |  CAST(SUM(CASE WHEN x.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  ROUND(CAST(SUM(CASE WHEN x.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST($TopK AS DOUBLE), 6) AS recall_at_5
+         |FROM exact e LEFT JOIN approx x
+         |  ON e.qid = x.qid AND e.cid = x.cid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
 
     "emb_outliers" ->
       s"""WITH cells AS (

@@ -89,6 +89,24 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(d0.getDouble(2) - wantMean) < 1e-9)
   }
 
+  test("bucketed recall report equals the overlap of the two rankings") {
+    val exact = graft.SparkEntry.queries("sim_topk_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = graft.SparkEntry.queries("sim_ann_bucketed")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = graft.SparkEntry.queries("sim_recall_bucketed")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === exact.keySet)
+    got.foreach { case (qid, (hits, recall)) =>
+      val want = (exact(qid) intersect ann.getOrElse(qid, Set.empty)).size
+      assert(hits === want.toLong, s"query $qid")
+      assert(math.abs(recall - want / 5.0) < 1e-9, s"query $qid")
+    }
+  }
+
   test("embedding outliers are the true farthest-from-centroid members") {
     val rows = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "label", "embedding").collect()
