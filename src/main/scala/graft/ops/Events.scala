@@ -239,6 +239,48 @@ object Events {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // BOT DETECTION — the behavioral-data curation gate: per user, the
+    // event rate and the coefficient of variation of inter-arrival
+    // gaps (machine traffic is fast AND metronomically regular; humans
+    // are bursty). One user_id shuffle: lag() gaps feed µs-exact power
+    // sums (Σg telescopes to the span; Σg² accumulates as DECIMAL —
+    // gap² overflows a long at month-scale gaps), the CV is one IEEE
+    // chain on those sums, and the flag compares 1e-6-rounded values
+    // so the verdict is engine-stable. The thresholds are the
+    // pipeline-config knob; the SHAPE (rate × regularity) is the op.
+    "events_bot_detection" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          XF.epochUs(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("us")) - min(col("us"))).as("span_us"),
+          sum(col("gap").cast(DecimalType(38, 0)))
+            .cast(DoubleType).as("sg"),
+          // square in DECIMAL: long·long overflows at day-scale gaps
+          sum(col("gap").cast(DecimalType(19, 0)) *
+              col("gap").cast(DecimalType(19, 0)))
+            .cast(DoubleType).as("sg2"))
+        .filter(col("n") >= 3 && col("span_us") > 0)
+      gaps
+        .withColumn("k", (col("n") - 1).cast(DoubleType))
+        .withColumn("mean_gap", col("sg") / col("k"))
+        .withColumn("var_gap",
+          col("sg2") / col("k") - col("mean_gap") * col("mean_gap"))
+        .withColumn("rate_per_min", XF.r6(col("n").cast(DoubleType) /
+          (col("span_us").cast(DoubleType) / lit(60000000.0))))
+        .withColumn("gap_cv", XF.r6(
+          when(col("var_gap") > 0.0, sqrt(col("var_gap")) / col("mean_gap"))
+            .otherwise(lit(0.0))))
+        .select(col("user_id"), col("n").as("n_events"),
+          col("rate_per_min"), col("gap_cv"),
+          (col("gap_cv") < 0.5).as("too_regular"))
+        .orderBy(col("user_id"))
+    }),
+
     // A/B-TEST READOUT — deterministic hash bucketing (the assignment a
     // real experiment framework computes: stable under retry, no
     // rand()) into two variants, then per-variant exposure/conversion
@@ -659,6 +701,40 @@ object Events {
          |  FROM events)
          |WHERE rn = 1
          |ORDER BY user_id, event_type""".stripMargin,
+
+    "events_bot_detection" ->
+      s"""WITH g AS (
+         |  SELECT user_id,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS gap,
+         |    epoch_us(ts) AS us
+         |  FROM events),
+         |agg AS (
+         |  SELECT user_id, COUNT(*) AS n,
+         |    MAX(us) - MIN(us) AS span_us,
+         |    CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS sg,
+         |    CAST(SUM(CAST(gap AS DECIMAL(19,0)) *
+         |             CAST(gap AS DECIMAL(19,0))) AS DOUBLE) AS sg2
+         |  FROM g GROUP BY user_id
+         |  HAVING COUNT(*) >= 3 AND MAX(us) - MIN(us) > 0),
+         |m AS (
+         |  SELECT *, CAST(n - 1 AS DOUBLE) AS k,
+         |    sg / CAST(n - 1 AS DOUBLE) AS mean_gap,
+         |    sg2 / CAST(n - 1 AS DOUBLE) -
+         |      (sg / CAST(n - 1 AS DOUBLE)) * (sg / CAST(n - 1 AS DOUBLE))
+         |      AS var_gap
+         |  FROM agg)
+         |SELECT user_id, n AS n_events,
+         |  ROUND(CAST(n AS DOUBLE) /
+         |    (CAST(span_us AS DOUBLE) / CAST(60000000 AS DOUBLE)), 6)
+         |    AS rate_per_min,
+         |  ROUND(CASE WHEN var_gap > CAST(0 AS DOUBLE)
+         |    THEN sqrt(var_gap) / mean_gap ELSE CAST(0 AS DOUBLE) END, 6)
+         |    AS gap_cv,
+         |  ROUND(CASE WHEN var_gap > CAST(0 AS DOUBLE)
+         |    THEN sqrt(var_gap) / mean_gap ELSE CAST(0 AS DOUBLE) END, 6)
+         |    < CAST(0.5 AS DOUBLE) AS too_regular
+         |FROM m ORDER BY user_id""".stripMargin,
 
     "events_ab_test" ->
       s"""WITH pu AS (

@@ -131,6 +131,38 @@ class EventsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("bot-detection rate and gap CV match a JVM recompute") {
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = evs.groupBy(_._1).collect {
+      case (u, rows) if rows.length >= 3 &&
+        rows.map(_._3).max > rows.map(_._3).min =>
+        val sorted = rows.sortBy(e => (e._3, e._2)).map(_._3)
+        val gaps = sorted.sliding(2).map { case Array(a, b) => b - a }.toSeq
+        val k = gaps.length.toDouble
+        val mean = gaps.sum / k
+        val varp = gaps.map(g => g.toDouble * g).sum / k - mean * mean
+        val span = (sorted.last - sorted.head).toDouble
+        u -> (rows.length.toLong,
+          r6(rows.length / (span / 6.0e7)),
+          r6(if (varp > 0) math.sqrt(varp) / mean else 0.0))
+    }
+    val got = SparkEntry.queries("events_bot_detection")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (u, (n, rate, cv)) =>
+      val (wn, wrate, wcv) = want(u)
+      assert(n === wn, u)
+      assert(math.abs(rate - wrate) < 2e-6, u)
+      assert(math.abs(cv - wcv) < 2e-6, u)
+    }
+  }
+
   test("ab test arms partition users and z matches a JVM recompute") {
     def h32(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
