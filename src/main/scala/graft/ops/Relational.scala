@@ -823,6 +823,66 @@ object Relational {
           year(col("l_shipdate")).cast(LongType).as("l_year"))
         .agg(sum(rev).as("revenue_c4"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q21 shape — suppliers solely at fault in multi-supplier
+    // finished orders (the testdata has no commit/receipt dates, so the
+    // fault predicate is l_returnflag = 'R'): the classic semi + anti
+    // SELF-join on the fact table. All three lineitem branches key on
+    // l_orderkey, so the whole candidate phase is one co-partitioned
+    // shuffle family (the semi/anti inequality on suppkey rides along as
+    // a join residual, never a nested loop); supplier⋈nation broadcasts.
+    "q21_blame_supplier" -> ((s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val faulted = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val othersFaulted = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      val supNation = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name")))
+      faulted
+        .join(others,
+          col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+          "left_semi")
+        .join(othersFaulted,
+          col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+          "left_anti")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"), col("n_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    // TPC-H Q22 shape — dormant capital: above-average-balance customers
+    // in the odd-nation segment with no order since 2000 (every customer
+    // here has SOME order, so the classic no-orders anti join is rebased
+    // on the date-pruned recent slice — same plan, non-empty result).
+    // The global average is a one-row scalar aggregate attached by the
+    // single permitted 1×N nested-loop; the above-average test is exact
+    // integer cents (bal·cnt > total) so no float/decimal division can
+    // flip a boundary row between engines; the anti join keys on custkey.
+    "q22_dormant_capital" -> ((s: SparkSession, d: String) => {
+      val el = t(s, d, "customer").filter(col("c_nationkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast(LongType).as("bal_c"))
+      val tot = el.filter(col("bal_c") > 0)
+        .agg(sum(col("bal_c")).as("total_c"), count(lit(1)).as("cnt"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast(TimestampType))
+        .select(col("o_custkey"))
+      el.crossJoin(broadcast(tot))
+        .filter(col("bal_c") * col("cnt") > col("total_c"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast(LongType).as("cntry"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bal_c")).cast(DoubleType) / 100.0).as("totacctbal"))
+        .orderBy(col("cntry"))
     })
   )
 
@@ -1318,6 +1378,43 @@ object Relational {
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |  WHERE n1.n_name <> n2.n_name)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // same semi/anti semantics via EXISTS / NOT EXISTS; count(*) is
+    // BIGINT in DuckDB so numwait needs no cast
+    "q21_blame_supplier" ->
+      """SELECT s_name, n_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name""".stripMargin,
+
+    // SUM(BIGINT) is HUGEINT in DuckDB — cast through DOUBLE only at the
+    // final report (exact: totals stay far below 2^53 cents); the
+    // above-average comparison is pure integer arithmetic on both sides
+    "q22_dormant_capital" ->
+      """WITH el AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_nationkey % 2 = 1),
+        |tot AS (SELECT SUM(bal_c) AS total_c, COUNT(*) AS cnt
+        |        FROM el WHERE bal_c > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS cntry, COUNT(*) AS numcust,
+        |  CAST(SUM(bal_c) AS DOUBLE) / CAST(100 AS DOUBLE) AS totacctbal
+        |FROM el, tot
+        |WHERE bal_c * cnt > total_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "orders_market_basket" ->
       """WITH bk AS (

@@ -29,6 +29,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q21_blame_supplier self-joins are shuffled equi-joins on orderkey") {
+    val p = plan("q21_blame_supplier")
+    // the semi and anti self-joins must equi-join on l_orderkey with the
+    // suppkey inequality as a residual — never a nested-loop fallback
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("q22_dormant_capital: only the scalar average attaches via BNLJ") {
+    val p = plan("q22_dormant_capital")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"unexpected nested-loop joins\n${p.take(1500)}")
+    // the dormancy check is a keyed anti join, not a subquery loop
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
   test("orders_market_basket pair join is keyed; only the scalar is BNLJ") {
     val p = plan("orders_market_basket")
     assert(!p.contains("CartesianProduct"), p.take(1500))
