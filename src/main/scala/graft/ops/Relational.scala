@@ -883,6 +883,85 @@ object Relational {
         .agg(count(lit(1)).as("numcust"),
           (sum(col("bal_c")).cast(DoubleType) / 100.0).as("totacctbal"))
         .orderBy(col("cntry"))
+    }),
+
+    // TPC-H Q2 shape — cheapest offer per part: the decorrelated
+    // per-group MIN joined back by equality (partkey, min-price), the
+    // other classic correlated-subquery plan besides Q17's inequality.
+    // Prices compare as exact integer cents so a tie can't be broken
+    // differently by the two engines (ties simply all survive, which is
+    // deterministic). The part filter broadcasts into both lineitem
+    // passes; the 1-row-per-part MIN table broadcasts back, so the fact
+    // table is scanned twice but never shuffled.
+    "q2_min_cost_offer" -> ((s: SparkSession, d: String) => {
+      val pa = broadcast(t(s, d, "part").filter(col("p_size") <= 3)
+        .select(col("p_partkey"), col("p_name")))
+      val offers = t(s, d, "lineitem")
+        .join(pa, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("p_name"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("price_c"))
+      val mn = offers.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("price_c")).as("min_c"))
+      offers
+        .join(broadcast(mn),
+          col("l_partkey") === col("mk") && col("price_c") === col("min_c"))
+        .join(broadcast(t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").cast(LongType).as("partkey"), col("p_name"),
+          col("s_name"), (col("price_c").cast(DoubleType) / 100.0).as("best_price"))
+        .orderBy(col("partkey"), col("s_name"))
+    }),
+
+    // TPC-H Q15 shape — top supplier by quarterly revenue: a global
+    // scalar MAX attached back by equality. Revenue accumulates as exact
+    // BIGINT cent-basis-points (cents × (100 − discount%)), so the MAX
+    // equality is bit-exact across engines — the one place a float sum
+    // would genuinely corrupt results (a tie decided by rounding). The
+    // scalar is the single permitted 1×N nested-loop; at cluster scale
+    // the date-filtered agg is one shuffle over ~suppliers rows.
+    "q15_top_supplier" -> ((s: SparkSession, d: String) => {
+      val revU = (round(col("l_extendedprice") * 100).cast(LongType) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+                col("l_shipdate") <  lit("1997-04-01 00:00:00").cast(TimestampType))
+        .select(col("l_suppkey"), revU.as("rev_u"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("rev_u")).as("total_u"))
+      val top = rev.agg(max(col("total_u")).as("max_u"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_u") === col("max_u"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey").cast(LongType).as("suppkey"), col("s_name"),
+          (col("total_u").cast(DoubleType) / 10000.0).as("total_revenue"))
+        .orderBy(col("suppkey"))
+    }),
+
+    // TPC-H Q17 shape — small-quantity revenue: lineitems below 20% of
+    // their part's average quantity, the classic correlated AVG
+    // decorrelated to a per-group aggregate joined back with an
+    // inequality. The avg threshold `qty < 0.2·(sum/cnt)` is tested as
+    // exact integers (5·qty·cnt < sum — quantities are integral), so no
+    // division result can flip a boundary row. Both lineitem passes
+    // restrict through the broadcast part filter; the per-part stats
+    // table (≤ |part| rows) broadcasts back — no fact shuffle at all.
+    "q17_small_qty_revenue" -> ((s: SparkSession, d: String) => {
+      val pa = broadcast(t(s, d, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"), col("p_brand")))
+      val li = t(s, d, "lineitem")
+        .join(pa, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("p_brand"),
+          col("l_quantity").cast(LongType).as("qty"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("price_c"))
+      val stats = li.groupBy(col("l_partkey").as("sk"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      li.join(broadcast(stats), col("l_partkey") === col("sk"))
+        .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"),
+          (sum(col("price_c")).cast(DoubleType) / 100.0).as("small_revenue"))
+        .orderBy(col("p_brand"))
     })
   )
 
@@ -1414,6 +1493,58 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ties on the exact-cents minimum all survive on both sides
+    "q2_min_cost_offer" ->
+      """WITH pa AS (SELECT p_partkey, p_name FROM part WHERE p_size <= 3),
+        |offers AS (
+        |  SELECT l_partkey, l_suppkey, p_name,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem JOIN pa ON p_partkey = l_partkey),
+        |mn AS (SELECT l_partkey AS mk, MIN(price_c) AS min_c
+        |       FROM offers GROUP BY 1)
+        |SELECT CAST(l_partkey AS BIGINT) AS partkey, p_name, s_name,
+        |  CAST(price_c AS DOUBLE) / CAST(100 AS DOUBLE) AS best_price
+        |FROM offers
+        |JOIN mn ON l_partkey = mk AND price_c = min_c
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY partkey, s_name""".stripMargin,
+
+    // revenue in exact cent-basis-points so the MAX equality is bit-exact
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_u
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1),
+        |top AS (SELECT MAX(total_u) AS max_u FROM rev)
+        |SELECT CAST(s_suppkey AS BIGINT) AS suppkey, s_name,
+        |  CAST(total_u AS DOUBLE) / CAST(10000 AS DOUBLE) AS total_revenue
+        |FROM rev
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |CROSS JOIN top
+        |WHERE total_u = max_u
+        |ORDER BY suppkey""".stripMargin,
+
+    // the 20%-of-average test as pure integers: 5·qty·cnt < sum_qty
+    "q17_small_qty_revenue" ->
+      """WITH pa AS (SELECT p_partkey, p_brand FROM part
+        |            WHERE p_type = 'ECONOMY'),
+        |li AS (
+        |  SELECT l_partkey, p_brand, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem JOIN pa ON p_partkey = l_partkey),
+        |stats AS (SELECT l_partkey AS sk, SUM(qty) AS sum_qty,
+        |                 COUNT(*) AS cnt
+        |          FROM li GROUP BY 1)
+        |SELECT p_brand, COUNT(*) AS n_small,
+        |  CAST(SUM(price_c) AS DOUBLE) / CAST(100 AS DOUBLE) AS small_revenue
+        |FROM li JOIN stats ON l_partkey = sk
+        |WHERE qty * 5 * cnt < sum_qty
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "orders_market_basket" ->

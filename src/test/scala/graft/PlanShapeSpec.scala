@@ -48,6 +48,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(1500))
   }
 
+  test("q2_min_cost_offer joins back by equality — no nested loops at all") {
+    val p = plan("q2_min_cost_offer")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the min table and both dims broadcast; the fact side never shuffles
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q15_top_supplier: only the scalar max attaches via BNLJ") {
+    val p = plan("q15_top_supplier")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"unexpected nested-loop joins\n${p.take(1500)}")
+  }
+
+  test("q17_small_qty_revenue stats join back broadcast — no fact shuffle join") {
+    val p = plan("q17_small_qty_revenue")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("orders_market_basket pair join is keyed; only the scalar is BNLJ") {
     val p = plan("orders_market_basket")
     assert(!p.contains("CartesianProduct"), p.take(1500))
