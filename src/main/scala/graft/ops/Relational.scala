@@ -962,6 +962,232 @@ object Relational {
         .agg(count(lit(1)).as("n_small"),
           (sum(col("price_c")).cast(DoubleType) / 100.0).as("small_revenue"))
         .orderBy(col("p_brand"))
+    }),
+
+    // TPC-H Q4 shape — order-priority check: orders in a quarter with at
+    // least one returned line (EXISTS → left-semi; the reference
+    // predicate l_commitdate < l_receiptdate has no testdata columns, so
+    // the line condition is l_returnflag = 'R'). The semi join is the
+    // one fact-fact shuffle, keyed on orderkey; the date filter pushes
+    // into the orders scan before it.
+    "q4_order_priority" -> ((s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+                col("o_orderdate") <  lit("1997-04-01 00:00:00").cast(TimestampType))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q8 shape — national market share: one nation's slice of a
+    // region's revenue in a part segment, per year. Numerator and
+    // denominator both accumulate as exact BIGINT cent-basis-points, so
+    // the share is a single correctly-rounded division of exact longs.
+    // Plan: lineitem⋈orders is the only fact-fact shuffle (orderkey);
+    // customer⋈nation⋈region, supplier⋈nation, and the part filter all
+    // broadcast into it.
+    "q8_market_share" -> ((s: SparkSession, d: String) => {
+      val revU = (round(col("l_extendedprice") * 100).cast(LongType) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
+      val custRegion = broadcast(t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey")))
+      val supNation = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation").select(col("n_nationkey"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+                  col("o_orderdate") <  lit("1998-01-01 00:00:00").cast(TimestampType))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast(LongType).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custRegion, col("o_custkey") === col("c_custkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .select(col("o_year"), col("supp_nation"), revU.as("rev_u"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "GERMANY", col("rev_u")).otherwise(0L)).as("nat_u"),
+          sum(col("rev_u")).as("tot_u"))
+        .select(col("o_year"),
+          r6(col("nat_u").cast(DoubleType) / col("tot_u").cast(DoubleType)).as("mkt_share"),
+          (col("tot_u").cast(DoubleType) / 10000.0).as("total_revenue"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q10 shape — returned-item ranking: top-20 customers by
+    // returned revenue in a quarter. Revenue ranks as exact BIGINT
+    // cent-basis-points with a custkey tie-break, so the LIMIT boundary
+    // cannot be decided by float rounding. One fact-fact shuffle
+    // (lineitem⋈orders on orderkey), one agg shuffle (custkey);
+    // customer and nation broadcast.
+    "q10_returned_ranking" -> ((s: SparkSession, d: String) => {
+      val revU = (round(col("l_extendedprice") * 100).cast(LongType) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+                  col("o_orderdate") <  lit("1997-04-01 00:00:00").cast(TimestampType))
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(revU).as("rev_u"), count(lit(1)).as("n_items"))
+        .orderBy(col("rev_u").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey").cast(LongType).as("custkey"), col("c_name"),
+          col("n_name"), (col("rev_u").cast(DoubleType) / 10000.0).as("revenue"),
+          col("n_items"))
+    }),
+
+    // TPC-H Q11 shape — important stock: parts whose inventory value
+    // (from odd-nation suppliers) exceeds 2× the average part's value.
+    // The classic fraction-of-global HAVING: the global (total, count)
+    // scalar attaches via the single permitted 1×N nested loop, and the
+    // threshold test is pure integer (val·n_parts > 2·total) — a
+    // SCALE-RELATIVE bound, so the query stays selective-but-non-empty
+    // as the corpus grows (a fixed multiple of the global total would
+    // empty out at 100 TB).
+    "q11_important_parts" -> ((s: SparkSession, d: String) => {
+      val valU = (round(col("l_extendedprice") * 100).cast(LongType) *
+        col("l_quantity").cast(LongType))
+      val v = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier").filter(col("s_nationkey") % 2 === 1)
+          .select(col("s_suppkey"))), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), valU.as("val_u"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("val_u")).as("val_u"))
+      val tot = v.agg(sum(col("val_u")).as("tot_u"), count(lit(1)).as("np"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("val_u") * col("np") > lit(2L) * col("tot_u"))
+        .select(col("l_partkey").cast(LongType).as("partkey"),
+          (col("val_u").cast(DoubleType) / 100.0).as("stock_value"),
+          r6(col("val_u").cast(DoubleType) / col("tot_u").cast(DoubleType)).as("value_share"))
+        .orderBy(col("stock_value").desc, col("partkey"))
+    }),
+
+    // TPC-H Q12 shape — shipping-priority audit (the testdata has no
+    // l_shipmode, so the classification column is o_orderpriority):
+    // lines shipped in 1997 per linestatus, split into critical
+    // (1-URGENT/2-HIGH) vs normal counts. One fact-fact shuffle on
+    // orderkey; the CASE sums are map-side partials.
+    "q12_priority_shipping" -> ((s: SparkSession, d: String) => {
+      val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+                col("l_shipdate") <  lit("1998-01-01 00:00:00").cast(TimestampType))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(critical, 1L).otherwise(0L)).as("critical_lines"),
+          sum(when(critical, 0L).otherwise(1L)).as("normal_lines"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // TPC-H Q14 shape — promo revenue share per ship-month: a CASE
+    // numerator over a broadcast-dim join. Both sides of the percentage
+    // are exact BIGINT sums; one division per output row.
+    "q14_promo_share" -> ((s: SparkSession, d: String) => {
+      val revU = (round(col("l_extendedprice") * 100).cast(LongType) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+                col("l_shipdate") <  lit("1998-01-01 00:00:00").cast(TimestampType))
+        .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(month(col("l_shipdate")).cast(LongType).as("ship_month"),
+          when(col("p_type") === "PROMO", revU).otherwise(0L).as("promo_u"),
+          revU.as("rev_u"))
+        .groupBy(col("ship_month"))
+        .agg(sum(col("promo_u")).as("promo_u"), sum(col("rev_u")).as("tot_u"))
+        .select(col("ship_month"),
+          r6(lit(100.0) * col("promo_u").cast(DoubleType) /
+            col("tot_u").cast(DoubleType)).as("promo_pct"),
+          (col("tot_u").cast(DoubleType) / 10000.0).as("total_revenue"))
+        .orderBy(col("ship_month"))
+    }),
+
+    // TPC-H Q16 shape — supplier variety per (brand, size) in the
+    // non-standard small-part segment, excluding deadbeat suppliers
+    // (s_acctbal < 0 stands in for the complaints LIKE — same
+    // NOT-IN→anti-join plan). COUNT(DISTINCT) shuffles on the group
+    // keys; the excluded-supplier set and the part filter broadcast.
+    "q16_supplier_variety" -> ((s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_type") =!= "STANDARD" && col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size").cast(LongType).as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+
+    // TPC-H Q19 shape — disjunctive predicate revenue: three
+    // (type, size-range, quantity-range) bands OR-ed together. The join
+    // stays a single broadcast equi-join on partkey with the disjunction
+    // as a residual filter — Catalyst must NOT fall back to a nested
+    // loop just because the predicate is an OR of conjunctions.
+    "q19_disjunctive_rev" -> ((s: SparkSession, d: String) => {
+      val revU = (round(col("l_extendedprice") * 100).cast(LongType) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
+      val bands =
+        (col("p_type") === "SMALL"  && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 5)) ||
+        (col("p_type") === "MEDIUM" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_type") === "LARGE"  && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 15))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_type"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(bands)
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(revU).cast(DoubleType) / 10000.0).as("revenue"))
+        .orderBy(col("p_type"))
+    }),
+
+    // TPC-H Q20 shape — excess shippers: suppliers shipping over 1.5×
+    // the per-supplier average volume of some tracked part (the
+    // partsupp availability predicate rebased onto shipped quantities).
+    // Nested aggregate chain: per-(part, supplier) sums → per-part
+    // totals joined back (broadcast — ≤|part| rows) → integer threshold
+    // (2·s·ns > 3·t) → per-supplier roll-up, names via broadcast dim.
+    // Scale-relative like Q11, so the answer set tracks corpus growth.
+    "q20_excess_shippers" -> ((s: SparkSession, d: String) => {
+      val sq = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_name").like("%bolt%"))
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(LongType)).as("sq"))
+      val tq = sq.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
+      sq.join(broadcast(tq), col("l_partkey") === col("pk"))
+        .filter(lit(2L) * col("sq") * col("ns") > lit(3L) * col("tq"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("sq")).as("qty_shipped"))
+        .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey").cast(LongType).as("suppkey"), col("s_name"),
+          col("n_parts"), col("qty_shipped"))
+        .orderBy(col("suppkey"))
     })
   )
 
@@ -1546,6 +1772,151 @@ object Relational {
         |FROM li JOIN stats ON l_partkey = sk
         |WHERE qty * 5 * cnt < sum_qty
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // numerator and denominator are exact HUGEINT sums of BIGINT terms;
+    // one DOUBLE division per year row, rounded identically to Spark
+    "q8_market_share" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    n2.n_name AS supp_nation,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'GERMANY' THEN rev_u
+        |                      ELSE 0 END) AS DOUBLE) /
+        |        CAST(SUM(rev_u) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(SUM(rev_u) AS DOUBLE) / CAST(10000 AS DOUBLE) AS total_revenue
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the top-20 boundary ranks on the exact integer revenue with a
+    // custkey tie-break — bit-identical across engines
+    "q10_returned_ranking" ->
+      """WITH g AS (
+        |  SELECT c_custkey, c_name, n_name,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_u,
+        |    COUNT(*) AS n_items
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name, n_name,
+        |  CAST(rev_u AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue, n_items
+        |FROM g ORDER BY rev_u DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // scale-relative HAVING: val·n_parts > 2·total, all exact integers
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        CAST(l_quantity AS BIGINT)) AS val_u
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey % 2 = 1
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(val_u) AS tot_u, COUNT(*) AS np FROM v)
+        |SELECT CAST(l_partkey AS BIGINT) AS partkey,
+        |  CAST(val_u AS DOUBLE) / CAST(100 AS DOUBLE) AS stock_value,
+        |  ROUND(CAST(val_u AS DOUBLE) / CAST(tot_u AS DOUBLE), 6)
+        |    AS value_share
+        |FROM v, tot
+        |WHERE val_u * np > 2 * tot_u
+        |ORDER BY stock_value DESC, partkey""".stripMargin,
+
+    "q12_priority_shipping" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS critical_lines,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS normal_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH li AS (
+        |  SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT ship_month,
+        |  ROUND(CAST(100 AS DOUBLE) *
+        |        CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END)
+        |             AS DOUBLE) / CAST(SUM(rev_u) AS DOUBLE), 6) AS promo_pct,
+        |  CAST(SUM(rev_u) AS DOUBLE) / CAST(10000 AS DOUBLE) AS total_revenue
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'STANDARD' AND p_size <= 10
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q19_disjunctive_rev" ->
+      """SELECT p_type, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |       AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_type = 'SMALL' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 5)
+        |   OR (p_type = 'MEDIUM' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_type = 'LARGE' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 15)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SUM over the BIGINT per-(part,supplier) sums is HUGEINT — compare
+    // in HUGEINT (exact), report qty as BIGINT
+    "q20_excess_shippers" ->
+      """WITH pp AS (SELECT p_partkey FROM part
+        |            WHERE p_name LIKE '%bolt%'),
+        |sq AS (SELECT l_partkey, l_suppkey,
+        |         SUM(CAST(l_quantity AS BIGINT)) AS sq
+        |       FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |       GROUP BY 1, 2),
+        |tq AS (SELECT l_partkey AS pk, SUM(sq) AS tq, COUNT(*) AS ns
+        |       FROM sq GROUP BY 1),
+        |ex AS (SELECT l_suppkey, COUNT(*) AS n_parts,
+        |         CAST(SUM(sq) AS BIGINT) AS qty_shipped
+        |       FROM sq JOIN tq ON l_partkey = pk
+        |       WHERE 2 * sq * ns > 3 * tq
+        |       GROUP BY 1)
+        |SELECT CAST(l_suppkey AS BIGINT) AS suppkey, s_name, n_parts,
+        |  qty_shipped
+        |FROM ex JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY suppkey""".stripMargin,
 
     "orders_market_basket" ->
       """WITH bk AS (

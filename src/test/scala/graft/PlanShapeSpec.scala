@@ -70,6 +70,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("q4_order_priority EXISTS runs as a keyed left-semi join") {
+    val p = plan("q4_order_priority")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("LeftSemi"), p.take(1500))
+  }
+
+  test("q11_important_parts: only the global scalar attaches via BNLJ") {
+    val p = plan("q11_important_parts")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"unexpected nested-loop joins\n${p.take(1500)}")
+  }
+
+  test("q16_supplier_variety NOT-IN runs as a broadcast anti join") {
+    val p = plan("q16_supplier_variety")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("q19 disjunctive predicate stays a hash join with a residual") {
+    val p = plan("q19_disjunctive_rev")
+    // the OR-of-conjunctions must ride the partkey equi-join as a
+    // filter, not demote the join to a nested loop
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q20_excess_shippers nested aggregates join back broadcast") {
+    val p = plan("q20_excess_shippers")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("orders_market_basket pair join is keyed; only the scalar is BNLJ") {
     val p = plan("orders_market_basket")
     assert(!p.contains("CartesianProduct"), p.take(1500))
