@@ -34,7 +34,11 @@ object Bench {
     "events_range_join_auto", "agg_corr_covar", "text_contamination",
     "join_salted",
     "graph_pagerank", "orders_market_basket", "curate_pipeline_e2e",
-    "dedup_containment", "events_session_overlap")
+    "dedup_containment", "events_session_overlap",
+    // the round-5 TPC-H completions: the semi+anti self-join, the
+    // decorrelated-avg threshold, and two multi-dim star shapes
+    "q21_blame_supplier", "q17_small_qty_revenue", "q8_market_share",
+    "q10_returned_ranking")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
