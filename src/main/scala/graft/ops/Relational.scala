@@ -207,6 +207,26 @@ object Relational {
         .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
         .orderBy(col("o_orderstatus"))),
 
+    // HLL calibration twin — the sketch VALUE is engine-specific (the
+    // raw estimate stays rows-only in agg_approx_distinct), but the
+    // accuracy CONTRACT is cross-engine checkable: each engine asserts
+    // its own estimate lands within 5% of the exact count it also
+    // computes. The exact count and the boolean hash-compare; the same
+    // pattern as sim_recall_bucketed (measure the approximation, check
+    // the bound, not the implementation-defined value). Spark's sketch
+    // runs at rsd=0.01 (default 0.05 measured 5.7% off on this data —
+    // a 1-sigma target, not a bound); the 5% contract then holds with
+    // ~3× margin on both engines.
+    "agg_approx_calibration" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_cust"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("est"))
+        .select(col("o_orderstatus"), col("exact_cust"),
+          (abs(col("est") - col("exact_cust")).cast(DoubleType) <=
+            lit(0.05) * col("exact_cust").cast(DoubleType)).as("within_5pct"))
+        .orderBy(col("o_orderstatus"))),
+
     "agg_rollup" -> ((s: SparkSession, d: String) =>
       broadcast(t(s, d, "region"))
         .join(broadcast(t(s, d, "nation")), col("n_regionkey") === col("r_regionkey"))
@@ -1319,6 +1339,17 @@ object Relational {
     "agg_count_distinct" ->
       s"""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // each engine checks ITS OWN HLL sketch against the exact count it
+    // also computes; the exact count and the 5%-bound boolean compare
+    "agg_approx_calibration" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS exact_cust,
+        |  CAST(abs(approx_count_distinct(o_custkey) -
+        |           COUNT(DISTINCT o_custkey)) AS DOUBLE) <=
+        |    CAST(0.05 AS DOUBLE) *
+        |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS within_5pct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_rollup" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${dS("c_acctbal")} AS bal
