@@ -800,6 +800,58 @@ object Relational {
         .orderBy(col("rank_micro").desc, col("node")).limit(50)
     }),
 
+    // TRIANGLE COUNTING over the co-purchase graph — the other classic
+    // distributed graph kernel besides PageRank, via degree-ordered edge
+    // orientation (Suri-Vassilvitskii): orient every undirected edge
+    // from its lower-(degree, id) endpoint, enumerate wedges only
+    // FORWARD (both spokes leave the wedge center toward higher order),
+    // close each wedge with one equi-join on (v, w). The orientation is
+    // the scale move: per-source fan-out is bounded by O(√m) even on
+    // power-law degree skew, so the wedge set stays subquadratic where
+    // a naive all-pairs-of-neighbors explodes on hub nodes. Triangle
+    // sets are orientation-INVARIANT, so the DuckDB twin can enumerate
+    // by id order and still match exactly. Output: per-node triangle
+    // support, top 30. ord packs (deg, id) into one sortable long
+    // (deg·2³² + id — both < 2³¹ by far).
+    "graph_triangles" -> ((s: SparkSession, d: String) => {
+      val bk = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .repartition(col("ok")).dropDuplicates("ok", "pk")
+        .localCheckpoint()
+      val pairs = bk.select(col("ok"), col("pk").as("pa"))
+        .join(bk.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .select(col("pa"), col("pb"))
+        .localCheckpoint()
+      val deg = pairs.select(col("pa").as("node"))
+        .unionByName(pairs.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val withOrd = pairs
+        .join(deg.select(col("node").as("pa"),
+          (col("deg") * lit(1L << 32) + col("pa")).as("orda")), Seq("pa"))
+        .join(deg.select(col("node").as("pb"),
+          (col("deg") * lit(1L << 32) + col("pb")).as("ordb")), Seq("pb"))
+      // orient low-(deg,id) → high; keep dst order key for wedge dedup
+      val ed = withOrd.select(
+          when(col("orda") < col("ordb"), col("pa")).otherwise(col("pb")).as("src"),
+          when(col("orda") < col("ordb"), col("pb")).otherwise(col("pa")).as("dst"),
+          greatest(col("orda"), col("ordb")).as("orddst"))
+        .localCheckpoint() // feeds both wedge spokes and the closing join
+      val spokes1 = ed.select(col("src").as("u"), col("dst").as("v"),
+        col("orddst").as("ov"))
+      val spokes2 = ed.select(col("src").as("u"), col("dst").as("w"),
+        col("orddst").as("ow"))
+      val closing = ed.select(col("src").as("v"), col("dst").as("w"))
+      spokes1.join(spokes2, Seq("u")).filter(col("ov") < col("ow"))
+        .join(closing, Seq("v", "w")) // wedge closes → triangle (u,v,w)
+        .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
+        .groupBy(col("part").cast(LongType).as("part"))
+        .agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("part")).limit(30)
+    }),
+
     // TPC-H Q13 shape — customer order-count distribution: LEFT join so
     // zero-order customers land in the c_count = 0 bucket, then a
     // histogram over the per-customer counts. Two aggregations whose
@@ -1690,6 +1742,28 @@ object Relational {
          |SELECT node, CAST(ru AS BIGINT) AS rank_micro FROM r3
          |ORDER BY rank_micro DESC, node LIMIT 50""".stripMargin
     },
+
+    // id-ordered triangle enumeration — orientation-invariant, so it
+    // matches the Spark side's degree-ordered plan exactly
+    "graph_triangles" ->
+      """WITH bk AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS pa, b.pk AS pb
+        |  FROM bk a JOIN bk b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+        |  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+        |nodes AS (
+        |  SELECT a AS part FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT CAST(part AS BIGINT) AS part, COUNT(*) AS n_tri
+        |FROM nodes GROUP BY 1
+        |ORDER BY n_tri DESC, part LIMIT 30""".stripMargin,
 
     "q13_order_dist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (

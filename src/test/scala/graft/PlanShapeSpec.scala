@@ -70,6 +70,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("graph_triangles wedge and closing joins are all keyed") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("q4_order_priority EXISTS runs as a keyed left-semi join") {
     val p = plan("q4_order_priority")
     assert(!p.contains("CartesianProduct"), p.take(1500))
