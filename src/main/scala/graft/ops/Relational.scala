@@ -227,6 +227,30 @@ object Relational {
             lit(0.05) * col("exact_cust").cast(DoubleType)).as("within_5pct"))
         .orderBy(col("o_orderstatus"))),
 
+    // MERGEABLE-SKETCH RE-AGGREGATION — the 100 TB distinct-count
+    // pattern: fine-grained cells each hold an HLL sketch
+    // (hll_sketch_agg, Datasketches, lgK=14 ≈ 0.8% rsd), and any
+    // coarser rollup unions the SKETCHES (hll_union_agg) without ever
+    // revisiting raw rows — this is what makes distinct counts work
+    // over pre-aggregated cube tables where re-scanning the fact is
+    // off the table. Checked with the calibration contract: the exact
+    // count (computed independently) hash-compares, and each engine
+    // asserts its own estimate lands within 5% (6× margin at lgK=14).
+    "agg_sketch_reagg" -> ((s: SparkSession, d: String) => {
+      val cells = t(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+      val est = cells.groupBy(col("o_orderstatus"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+        .join(est, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("exact_cust"),
+          (abs(col("est") - col("exact_cust")).cast(DoubleType) <=
+            lit(0.05) * col("exact_cust").cast(DoubleType)).as("within_5pct"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "agg_rollup" -> ((s: SparkSession, d: String) =>
       broadcast(t(s, d, "region"))
         .join(broadcast(t(s, d, "nation")), col("n_regionkey") === col("r_regionkey"))
@@ -1391,6 +1415,17 @@ object Relational {
     "agg_count_distinct" ->
       s"""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // DuckDB has no mergeable-sketch surface — its twin asserts the
+    // same contract (exact count + own-estimate-within-5%) directly
+    "agg_sketch_reagg" ->
+      """SELECT o_orderstatus,
+        |  COUNT(DISTINCT o_custkey) AS exact_cust,
+        |  CAST(abs(approx_count_distinct(o_custkey) -
+        |           COUNT(DISTINCT o_custkey)) AS DOUBLE) <=
+        |    CAST(0.05 AS DOUBLE) *
+        |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS within_5pct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // each engine checks ITS OWN HLL sketch against the exact count it
     // also computes; the exact count and the 5%-bound boolean compare
