@@ -25,6 +25,25 @@ object Relational {
 
   private val ship2000 = "TIMESTAMP '2000-01-01 00:00:00'"
 
+  /** Exact lineitem revenue in cent-basis-points: cents × (100 − disc%).
+    * The determinism-critical expression every q-shape shares — defined
+    * ONCE so no copy can drift from the DuckDB twins (which inline the
+    * SQL rendering of exactly this formula).
+    */
+  private def revU: org.apache.spark.sql.Column =
+    round(col("l_extendedprice") * 100).cast(LongType) *
+      (lit(100L) - round(col("l_discount") * 100).cast(LongType))
+
+  /** Sum of [[revU]]-magnitude terms as DECIMAL(38,0): per-row values
+    * reach ~1e9 cent-basis-points, so a group that scales with the
+    * corpus (per-year, per-month, per-type — ~1e10 rows at the 100 TB
+    * design point) would overflow a Long sum; the decimal accumulator
+    * is exact at any size (q1_agg's dp4/ch6 rule). Bounded groups
+    * (per-customer, per-supplier-quarter) keep plain Long sums.
+    */
+  private def sumRevD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(38, 0)))
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     // TPC-H Q1 shape: scan → pushed filter → hash agg (partial+final).
@@ -1019,8 +1038,6 @@ object Relational {
     // scalar is the single permitted 1×N nested-loop; at cluster scale
     // the date-filtered agg is one shuffle over ~suppliers rows.
     "q15_top_supplier" -> ((s: SparkSession, d: String) => {
-      val revU = (round(col("l_extendedprice") * 100).cast(LongType) *
-        (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
       val rev = t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
                 col("l_shipdate") <  lit("1997-04-01 00:00:00").cast(TimestampType))
@@ -1050,7 +1067,7 @@ object Relational {
       val li = t(s, d, "lineitem")
         .join(pa, col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("p_brand"),
-          col("l_quantity").cast(LongType).as("qty"),
+          round(col("l_quantity")).cast(LongType).as("qty"),
           round(col("l_extendedprice") * 100).cast(LongType).as("price_c"))
       val stats = li.groupBy(col("l_partkey").as("sk"))
         .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
@@ -1083,14 +1100,14 @@ object Relational {
 
     // TPC-H Q8 shape — national market share: one nation's slice of a
     // region's revenue in a part segment, per year. Numerator and
-    // denominator both accumulate as exact BIGINT cent-basis-points, so
-    // the share is a single correctly-rounded division of exact longs.
+    // denominator both accumulate as exact DECIMAL(38,0) cent-basis-
+    // points (per-year groups scale with the corpus — a Long sum would
+    // overflow at ~1e10 rows/year), so the share is one correctly-
+    // rounded division of exact integers.
     // Plan: lineitem⋈orders is the only fact-fact shuffle (orderkey);
     // customer⋈nation⋈region, supplier⋈nation, and the part filter all
     // broadcast into it.
     "q8_market_share" -> ((s: SparkSession, d: String) => {
-      val revU = (round(col("l_extendedprice") * 100).cast(LongType) *
-        (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
       val custRegion = broadcast(t(s, d, "customer")
         .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
         .join(t(s, d, "region").filter(col("r_name") === "EUROPE"),
@@ -1114,11 +1131,12 @@ object Relational {
         .select(col("o_year"), col("supp_nation"), revU.as("rev_u"))
         .groupBy(col("o_year"))
         .agg(
-          sum(when(col("supp_nation") === "GERMANY", col("rev_u")).otherwise(0L)).as("nat_u"),
-          sum(col("rev_u")).as("tot_u"))
+          sumRevD(when(col("supp_nation") === "NATION_19", col("rev_u"))
+            .otherwise(0L)).as("nat_d"),
+          sumRevD(col("rev_u")).as("tot_d"))
         .select(col("o_year"),
-          r6(col("nat_u").cast(DoubleType) / col("tot_u").cast(DoubleType)).as("mkt_share"),
-          (col("tot_u").cast(DoubleType) / 10000.0).as("total_revenue"))
+          r6(col("nat_d").cast(DoubleType) / col("tot_d").cast(DoubleType)).as("mkt_share"),
+          (col("tot_d").cast(DoubleType) / 10000.0).as("total_revenue"))
         .orderBy(col("o_year"))
     }),
 
@@ -1129,8 +1147,6 @@ object Relational {
     // (lineitem⋈orders on orderkey), one agg shuffle (custkey);
     // customer and nation broadcast.
     "q10_returned_ranking" -> ((s: SparkSession, d: String) => {
-      val revU = (round(col("l_extendedprice") * 100).cast(LongType) *
-        (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
       t(s, d, "lineitem").filter(col("l_returnflag") === "R")
         .join(t(s, d, "orders")
           .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
@@ -1157,20 +1173,23 @@ object Relational {
     // as the corpus grows (a fixed multiple of the global total would
     // empty out at 100 TB).
     "q11_important_parts" -> ((s: SparkSession, d: String) => {
+      // per-part groups are bounded (Long-safe); the GLOBAL total and
+      // the cross-multiplied threshold are corpus-scaled → DECIMAL(38,0)
       val valU = (round(col("l_extendedprice") * 100).cast(LongType) *
-        col("l_quantity").cast(LongType))
+        round(col("l_quantity")).cast(LongType))
       val v = t(s, d, "lineitem")
         .join(broadcast(t(s, d, "supplier").filter(col("s_nationkey") % 2 === 1)
           .select(col("s_suppkey"))), col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey"), valU.as("val_u"))
         .groupBy(col("l_partkey"))
         .agg(sum(col("val_u")).as("val_u"))
-      val tot = v.agg(sum(col("val_u")).as("tot_u"), count(lit(1)).as("np"))
+      val tot = v.agg(sumRevD(col("val_u")).as("tot_d"), count(lit(1)).as("np"))
       v.crossJoin(broadcast(tot))
-        .filter(col("val_u") * col("np") > lit(2L) * col("tot_u"))
+        .filter(col("val_u").cast(DecimalType(38, 0)) * col("np") >
+          lit(2L) * col("tot_d"))
         .select(col("l_partkey").cast(LongType).as("partkey"),
           (col("val_u").cast(DoubleType) / 100.0).as("stock_value"),
-          r6(col("val_u").cast(DoubleType) / col("tot_u").cast(DoubleType)).as("value_share"))
+          r6(col("val_u").cast(DoubleType) / col("tot_d").cast(DoubleType)).as("value_share"))
         .orderBy(col("stock_value").desc, col("partkey"))
     }),
 
@@ -1198,8 +1217,6 @@ object Relational {
     // numerator over a broadcast-dim join. Both sides of the percentage
     // are exact BIGINT sums; one division per output row.
     "q14_promo_share" -> ((s: SparkSession, d: String) => {
-      val revU = (round(col("l_extendedprice") * 100).cast(LongType) *
-        (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
       t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
                 col("l_shipdate") <  lit("1998-01-01 00:00:00").cast(TimestampType))
@@ -1209,11 +1226,13 @@ object Relational {
           when(col("p_type") === "PROMO", revU).otherwise(0L).as("promo_u"),
           revU.as("rev_u"))
         .groupBy(col("ship_month"))
-        .agg(sum(col("promo_u")).as("promo_u"), sum(col("rev_u")).as("tot_u"))
+        // per-month groups scale with the corpus → decimal accumulators
+        .agg(sumRevD(col("promo_u")).as("promo_d"),
+          sumRevD(col("rev_u")).as("tot_d"))
         .select(col("ship_month"),
-          r6(lit(100.0) * col("promo_u").cast(DoubleType) /
-            col("tot_u").cast(DoubleType)).as("promo_pct"),
-          (col("tot_u").cast(DoubleType) / 10000.0).as("total_revenue"))
+          r6(lit(100.0) * col("promo_d").cast(DoubleType) /
+            col("tot_d").cast(DoubleType)).as("promo_pct"),
+          (col("tot_d").cast(DoubleType) / 10000.0).as("total_revenue"))
         .orderBy(col("ship_month"))
     }),
 
@@ -1242,8 +1261,6 @@ object Relational {
     // as a residual filter — Catalyst must NOT fall back to a nested
     // loop just because the predicate is an OR of conjunctions.
     "q19_disjunctive_rev" -> ((s: SparkSession, d: String) => {
-      val revU = (round(col("l_extendedprice") * 100).cast(LongType) *
-        (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
       val bands =
         (col("p_type") === "SMALL"  && col("l_quantity").between(1, 11) &&
           col("p_size").between(1, 5)) ||
@@ -1257,8 +1274,9 @@ object Relational {
           col("l_partkey") === col("p_partkey"))
         .filter(bands)
         .groupBy(col("p_type"))
+        // three type-level groups scale with the corpus → decimal sum
         .agg(count(lit(1)).as("n_lines"),
-          (sum(revU).cast(DoubleType) / 10000.0).as("revenue"))
+          (sumRevD(revU).cast(DoubleType) / 10000.0).as("revenue"))
         .orderBy(col("p_type"))
     }),
 
@@ -1274,7 +1292,7 @@ object Relational {
         .join(broadcast(t(s, d, "part").filter(col("p_name").like("%bolt%"))
           .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(col("l_quantity").cast(LongType)).as("sq"))
+        .agg(sum(round(col("l_quantity")).cast(LongType)).as("sq"))
       val tq = sq.groupBy(col("l_partkey").as("pk"))
         .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
       sq.join(broadcast(tq), col("l_partkey") === col("pk"))
@@ -1291,6 +1309,20 @@ object Relational {
 
   private def dS(e: String) = dsumSql(e)
   private val rev = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)"
+
+  /** The calibration contract both sketch queries assert: DuckDB has no
+    * mergeable-sketch surface, so each twin checks the exact count plus
+    * its OWN estimate staying within 5% — defined once so the bound
+    * can't drift between the two keys.
+    */
+  private val hllCalibSql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS exact_cust,
+      |  CAST(abs(approx_count_distinct(o_custkey) -
+      |           COUNT(DISTINCT o_custkey)) AS DOUBLE) <=
+      |    CAST(0.05 AS DOUBLE) *
+      |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS within_5pct
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     // long-cents twin of the Spark query (SUM(BIGINT) widens to HUGEINT
@@ -1418,27 +1450,8 @@ object Relational {
       s"""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
-    // DuckDB has no mergeable-sketch surface — its twin asserts the
-    // same contract (exact count + own-estimate-within-5%) directly
-    "agg_sketch_reagg" ->
-      """SELECT o_orderstatus,
-        |  COUNT(DISTINCT o_custkey) AS exact_cust,
-        |  CAST(abs(approx_count_distinct(o_custkey) -
-        |           COUNT(DISTINCT o_custkey)) AS DOUBLE) <=
-        |    CAST(0.05 AS DOUBLE) *
-        |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS within_5pct
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // each engine checks ITS OWN HLL sketch against the exact count it
-    // also computes; the exact count and the 5%-bound boolean compare
-    "agg_approx_calibration" ->
-      """SELECT o_orderstatus,
-        |  COUNT(DISTINCT o_custkey) AS exact_cust,
-        |  CAST(abs(approx_count_distinct(o_custkey) -
-        |           COUNT(DISTINCT o_custkey)) AS DOUBLE) <=
-        |    CAST(0.05 AS DOUBLE) *
-        |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS within_5pct
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_sketch_reagg" -> hllCalibSql,
+    "agg_approx_calibration" -> hllCalibSql,
 
     "agg_rollup" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${dS("c_acctbal")} AS bal
@@ -1943,7 +1956,7 @@ object Relational {
         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
         |SELECT o_year,
-        |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'GERMANY' THEN rev_u
+        |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_19' THEN rev_u
         |                      ELSE 0 END) AS DOUBLE) /
         |        CAST(SUM(rev_u) AS DOUBLE), 6) AS mkt_share,
         |  CAST(SUM(rev_u) AS DOUBLE) / CAST(10000 AS DOUBLE) AS total_revenue

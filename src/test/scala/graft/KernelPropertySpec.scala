@@ -106,11 +106,24 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
-  test("QuantDot(a, a) is a non-negative exact square sum") {
-    check("quantdot-self") {
-      Prop.forAll(floatVec) { a =>
-        val q = a.map(refQuant)
-        refLongDot(q, q) >= 0 && refLongDot(q, q) == q.map(x => x * x).sum
+  test("QuantDot(a, a) via codegen is the non-negative exact square sum") {
+    val vecs = Gen.listOfN(200, floatVec)
+      .apply(Gen.Parameters.default, Seed(6L)).get
+    val got = viaCodegen(vecs.map(v => (v, v)), FloatType, ArrayExprs.quantDot)
+    vecs.zip(got).foreach { case (a, v) =>
+      val sq = a.map(refQuant).map(x => x * x).sum
+      assert(v === sq)
+      assert(v.asInstanceOf[Long] >= 0L)
+    }
+  }
+
+  test("LongDot is symmetric and linear in its first argument (scalacheck)") {
+    check("longdot-algebra") {
+      Prop.forAll(longVec, longVec) { (a, b) =>
+        val n = math.min(a.length, b.length)
+        val (x, y) = (a.take(n), b.take(n))
+        refLongDot(x, y) == refLongDot(y, x) &&
+          refLongDot(x.map(_ * 2L), y) == 2L * refLongDot(x, y)
       }
     }
   }
