@@ -131,7 +131,53 @@ object Sql {
       |ORDER BY lang, n DESC, token
       |LIMIT 50""".stripMargin
 
+  // WITH RECURSIVE (Spark 4 parser feature) — depth-per-node over the
+  // implicit heap tree parent(n) = (n−1)/2 rooted at nation 0: the
+  // recursion is the declarative form of iterative reachability
+  // (graph_pagerank/dedup_clusters do the driver-loop version; this is
+  // the engine-managed one). Integer-division syntax is the one dialect
+  // split: Spark `DIV`, DuckDB `//`.
+  private def recursiveTree(intdiv: String) =
+    s"""WITH RECURSIVE tree(node, depth) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(n.n_nationkey AS BIGINT), t.depth + 1
+       |  FROM nation n JOIN tree t
+       |    ON CAST(n.n_nationkey - 1 AS BIGINT) $intdiv 2 = t.node
+       |  WHERE n.n_nationkey > 0)
+       |SELECT t.depth, COUNT(*) AS n_nodes,
+       |  MIN(n.n_name) AS first_name, MAX(n.n_name) AS last_name
+       |FROM tree t
+       |JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = t.node
+       |GROUP BY t.depth ORDER BY t.depth""".stripMargin
+
+  // VARIANT (Spark 4 binary JSON): parse once, typed-path extraction —
+  // the open-schema column type a 100 TB event pipeline stores instead
+  // of re-parsing JSON strings per query. DuckDB twin reads the same
+  // semantics through its JSON functions.
+  private val variantSpark =
+    """SELECT CAST(variant_get(parse_json(props), '$.k', 'int') % 10 AS BIGINT)
+      |    AS k_mod,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(variant_get(parse_json(props), '$.k', 'int')) AS BIGINT)
+      |    AS k_sum
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val variantOracle =
+    """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+      |    AS BIGINT) AS k_mod,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+      |    AS BIGINT) AS k_sum
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sql_recursive_tree" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "nation"); s.sql(recursiveTree("DIV"))
+    }),
+    "sql_variant_extract" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "events"); s.sql(variantSpark)
+    }),
     "sql_lateral_explode" -> ((s: SparkSession, d: String) => {
       reg(s, d, "documents"); s.sql(lateralSpark)
     }),
@@ -159,6 +205,8 @@ object Sql {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_recursive_tree" -> recursiveTree("//"),
+    "sql_variant_extract" -> variantOracle,
     "sql_lateral_explode" -> lateralOracle,
     "sql_pivot" -> pivotOracle,
     "sql_exists_subquery" -> existsSub,
