@@ -191,6 +191,24 @@ object Relational {
         .select(col("c_custkey"), col("c_acctbal"))
         .orderBy(col("c_custkey"))),
 
+    // NULL-SAFE equi join (<=> / IS NOT DISTINCT FROM): the semantic
+    // edge plain `=` gets wrong — a NULL key row silently vanishes from
+    // an inner join. Here the BUILDING segment is nulled out (the
+    // "unclassified" bucket) and still must match its dim row. Spark
+    // plans EqualNullSafe as a HASH join key (null-safe keys stay
+    // hashable — no nested-loop demotion), dim side broadcast.
+    "join_nullsafe" -> ((s: SparkSession, d: String) => {
+      val segKey = when(col("c_mktsegment") === "BUILDING", lit(null: String))
+        .otherwise(col("c_mktsegment"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), segKey.as("seg_key"))
+      val dim = cust.select(col("seg_key").as("dim_key")).distinct()
+      cust.join(broadcast(dim), col("seg_key") <=> col("dim_key"))
+        .groupBy(coalesce(col("dim_key"), lit("unclassified")).as("label"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("label"))
+    }),
+
     "join_full_nation" -> ((s: SparkSession, d: String) => {
       val c = t(s, d, "customer").groupBy(col("c_nationkey").as("ck"))
         .agg(count(lit(1)).as("n_customers"))
@@ -1430,6 +1448,16 @@ object Relational {
          |WHERE NOT EXISTS (SELECT 1 FROM orders
          |  WHERE o_custkey = c_custkey AND o_totalprice > CAST(300000 AS DOUBLE))
          |ORDER BY c_custkey""".stripMargin,
+
+    "join_nullsafe" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_key
+        |  FROM customer),
+        |dim AS (SELECT DISTINCT seg_key AS dim_key FROM cust)
+        |SELECT COALESCE(dim_key, 'unclassified') AS label,
+        |  COUNT(*) AS n_cust
+        |FROM cust JOIN dim ON seg_key IS NOT DISTINCT FROM dim_key
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_full_nation" ->
       s"""WITH c AS (SELECT c_nationkey AS ck, COUNT(*) AS n_customers

@@ -171,7 +171,24 @@ object Sql {
       |    AS BIGINT) AS k_sum
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // the SQL-dialect UNPIVOT clause (the inverse of sql_pivot's clause;
+  // unpivot_long covers the DataFrame-API melt) — SQL-standard form,
+  // accepted verbatim by both engines
+  private val unpivotSql =
+    """WITH w AS (
+      |  SELECT o_orderstatus,
+      |    COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+      |    COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+      |    COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, priority, n FROM w
+      |UNPIVOT (n FOR priority IN (urgent, high, low))
+      |ORDER BY o_orderstatus, priority""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sql_unpivot" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "orders"); s.sql(unpivotSql)
+    }),
     "sql_recursive_tree" -> ((s: SparkSession, d: String) => {
       reg(s, d, "nation"); s.sql(recursiveTree("DIV"))
     }),
@@ -205,6 +222,7 @@ object Sql {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_unpivot" -> unpivotSql,
     "sql_recursive_tree" -> recursiveTree("//"),
     "sql_variant_extract" -> variantOracle,
     "sql_lateral_explode" -> lateralOracle,

@@ -70,6 +70,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("join_nullsafe plans <=> as a hash join key, not a nested loop") {
+    val p = plan("join_nullsafe")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("graph_triangles wedge and closing joins are all keyed") {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct"), p.take(1500))
