@@ -50,6 +50,9 @@ object Curation {
   /** Passage width in tokens (non-overlapping). */
   private val ChunkW = 4
 
+  /** A chunk present in this many distinct docs is boilerplate. */
+  private val BoilerDocs = 2
+
   /** Sequence packing: shard fan-out and per-sequence token budget. */
   private val PackShards = 8
   private val PackBudget = 64
@@ -122,6 +125,42 @@ object Curation {
           count_distinct(col("doc_id")).as("n_docs"))
         .filter(col("n_occurrences") > 1)
         .orderBy(col("chunk_hash"))
+    }),
+
+    // C4-style boilerplate REMOVAL: chunks shared by >= BoilerDocs
+    // distinct docs are cut from every document and the survivors are
+    // reassembled in position order — the span-level EDIT whose
+    // discovery half is text_chunk_dedup. Scale: the boilerplate set is
+    // by construction small (high-frequency chunks), so it broadcasts;
+    // the corpus side never shuffles its chunk strings — only the 8-byte
+    // chunk hashes shuffle once to find the set, and the reassembly
+    // groupBy shuffles (doc_id, pos, chunk) exactly once.
+    "curate_boilerplate" -> ((s: SparkSession, d: String) => {
+      val ws = col("ws")
+      val chunks = when(size(ws) >= ChunkW,
+        transform(
+          sequence(lit(0), (size(ws) / ChunkW).cast(IntegerType) - 1),
+          i => concat_ws(" ", slice(ws, i * ChunkW + 1, lit(ChunkW)))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      val ch = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+        .withColumn("chunk_hash", XF.h32(col("chunk")))
+      val boiler = ch.groupBy(col("chunk_hash"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= BoilerDocs)
+        .select(col("chunk_hash"), lit(1).as("bp"))
+      // collect_list drops the nulls the `when` leaves for removed
+      // chunks; array_sort on (pos, chunk) structs restores doc order.
+      ch.join(broadcast(boiler), Seq("chunk_hash"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(when(col("bp").isNull,
+              struct(col("pos"), col("chunk"))))),
+            c => c.getField("chunk"))).as("clean_text"))
+        .orderBy(col("doc_id"))
     }),
 
     // within-document repetition: top-token frequency share per doc (the
@@ -352,6 +391,24 @@ object Curation {
          |  COUNT(DISTINCT doc_id) AS n_docs
          |FROM ch GROUP BY chunk_hash HAVING COUNT(*) > 1
          |ORDER BY chunk_hash""".stripMargin
+    },
+
+    "curate_boilerplate" -> {
+      val cat = (0 until ChunkW).map(i => s"ws[i*$ChunkW+${i + 1}]").mkString("||' '||")
+      s"""WITH ch AS (
+         |  SELECT doc_id, pos, chunk,
+         |    CAST(('0x' || substr(md5(chunk), 1, 8)) AS BIGINT) AS chunk_hash
+         |  FROM (SELECT doc_id, i AS pos, $cat AS chunk
+         |        FROM (SELECT doc_id, string_split(text,' ') ws FROM documents) tk,
+         |             unnest(range(0, CAST(floor(len(ws) / $ChunkW) AS BIGINT))) t(i))),
+         |b AS (SELECT chunk_hash FROM ch GROUP BY chunk_hash
+         |      HAVING COUNT(DISTINCT doc_id) >= $BoilerDocs)
+         |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN b.chunk_hash IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |  COALESCE(string_agg(CASE WHEN b.chunk_hash IS NULL THEN ch.chunk END,
+         |                      ' ' ORDER BY ch.pos), '') AS clean_text
+         |FROM ch LEFT JOIN b ON ch.chunk_hash = b.chunk_hash
+         |GROUP BY ch.doc_id ORDER BY doc_id""".stripMargin
     },
 
     "text_repetition" ->

@@ -43,6 +43,28 @@ class CurationSpec extends SparkSpec {
     assert(rows.length === dups)
   }
 
+  test("boilerplate removal cuts exactly the cross-doc chunks, in order") {
+    // brute-force twin: aligned 4-token chunks, boilerplate = present in
+    // >= 2 distinct docs, survivors rejoined in position order
+    val chunked = docs.map { case (id, _, text) =>
+      val ws = text.split(" ", -1)
+      id -> (0 until ws.length / 4).map(i => ws.slice(i * 4, i * 4 + 4).mkString(" "))
+    }.filter(_._2.nonEmpty).toMap
+    val boiler = chunked.toSeq.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.size >= 2).keySet
+    val got = q("curate_boilerplate").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet === chunked.keySet)
+    chunked.foreach { case (id, cs) =>
+      val kept = cs.filterNot(boiler.contains)
+      assert(got(id) === ((cs.size.toLong, (cs.size - kept.size).toLong,
+        kept.mkString(" "))), s"doc $id")
+    }
+    // the edit must actually fire at this scale: some chunk removed,
+    // some doc left intact
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
+  }
+
   test("repetition ratio is (top token freq) / (token count)") {
     val got = q("text_repetition").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
