@@ -152,4 +152,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got === want)
     assert(want.nonEmpty)
   }
+
+  test("k-means matches a JVM-side Lloyd run (same seeds, rounds, floor)") {
+    val vs = vecs
+    def quant(x: Array[Float]): Array[Long] =
+      x.map(v => math.floor(v.toDouble * 1048576.0).toLong)
+    val qv = vs.map { case (id, v) => id -> quant(v) }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (i, j) => i * j }.sum
+    val n2 = qv.map { case (id, v) => id -> dot(v, v) }
+    var cents: Map[Long, Array[Long]] = qv.filter(_._1 < 8)
+    def assign(): Map[Long, (Long, Long)] = qv.map { case (id, v) =>
+      id -> cents.toSeq.map { case (c, cv) =>
+        (c, n2(id) + dot(cv, cv) - 2 * dot(v, cv))
+      }.minBy { case (c, d) => (d, c) }.swap
+    }.map { case (id, (d2, cid)) => id -> (cid, d2) }
+    for (_ <- 1 to 3) {
+      val byCluster = assign().toSeq.groupBy(_._2._1)
+      cents = byCluster.map { case (cid, members) =>
+        val mv = members.map(m => qv(m._1))
+        cid -> Array.tabulate(mv.head.length) { d =>
+          math.floor(mv.map(_(d)).sum.toDouble / mv.size).toLong
+        }
+      }
+    }
+    val fin = assign().toSeq.groupBy(_._2._1)
+    val expected = fin.map { case (cid, m) =>
+      cid -> ((m.size.toLong, m.map(x => BigInt(x._2._2)).sum))
+    }
+    val got = graft.SparkEntry.queries("emb_kmeans")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === vs.size.toLong)
+  }
 }
