@@ -34,6 +34,55 @@ object Similarity {
   private val KmK = 8
   private val KmIters = 3
 
+  /** Per-cluster member cap for cluster-balanced sampling. */
+  private val KmCap = 40
+
+  /** K-MEANS (Lloyd's) over the embedding corpus — the semantic
+    * clustering pass behind topic balancing / cluster-level dedup.
+    * Entirely in the exact-integer domain so every iteration is
+    * bit-identical across engines and task retries: squared L2 via
+    * precomputed norms (d² = |a|² + |c|² − 2a·c, all BIGINT), centroid
+    * update as floor(Σq/n) per dim (|Σq| < 2^53, so the double division
+    * is exact), KmIters fixed rounds from the vec_id<K seed.
+    * Scale shape: each round is one corpus scan against a BROADCAST
+    * K-row centroid table (the nested-loop join is K-bounded, never a
+    * Cartesian blowup), one (cid,dim)-key aggregation whose map-side
+    * partials collapse to K×dims cells, and a K-row update frame that
+    * ends in localCheckpoint — lineage stays flat, so round T never
+    * re-derives rounds 1..T−1 (T+1 scans total, k-means' honest cost).
+    * Returns the final per-vector assignment (vec_id, q, n2, cid, d2).
+    */
+  private def kmeansFinalAssign(s: SparkSession, d: String): DataFrame = {
+    val corpus = qEmb(s, d)
+    def assign(cents: DataFrame): DataFrame = corpus
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("n2"), col("cid"),
+        (col("n2") + col("ccn2") -
+          lit(2L) * idot(col("q"), col("cq"))).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("d2")),
+          struct(col("d2"), col("cid"))).as("best"),
+        first(col("q")).as("q"), first(col("n2")).as("n2"))
+      .select(col("vec_id"), col("q"), col("n2"),
+        col("best.cid").as("cid"), col("best.d2").as("d2"))
+    def update(assigned: DataFrame): DataFrame = assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("cv", floor(col("sq").cast(DoubleType) /
+        col("n").cast(DoubleType)).cast(LongType))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cq"))
+      .withColumn("ccn2", idot(col("cq"), col("cq")))
+      .localCheckpoint()
+    var cents = corpus.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("n2").as("ccn2"))
+    for (_ <- 1 to KmIters) cents = update(assign(cents))
+    assign(cents)
+  }
+
   /** Query subset: every 50th vector. Stays tiny relative to the corpus
     * (the realistic ANN shape: few queries, huge candidate side).
     */
@@ -328,55 +377,37 @@ object Similarity {
         .orderBy(col("i"), col("j"))
     }),
 
-    // K-MEANS (Lloyd's) over the embedding corpus — the semantic
-    // clustering pass behind topic balancing / cluster-level dedup.
-    // Entirely in the exact-integer domain so every iteration is
-    // bit-identical across engines and task retries: squared L2 via
-    // precomputed norms (d² = |a|² + |c|² − 2a·c, all BIGINT), centroid
-    // update as floor(Σq/n) per dim (|Σq| < 2^53, so the double division
-    // is exact), KmIters fixed rounds from the vec_id<K seed.
-    // Scale shape: each round is one corpus scan against a BROADCAST
-    // K-row centroid table (the nested-loop join is K-bounded, never a
-    // Cartesian blowup), one (cid,dim)-key aggregation whose map-side
-    // partials collapse to K×dims cells, and a K-row update frame that
-    // ends in localCheckpoint — lineage stays flat, so round T never
-    // re-derives rounds 1..T−1 (T+1 scans total, k-means' honest cost).
-    // Inertia accumulates as DECIMAL(38,0): per-row d² ≤ ~2^47, so a
-    // corpus-scaled long sum would overflow past ~2^16 rows/cluster ×
-    // 100 TB shards.
-    "emb_kmeans" -> ((s: SparkSession, d: String) => {
-      val corpus = qEmb(s, d)
-      def assign(cents: DataFrame): DataFrame = corpus
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("q"), col("n2"), col("cid"),
-          (col("n2") + col("ccn2") -
-            lit(2L) * idot(col("q"), col("cq"))).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cid"), col("d2")),
-            struct(col("d2"), col("cid"))).as("best"),
-          first(col("q")).as("q"), first(col("n2")).as("n2"))
-        .select(col("vec_id"), col("q"), col("n2"),
-          col("best.cid").as("cid"), col("best.d2").as("d2"))
-      def update(assigned: DataFrame): DataFrame = assigned
-        .select(col("cid"), posexplode(col("q")).as(Seq("dim", "qv")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
-        .withColumn("cv", floor(col("sq").cast(DoubleType) /
-          col("n").cast(DoubleType)).cast(LongType))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-          x => x.getField("cv")).as("cq"))
-        .withColumn("ccn2", idot(col("cq"), col("cq")))
-        .localCheckpoint()
-      var cents = corpus.filter(col("vec_id") < KmK)
-        .select(col("vec_id").as("cid"), col("q").as("cq"),
-          col("n2").as("ccn2"))
-      for (_ <- 1 to KmIters) cents = update(assign(cents))
-      assign(cents)
+    // k-means cluster census (see kmeansFinalAssign for the algorithm
+    // and scale notes). Inertia accumulates as DECIMAL(38,0): per-row
+    // d² ≤ ~2^47, so a corpus-scaled long sum would overflow past
+    // ~2^16 rows/cluster × 100 TB shards.
+    "emb_kmeans" -> ((s: SparkSession, d: String) =>
+      kmeansFinalAssign(s, d)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("d2").cast(DecimalType(38, 0))).as("inertia"))
-        .orderBy(col("cid"))
+        .orderBy(col("cid"))),
+
+    // CLUSTER-BALANCED SAMPLING — cap each k-means cluster at KmCap
+    // members, picked by a deterministic per-vector hash (never rand():
+    // reproducible under retry/speculation, re-runnable to the identical
+    // subsample). This is the semantic-diversity rebalance of a training
+    // corpus: dominant clusters are truncated, small clusters pass
+    // whole, so no cluster dominates the mixture. The per-cluster
+    // window is bounded by cluster size; at 100 TB the same shape runs
+    // per (cluster × salt) shard if a single cluster outgrows a
+    // partition, identical to the documented skew treatment elsewhere.
+    "sample_cluster_cap" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(col("hb"), col("vec_id"))
+      kmeansFinalAssign(s, d)
+        .withColumn("hb",
+          graft.functions.XF.h32(concat(lit("cap:"),
+            col("vec_id").cast(StringType))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= KmCap)
+        .select(col("vec_id"), col("cid"), col("rk").cast(LongType).as("rk"))
+        .orderBy(col("cid"), col("rk"))
     })
   )
 
@@ -564,37 +595,55 @@ object Similarity {
          |FROM agg ORDER BY dim""".stripMargin
     },
 
-    "emb_kmeans" -> {
-      // unrolled Lloyd rounds: aI assigns against c(I-1), cI re-centers
-      def assignSql(cents: String, out: String): String = {
-        val dist = s"v.n2 + c.n2 - 2 * ${idotSql("v.q", "c.q")}"
-        s"""$out AS (
-           |  SELECT vec_id, q, n2, cid, d2 FROM (
-           |    SELECT v.vec_id, v.q, v.n2, c.cid, $dist AS d2,
-           |      row_number() OVER (PARTITION BY v.vec_id
-           |        ORDER BY $dist, c.cid) AS rk
-           |    FROM qn v, $cents c) WHERE rk = 1)""".stripMargin
-      }
-      def updateSql(assigned: String, out: String): String =
-        s"""${out}d AS (
-           |  SELECT cid, i AS dim,
-           |    CAST(floor(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-           |  FROM $assigned, unnest(range(1, len(q) + 1)) t(i)
-           |  GROUP BY cid, i),
-           |$out AS (
-           |  SELECT cid, q, ${idotSql("q", "q")} AS n2
-           |  FROM (SELECT cid, list(cv ORDER BY dim) AS q
-           |        FROM ${out}d GROUP BY cid))""".stripMargin
-      val rounds = (1 to KmIters).map(i =>
-        assignSql(s"c${i - 1}", s"a$i") + ",\n" + updateSql(s"a$i", s"c$i"))
-        .mkString(",\n")
-      s"""WITH $qEmbSql,
-         |c0 AS (SELECT vec_id AS cid, q, n2 FROM qn WHERE vec_id < $KmK),
-         |$rounds,
-         |${assignSql(s"c$KmIters", "afinal")}
+    "emb_kmeans" ->
+      s"""WITH $kmeansCtesSql
          |SELECT cid, COUNT(*) AS n_members,
          |  SUM(CAST(d2 AS DECIMAL(38,0))) AS inertia
-         |FROM afinal GROUP BY cid ORDER BY cid""".stripMargin
-    }
+         |FROM afinal GROUP BY cid ORDER BY cid""".stripMargin,
+
+    "sample_cluster_cap" ->
+      s"""WITH $kmeansCtesSql,
+         |ranked AS (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+         |    ORDER BY CAST(('0x' || substr(md5('cap:' ||
+         |      CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id) AS rk
+         |  FROM afinal)
+         |SELECT vec_id, cid, CAST(rk AS BIGINT) AS rk
+         |FROM ranked WHERE rk <= $KmCap ORDER BY cid, rk""".stripMargin
   )
+
+  /** Shared oracle CTE chain for the k-means rounds — quantized corpus
+    * (`qn`), `c0` seeds, `aI`/`cI` unrolled Lloyd rounds, ending in the
+    * final assignment `afinal(vec_id, q, n2, cid, d2)`. The DuckDB twin
+    * of [[kmeansFinalAssign]].
+    */
+  private def kmeansCtesSql: String = {
+    // aI assigns against c(I-1); cI re-centers from aI
+    def assignSql(cents: String, out: String): String = {
+      val dist = s"v.n2 + c.n2 - 2 * ${idotSql("v.q", "c.q")}"
+      s"""$out AS (
+         |  SELECT vec_id, q, n2, cid, d2 FROM (
+         |    SELECT v.vec_id, v.q, v.n2, c.cid, $dist AS d2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY $dist, c.cid) AS rk
+         |    FROM qn v, $cents c) WHERE rk = 1)""".stripMargin
+    }
+    def updateSql(assigned: String, out: String): String =
+      s"""${out}d AS (
+         |  SELECT cid, i AS dim,
+         |    CAST(floor(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |  FROM $assigned, unnest(range(1, len(q) + 1)) t(i)
+         |  GROUP BY cid, i),
+         |$out AS (
+         |  SELECT cid, q, ${idotSql("q", "q")} AS n2
+         |  FROM (SELECT cid, list(cv ORDER BY dim) AS q
+         |        FROM ${out}d GROUP BY cid))""".stripMargin
+    val rounds = (1 to KmIters).map(i =>
+      assignSql(s"c${i - 1}", s"a$i") + ",\n" + updateSql(s"a$i", s"c$i"))
+      .mkString(",\n")
+    s"""$qEmbSql,
+       |c0 AS (SELECT vec_id AS cid, q, n2 FROM qn WHERE vec_id < $KmK),
+       |$rounds,
+       |${assignSql(s"c$KmIters", "afinal")}""".stripMargin
+  }
 }

@@ -186,4 +186,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
     assert(got.values.map(_._1).sum === vs.size.toLong)
   }
+
+  test("cluster-capped sample keeps min(cap, cluster size), deterministically") {
+    val sizes = graft.SparkEntry.queries("emb_kmeans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.SparkEntry.queries("sample_cluster_cap")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.keySet === sizes.keySet)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.length.toLong === math.min(40L, sizes(cid)), s"cluster $cid")
+      // ranks are contiguous from 1
+      assert(members.map(_._3).sorted.toSeq === (1L to members.length).toSeq)
+    }
+    // hash-ordered pick: identical on re-run
+    val again = graft.SparkEntry.queries("sample_cluster_cap")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
 }
