@@ -38,7 +38,10 @@ object Bench {
     // the round-5 TPC-H completions: the semi+anti self-join, the
     // decorrelated-avg threshold, and two multi-dim star shapes
     "q21_blame_supplier", "q17_small_qty_revenue", "q8_market_share",
-    "q10_returned_ranking")
+    "q10_returned_ranking",
+    // round-5 late additions: the Lloyd clustering pass and the
+    // span-level boilerplate edit
+    "emb_kmeans", "curate_boilerplate")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -266,6 +266,23 @@ object Relational {
             lit(0.05) * col("exact_cust").cast(DoubleType)).as("within_5pct"))
         .orderBy(col("o_orderstatus"))),
 
+    // APPROX-QUANTILE CALIBRATION — percentile_approx (Greenwald-Khanna
+    // positional sketch, mergeable partials: the 100 TB quantile path
+    // where exact percentile's per-group sort is off the table) against
+    // the exact interpolated percentile, same calibration contract as
+    // the HLL twins: the exact value hash-compares across engines, and
+    // each engine asserts its OWN sketch lands within 1% (rank error
+    // ≤ n/1000 at accuracy 1000; DuckDB's t-digest twin asserts the
+    // same bound on its side).
+    "agg_approx_quantile_calib" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.5D)"), 4).as("exact_p50"),
+          expr("percentile_approx(o_totalprice, 0.5D, 1000)").as("est"))
+        .select(col("o_orderstatus"), col("exact_p50"),
+          (abs(col("est") - col("exact_p50")) <=
+            lit(0.01) * col("exact_p50")).as("within_1pct"))
+        .orderBy(col("o_orderstatus"))),
+
     // MERGEABLE-SKETCH RE-AGGREGATION — the 100 TB distinct-count
     // pattern: fine-grained cells each hold an HLL sketch
     // (hll_sketch_agg, Datasketches, lgK=14 ≈ 0.8% rsd), and any
@@ -1480,6 +1497,15 @@ object Relational {
 
     "agg_sketch_reagg" -> hllCalibSql,
     "agg_approx_calibration" -> hllCalibSql,
+
+    "agg_approx_quantile_calib" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+        |  CAST(abs(approx_quantile(o_totalprice, 0.5) -
+        |           quantile_cont(o_totalprice, 0.5)) AS DOUBLE) <=
+        |    CAST(0.01 AS DOUBLE) * CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE)
+        |    AS within_1pct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_rollup" ->
       s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${dS("c_acctbal")} AS bal
