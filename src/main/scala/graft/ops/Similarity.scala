@@ -37,6 +37,9 @@ object Similarity {
   /** Per-cluster member cap for cluster-balanced sampling. */
   private val KmCap = 40
 
+  /** Within-cluster cosine threshold for semantic dedup. */
+  private val SemThresh = 0.45
+
   /** K-MEANS (Lloyd's) over the embedding corpus — the semantic
     * clustering pass behind topic balancing / cluster-level dedup.
     * Entirely in the exact-integer domain so every iteration is
@@ -408,6 +411,29 @@ object Similarity {
         .filter(col("rk") <= KmCap)
         .select(col("vec_id"), col("cid"), col("rk").cast(LongType).as("rk"))
         .orderBy(col("cid"), col("rk"))
+    }),
+
+    // SEMANTIC DEDUP (SemDeDup shape): pair vectors ONLY within their
+    // k-means cluster and drop the higher id of every pair with cosine
+    // ≥ SemThresh — the sub-quadratic embedding-dedup scale path: the
+    // pair join is an equi-join on cid, so global pair volume is
+    // Σ|cluster|², bounded by the clustering instead of corpus². The
+    // cross-cluster complement (near-dups straddling a boundary) is the
+    // documented recall trade, tuned by K exactly like nprobe for ANN.
+    "dedup_semantic" -> ((s: SparkSession, d: String) => {
+      val a = kmeansFinalAssign(s, d)
+      val l = a.select(col("cid"), col("vec_id").as("i"),
+        col("q").as("qa"), col("n2").as("na2"))
+      val r = a.select(col("cid"), col("vec_id").as("j"),
+        col("q").as("qb"), col("n2").as("nb2"))
+      val dropped = l.join(r, Seq("cid"))
+        .filter(col("i") < col("j"))
+        .filter(qcos(idot(col("qa"), col("qb")),
+          col("na2"), col("nb2")) >= SemThresh)
+        .select(col("j").as("vec_id")).distinct()
+      a.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cid"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -609,7 +635,19 @@ object Similarity {
          |      CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id) AS rk
          |  FROM afinal)
          |SELECT vec_id, cid, CAST(rk AS BIGINT) AS rk
-         |FROM ranked WHERE rk <= $KmCap ORDER BY cid, rk""".stripMargin
+         |FROM ranked WHERE rk <= $KmCap ORDER BY cid, rk""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH $kmeansCtesSql,
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id AS vec_id
+         |  FROM afinal a JOIN afinal b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")} >=
+         |    CAST($SemThresh AS DOUBLE))
+         |SELECT a.vec_id, a.cid FROM afinal a
+         |WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY a.vec_id""".stripMargin
   )
 
   /** Shared oracle CTE chain for the k-means rounds — quantized corpus

@@ -153,8 +153,10 @@ class SimilaritySpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
-  test("k-means matches a JVM-side Lloyd run (same seeds, rounds, floor)") {
-    val vs = vecs
+  /** JVM-side Lloyd twin of Similarity.kmeansFinalAssign: same quantize,
+    * seeds, rounds, floor division — returns id -> (cid, d2).
+    */
+  private def lloydAssign(vs: Map[Long, Array[Float]]): Map[Long, (Long, Long)] = {
     def quant(x: Array[Float]): Array[Long] =
       x.map(v => math.floor(v.toDouble * 1048576.0).toLong)
     val qv = vs.map { case (id, v) => id -> quant(v) }
@@ -176,7 +178,12 @@ class SimilaritySpec extends SparkSpec {
         }
       }
     }
-    val fin = assign().toSeq.groupBy(_._2._1)
+    assign()
+  }
+
+  test("k-means matches a JVM-side Lloyd run (same seeds, rounds, floor)") {
+    val vs = vecs
+    val fin = lloydAssign(vs).toSeq.groupBy(_._2._1)
     val expected = fin.map { case (cid, m) =>
       cid -> ((m.size.toLong, m.map(x => BigInt(x._2._2)).sum))
     }
@@ -203,5 +210,21 @@ class SimilaritySpec extends SparkSpec {
     val again = graft.SparkEntry.queries("sample_cluster_cap")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq === again.toSeq)
+  }
+
+  test("semantic dedup drops exactly the within-cluster cosine dups") {
+    val vs = vecs
+    val cl = lloydAssign(vs).map { case (id, (cid, _)) => id -> cid }
+    val dropped = cl.keys.toSeq.sorted.flatMap { j =>
+      val dup = cl.keys.exists(i => i < j && cl(i) == cl(j) &&
+        qcos(vs(i), vs(j)) >= 0.45)
+      if (dup) Some(j) else None
+    }.toSet
+    val expected = cl.filterNot { case (id, _) => dropped(id) }
+    val got = graft.SparkEntry.queries("dedup_semantic")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // survivors must be a strict subset at this scale (some dup found)
+    assert(got.size < vs.size)
   }
 }
