@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -282,6 +282,31 @@ object Relational {
           (abs(col("est") - col("exact_p50")) <=
             lit(0.01) * col("exact_p50")).as("within_1pct"))
         .orderBy(col("o_orderstatus"))),
+
+    // COUNT-MIN HEAVY-HITTER CALIBRATION — one corpus pass builds a
+    // mergeable Depth×Width Count-Min sketch (custom typed Aggregator,
+    // functions/CountMinAgg.scala; partials merge by elementwise add, so
+    // the 100 TB shape is map-side grids unioned at the exchange, like
+    // the HLL path), then the exact top-20 part keys probe it. The
+    // calibration contract: exact counts hash-compare across engines;
+    // Spark asserts the sketch's own guarantees — never an undercount,
+    // and overcount ≤ ~3·e·N/Width (9N/512 in integer arithmetic).
+    "agg_cms_calibration" -> ((s: SparkSession, d: String) => {
+      val cmsAgg = udaf(graft.functions.CountMinAgg, Encoders.scalaLong)
+      val ks = t(s, d, "lineitem").select(col("l_partkey").as("pk"))
+      val top = ks.groupBy(col("pk")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("pk")).limit(20)
+      val sk = ks.agg(cmsAgg(col("pk")).as("sk"),
+        count(lit(1)).as("n_total"))
+      val est = graft.functions.CountMin.estimateCol(
+        col("sk.cells"), col("pk"))
+      top.crossJoin(broadcast(sk))
+        .select(col("pk"), col("n_exact"),
+          (est >= col("n_exact")).as("no_undercount"),
+          (est <= col("n_exact") +
+            lit(9L) * col("n_total") / lit(512L)).as("within_margin"))
+        .orderBy(col("n_exact").desc, col("pk"))
+    }),
 
     // MERGEABLE-SKETCH RE-AGGREGATION — the 100 TB distinct-count
     // pattern: fine-grained cells each hold an HLL sketch
@@ -1497,6 +1522,13 @@ object Relational {
 
     "agg_sketch_reagg" -> hllCalibSql,
     "agg_approx_calibration" -> hllCalibSql,
+
+    "agg_cms_calibration" ->
+      """SELECT pk, n_exact, TRUE AS no_undercount, TRUE AS within_margin
+        |FROM (SELECT l_partkey AS pk, COUNT(*) AS n_exact
+        |      FROM lineitem GROUP BY 1
+        |      ORDER BY n_exact DESC, pk LIMIT 20)
+        |ORDER BY n_exact DESC, pk""".stripMargin,
 
     "agg_approx_quantile_calib" ->
       """SELECT o_orderstatus,
