@@ -29,6 +29,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic pairs only within clusters — equi-join on cid") {
+    val p = plan("dedup_semantic")
+    // the pair stage must key on the cluster id; the only permitted
+    // nested-loop joins are the K-row broadcast centroid assigns
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("curate_boilerplate joins the broadcast boilerplate set") {
+    val p = plan("curate_boilerplate")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the left join against the high-frequency chunk set must broadcast
+    // — a shuffled join here would move the corpus chunk strings
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("emb_kmeans assigns via K-row broadcasts, aggregates by (cid,dim)") {
+    val p = plan("emb_kmeans")
+    // the centroid table is K rows: broadcast nested-loop is the
+    // CORRECT bounded shape; an un-broadcast cartesian is not
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("q21_blame_supplier self-joins are shuffled equi-joins on orderkey") {
     val p = plan("q21_blame_supplier")
     // the semi and anti self-joins must equi-join on l_orderkey with the
