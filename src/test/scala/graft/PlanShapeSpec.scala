@@ -46,12 +46,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
-  test("emb_kmeans assigns via K-row broadcasts, aggregates by (cid,dim)") {
+  test("emb_kmeans census reads the materialized assignment artifact") {
     val p = plan("emb_kmeans")
-    // the centroid table is K rows: broadcast nested-loop is the
-    // CORRECT bounded shape; an un-broadcast cartesian is not
+    // the Lloyd rounds run once (memoized, localCheckpoint) — the census
+    // consumes the checkpointed assignment (a materialized RDD scan),
+    // never a live plan that would re-run the rounds per consumer
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
   }
 
   test("q21_blame_supplier self-joins are shuffled equi-joins on orderkey") {
