@@ -118,6 +118,21 @@ object Streams {
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
   }
 
+  /** Watermarked streaming dedup: `dropDuplicatesWithinWatermark` keeps
+    * one row per event_id and holds each key's state ONLY until the
+    * watermark passes its event time + delay — bounded state on an
+    * unbounded stream, the at-least-once-ingest repair pass (plain
+    * `dropDuplicates` on a stream would keep every key forever). Not a
+    * driver oracle query: in batch mode the kept row per key is
+    * partition-order-dependent; the contract is pinned by the
+    * MemoryStream replay test in StreamsSpec instead.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WatermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+
   /** Stream-static enrichment join: the unbounded event stream joins a
     * static (batch) dimension — no state at all on the static side, the
     * dim is broadcast to every task and re-read per micro-batch if it
