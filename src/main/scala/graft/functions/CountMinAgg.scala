@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
-/** Mergeable COUNT-MIN sketch over a non-negative long key column
+/** Mergeable COUNT-MIN sketch over a long key column
   * (SURVEY.md §2.7 custom-Aggregator tier) — the heavy-hitter frequency
   * summary a 100 TB pipeline keeps when exact per-key counts are too
   * wide to materialize: partials are fixed Depth×Width cell grids that
@@ -27,13 +27,18 @@ object CountMin {
   private val As = Array(1103515245L, 214013L, 69069L, 1664525L)
   private val Bs = Array(12345L, 2531011L, 362437L, 1013904223L)
 
-  /** Cell column (within row `row`) for key `v` — JVM side. */
+  /** Cell column (within row `row`) for key `v` — JVM side. floorMod
+    * keeps negative keys in [0, P): plain `%` would return a negative
+    * remainder and index outside (or into the WRONG row of) the grid.
+    */
   def slot(row: Int, v: Long): Int =
-    ((((v % P) * As(row) + Bs(row)) % P) % Width).toInt
+    (((Math.floorMod(v, P) * As(row) + Bs(row)) % P) % Width).toInt
 
-  /** The same hash as a Column expression (estimate lookup side). */
+  /** The same hash as a Column expression (estimate lookup side);
+    * `pmod` is the Column twin of floorMod.
+    */
   def slotCol(row: Int, v: Column): Column =
-    (((v % P) * As(row) + Bs(row)) % P) % Width
+    ((pmod(v, lit(P)) * As(row) + Bs(row)) % P) % Width
 
   /** Point estimate for key `v` from a finished sketch's `cells` array:
     * min over the Depth row counters (1-based element_at).

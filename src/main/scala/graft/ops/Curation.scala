@@ -137,11 +137,13 @@ object Curation {
     // groupBy shuffles (doc_id, pos, chunk) exactly once.
     "curate_boilerplate" -> ((s: SparkSession, d: String) => {
       val ws = col("ws")
-      val chunks = when(size(ws) >= ChunkW,
-        transform(
-          sequence(lit(0), (size(ws) / ChunkW).cast(IntegerType) - 1),
-          i => concat_ws(" ", slice(ws, i * ChunkW + 1, lit(ChunkW)))))
-        .otherwise(array().cast(ArrayType(StringType)))
+      // CEIL-chunking, unlike text_chunk_dedup's floor: the EDIT must
+      // cover every token, so the trailing sub-width remainder rides as
+      // a short final chunk (slice clamps) and sub-width docs are one
+      // whole-doc chunk — nothing outside the boilerplate set is lost.
+      val nChunks = ((size(ws) + ChunkW - 1) / ChunkW).cast(IntegerType)
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(ws, i * ChunkW + 1, lit(ChunkW))))
       val ch = t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
@@ -394,13 +396,15 @@ object Curation {
     },
 
     "curate_boilerplate" -> {
-      val cat = (0 until ChunkW).map(i => s"ws[i*$ChunkW+${i + 1}]").mkString("||' '||")
+      // list slicing clamps at the end exactly like Spark's slice, so
+      // the ceil-range tail chunk carries the sub-width remainder
+      val cat = s"array_to_string(ws[i*$ChunkW+1 : i*$ChunkW+$ChunkW], ' ')"
       s"""WITH ch AS (
          |  SELECT doc_id, pos, chunk,
-         |    CAST(('0x' || substr(md5(chunk), 1, 8)) AS BIGINT) AS chunk_hash
+         |    ${graft.functions.XF.h32Sql("chunk")} AS chunk_hash
          |  FROM (SELECT doc_id, i AS pos, $cat AS chunk
          |        FROM (SELECT doc_id, string_split(text,' ') ws FROM documents) tk,
-         |             unnest(range(0, CAST(floor(len(ws) / $ChunkW) AS BIGINT))) t(i))),
+         |             unnest(range(0, CAST(ceil(len(ws) / CAST($ChunkW AS DOUBLE)) AS BIGINT))) t(i))),
          |b AS (SELECT chunk_hash FROM ch GROUP BY chunk_hash
          |      HAVING COUNT(DISTINCT doc_id) >= $BoilerDocs)
          |SELECT ch.doc_id, COUNT(*) AS n_chunks,

@@ -417,20 +417,10 @@ object Dedup {
     * plan memo, so no session is pinned forever.
     */
   private val labelMemo =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
-      8, 0.75f, /*accessOrder=*/ true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        size > 8
-    }
+    new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
 
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val hit = labelMemo.synchronized(labelMemo.get((s, d)))
-    if (hit != null) return hit
-    val labels = computeClusterLabels(s, d)
-    labelMemo.synchronized(labelMemo.put((s, d), labels))
-    labels
-  }
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    labelMemo.getOrCompute((s, d))(computeClusterLabels(s, d))
 
   private def computeClusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = simhashPairs(s, d)

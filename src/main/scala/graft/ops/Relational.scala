@@ -304,7 +304,7 @@ object Relational {
         .select(col("pk"), col("n_exact"),
           (est >= col("n_exact")).as("no_undercount"),
           (est <= col("n_exact") +
-            lit(9L) * col("n_total") / lit(512L)).as("within_margin"))
+            expr("(9 * n_total) div 512")).as("within_margin"))
         .orderBy(col("n_exact").desc, col("pk"))
     }),
 

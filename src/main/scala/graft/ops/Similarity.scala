@@ -62,21 +62,11 @@ object Similarity {
     * exactly as a production pipeline writes the cluster-assignment
     * table once and joins it from every downstream pass.
     */
-  private def kmeansFinalAssign(s: SparkSession, d: String): DataFrame = {
-    val hit = assignMemo.synchronized(assignMemo.get((s, d)))
-    if (hit != null) return hit
-    val a = computeKmeansAssign(s, d)
-    assignMemo.synchronized(assignMemo.put((s, d), a))
-    a
-  }
+  private def kmeansFinalAssign(s: SparkSession, d: String): DataFrame =
+    assignMemo.getOrCompute((s, d))(computeKmeansAssign(s, d))
 
   private val assignMemo =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
-      8, 0.75f, /*accessOrder=*/ true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        size > 8
-    }
+    new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
 
   private def computeKmeansAssign(s: SparkSession, d: String): DataFrame = {
     val corpus = qEmb(s, d)
@@ -656,8 +646,8 @@ object Similarity {
       s"""WITH $kmeansCtesSql,
          |ranked AS (
          |  SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
-         |    ORDER BY CAST(('0x' || substr(md5('cap:' ||
-         |      CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id) AS rk
+         |    ORDER BY ${graft.functions.XF.h32Sql(
+                "'cap:' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rk
          |  FROM afinal)
          |SELECT vec_id, cid, CAST(rk AS BIGINT) AS rk
          |FROM ranked WHERE rk <= $KmCap ORDER BY cid, rk""".stripMargin,

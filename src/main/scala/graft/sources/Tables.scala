@@ -39,30 +39,18 @@ object Tables {
     */
   private val MaxMemo = 64
   private val loaded =
-    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
-      16, 0.75f, /*accessOrder=*/ true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
-        size > MaxMemo
-    }
+    new graft.BoundedMemo[(SparkSession, String, String), DataFrame](MaxMemo)
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val k = (spark, dir, name)
-    val hit = loaded.synchronized(loaded.get(k))
-    if (hit != null) hit
-    else {
-      val df =
-        if (name == "events") {
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(s"$dir/events.parquet")
-            .withColumn("ts",
-              org.apache.spark.sql.functions.timestamp_micros(
-                org.apache.spark.sql.functions.expr("ts DIV 1000")))
-        } else spark.read.parquet(s"$dir/$name.parquet")
-      loaded.synchronized(loaded.put(k, df))
-      df
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.getOrCompute((spark, dir, name)) {
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      } else spark.read.parquet(s"$dir/$name.parquet")
     }
-  }
 
   /** Header CSV scan with a declared schema (reference Lab2ETL.py:66-68:
     * `csv.DictReader` keys rows by the header). PERMISSIVE mode keeps

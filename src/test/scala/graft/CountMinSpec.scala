@@ -35,6 +35,17 @@ class CountMinSpec extends AnyFunSuite {
     }
   }
 
+  test("negative keys hash into valid cells of their own row") {
+    val neg = Seq(-5L, -5L, -999999999999L, 7L)
+    for (r <- 0 until CountMin.Depth; v <- neg) {
+      val s = CountMin.slot(r, v)
+      assert(s >= 0 && s < CountMin.Width, s"slot($r,$v)=$s")
+    }
+    val sk = build(neg)
+    assert(estimate(sk.cells, -5L) >= 2L)
+    assert(estimate(sk.cells, -999999999999L) >= 1L)
+  }
+
   test("merge is associative/commutative: any split tree = one pass") {
     val chunks = data.grouped(700).map(build).toSeq
     val leftFold = chunks.reduceLeft((a, b) =>

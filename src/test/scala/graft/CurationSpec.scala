@@ -44,12 +44,12 @@ class CurationSpec extends SparkSpec {
   }
 
   test("boilerplate removal cuts exactly the cross-doc chunks, in order") {
-    // brute-force twin: aligned 4-token chunks, boilerplate = present in
-    // >= 2 distinct docs, survivors rejoined in position order
+    // brute-force twin: aligned 4-token chunks INCLUDING the short tail
+    // (ceil-chunking — the edit must cover every token), boilerplate =
+    // present in >= 2 distinct docs, survivors rejoined in position order
     val chunked = docs.map { case (id, _, text) =>
-      val ws = text.split(" ", -1)
-      id -> (0 until ws.length / 4).map(i => ws.slice(i * 4, i * 4 + 4).mkString(" "))
-    }.filter(_._2.nonEmpty).toMap
+      id -> text.split(" ", -1).grouped(4).map(_.mkString(" ")).toSeq
+    }.toMap
     val boiler = chunked.toSeq.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
       .groupBy(_._1).filter(_._2.size >= 2).keySet
     val got = q("curate_boilerplate").collect()
