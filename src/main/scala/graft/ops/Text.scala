@@ -62,6 +62,19 @@ object Text {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))),
 
+    // FEATURE HASHING (the hashing trick): each token folds into one of
+    // 64 fixed dimensions by hash — a vocabulary-independent sparse
+    // bag-of-words embedding, the classic featurization when the vocab
+    // is unbounded (no dictionary broadcast, no OOV handling, fixed
+    // width at any corpus size). One explode + one (doc, dim) groupBy
+    // with map-side partials; key space = docs × 64, never docs × vocab.
+    "text_hash_features" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .groupBy(col("doc_id"), (XF.h32(col("token")) % 64).as("dim"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("dim"))),
+
     // quality scoring: length / distinct-ratio / stopword-ratio buckets.
     "text_quality" -> ((s: SparkSession, d: String) => {
       val ws = toks(col("text"))
@@ -304,6 +317,12 @@ object Text {
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token""".stripMargin,
+
+    "text_hash_features" ->
+      s"""SELECT doc_id, ${XF.h32Sql("token")} % 64 AS dim, COUNT(*) AS n
+         |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token
+         |      FROM documents)
+         |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
 
     "text_quality" -> {
       val nTok = "CAST(len(string_split(text,' ')) AS DOUBLE)"

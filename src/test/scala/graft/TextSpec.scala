@@ -25,6 +25,23 @@ class TextSpec extends SparkSpec {
     assert(freqTotal === expected)
   }
 
+  test("hash features match a JVM-side hashing-trick replay") {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    val expected = docs.toSeq.flatMap { case (id, text) =>
+      text.split(" ", -1).map(t => (id, h32(t) % 64))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = graft.SparkEntry.queries("text_hash_features")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    // fixed-width: every dim in [0, 64)
+    assert(got.keys.forall { case (_, d) => d >= 0 && d < 64 })
+  }
+
   test("rolling fingerprint is order-sensitive, canonical fp is not") {
     import spark.implicits._
     val pair = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"))
