@@ -358,6 +358,39 @@ object Relational {
         .orderBy(col("n_exact").desc, col("pk"))
     }),
 
+    // MISRA-GRIES HEAVY-HITTER CALIBRATION — the deterministic
+    // counter-based dual of the CMS row above (k counters, never an
+    // OVERcount, undercount ≤ (N−S)/(k+1); functions/MisraGriesAgg).
+    // Two regimes in one pass over l_quantity (50 distinct values):
+    // at k=64 the key universe fits, no decrement ever fires, and the
+    // sketch is provably EXACT and merge-order independent — so est_k64
+    // hash-compares against the oracle's true counts, a strictly
+    // stronger check than guarantee booleans; the k=8 sketch is the
+    // genuinely stressed regime (evictions on every merge), whose
+    // two-sided bound holds for every merge tree and is asserted as a
+    // deterministic boolean. 9·(exact−est) ≤ N−S is the bound's
+    // integer form (k+1 = 9) — no division, no float.
+    "agg_heavy_hitters" -> ((s: SparkSession, d: String) => {
+      val mg64 = udaf(new graft.functions.MisraGriesAgg(64), Encoders.scalaLong)
+      val mg8 = udaf(new graft.functions.MisraGriesAgg(8), Encoders.scalaLong)
+      val ks = t(s, d, "lineitem")
+        .select(col("l_quantity").cast(LongType).as("qty"))
+      val exact = ks.groupBy(col("qty")).agg(count(lit(1)).as("n_exact"))
+      val sk = ks.agg(mg64(col("qty")).as("big"), mg8(col("qty")).as("small"),
+        count(lit(1)).as("n_total"))
+      val estBig = graft.functions.MisraGries.estimateCol(
+        col("big.keys"), col("big.counts"), col("qty"))
+      val estSmall = graft.functions.MisraGries.estimateCol(
+        col("small.keys"), col("small.counts"), col("qty"))
+      val mass = graft.functions.MisraGries.massCol(col("small.counts"))
+      exact.crossJoin(broadcast(sk))
+        .select(col("qty"), col("n_exact"), estBig.as("est_k64"),
+          (estSmall <= col("n_exact") &&
+            (col("n_exact") - estSmall) * lit(9L) <= col("n_total") - mass)
+            .as("small_within_bound"))
+        .orderBy(col("qty"))
+    }),
+
     // MERGEABLE-SKETCH RE-AGGREGATION — the 100 TB distinct-count
     // pattern: fine-grained cells each hold an HLL sketch
     // (hll_sketch_agg, Datasketches, lgK=14 ≈ 0.8% rsd), and any
@@ -614,6 +647,34 @@ object Relational {
         .select(explode(col("p")).as("p"))
         .select(col("p.*"))
         .orderBy(col("column_name"))
+    }),
+
+    // JOIN-KEY SKEW PROFILE — the pre-flight a 100 TB job runs on a
+    // prospective shuffle key BEFORE picking a join strategy: per-key
+    // row counts, bucketed by decimal-digit magnitude (len(str(c)) —
+    // integer-exact in both engines, unlike floor(log2) at power
+    // boundaries), with each bucket's key count, row mass, heaviest
+    // key, and share of all rows. A top bucket holding >~20% of rows in
+    // a handful of keys is the signature that says "salt this key or
+    // lean on AQE skew-join" (join_salted / agg_salted_twophase are the
+    // treatments; this is the diagnosis). Two hash aggs — per-key then
+    // per-bucket (the second over |keys| rows, not the corpus) — plus a
+    // broadcast single-row total.
+    "profile_skew" -> ((s: SparkSession, d: String) => {
+      val perKey = t(s, d, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val buckets = perKey
+        .groupBy(length(col("c").cast(StringType)).cast(LongType)
+          .as("digits"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_key_rows"))
+      val total = buckets.agg(sum(col("n_rows")).as("tot"))
+      buckets.crossJoin(broadcast(total))
+        .select(col("digits"), col("n_keys"), col("n_rows"),
+          col("max_key_rows"),
+          r6(col("n_rows").cast(DoubleType) / col("tot").cast(DoubleType))
+            .as("row_share"))
+        .orderBy(col("digits"))
     }),
 
     // Z-ORDER layout key — the multi-dimensional data-skipping clustering
@@ -1547,6 +1608,11 @@ object Relational {
         |      ORDER BY n_exact DESC, pk LIMIT 20)
         |ORDER BY n_exact DESC, pk""".stripMargin,
 
+    "agg_heavy_hitters" ->
+      """SELECT CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n_exact,
+        |  COUNT(*) AS est_k64, TRUE AS small_within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "agg_approx_quantile_calib" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
@@ -1726,6 +1792,17 @@ object Relational {
          |  MIN(fortnight) AS min_fn, MAX(fortnight) AS max_fn
          |FROM zed GROUP BY zbucket ORDER BY zbucket""".stripMargin
     },
+
+    "profile_skew" ->
+      """WITH pk AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        |b AS (SELECT CAST(length(CAST(c AS VARCHAR)) AS BIGINT) AS digits,
+        |        COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |        MAX(c) AS max_key_rows
+        |      FROM pk GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM b)
+        |SELECT digits, n_keys, n_rows, max_key_rows,
+        |  ROUND(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS row_share
+        |FROM b, t ORDER BY digits""".stripMargin,
 
     "q18_top_buyers" ->
       s"""SELECT c_custkey, c_name, o_orderkey,
@@ -2108,10 +2185,10 @@ object Relational {
 
     "q12_priority_shipping" ->
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 1 ELSE 0 END) AS critical_lines,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 0 ELSE 1 END) AS normal_lines
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS normal_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'

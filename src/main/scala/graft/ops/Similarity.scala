@@ -398,12 +398,16 @@ object Similarity {
     // k-means cluster census (see kmeansFinalAssign for the algorithm
     // and scale notes). Inertia accumulates as DECIMAL(38,0): per-row
     // d² ≤ ~2^47, so a corpus-scaled long sum would overflow past
-    // ~2^16 rows/cluster × 100 TB shards.
+    // ~2^16 rows/cluster × 100 TB shards. The exact decimal sum is cast
+    // to DOUBLE only on output: parquet DECIMAL renders as
+    // decimal.Decimal ("123") while DuckDB's renders float64 ("123.0"),
+    // so a decimal output column can never hash-match the oracle.
     "emb_kmeans" -> ((s: SparkSession, d: String) =>
       kmeansFinalAssign(s, d)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
-          sum(col("d2").cast(DecimalType(38, 0))).as("inertia"))
+          sum(col("d2").cast(DecimalType(38, 0)))
+            .cast(DoubleType).as("inertia"))
         .orderBy(col("cid"))),
 
     // CLUSTER-BALANCED SAMPLING — cap each k-means cluster at KmCap
@@ -639,7 +643,7 @@ object Similarity {
     "emb_kmeans" ->
       s"""WITH $kmeansCtesSql
          |SELECT cid, COUNT(*) AS n_members,
-         |  SUM(CAST(d2 AS DECIMAL(38,0))) AS inertia
+         |  CAST(SUM(CAST(d2 AS DECIMAL(38,0))) AS DOUBLE) AS inertia
          |FROM afinal GROUP BY cid ORDER BY cid""".stripMargin,
 
     "sample_cluster_cap" ->

@@ -75,6 +75,35 @@ object Text {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("doc_id"), col("dim"))),
 
+    // LINEAR QUALITY CLASSIFIER over hashed features — the fastText-shape
+    // inference pass a curation pipeline runs per document: each token
+    // folds into one of 64 hashed dimensions (same trick as
+    // text_hash_features), a fixed 64-entry integer weight vector scores
+    // it, and the sign of the exact integer score is the keep/drop
+    // verdict. The weight "model" here is a deterministic pseudo-model
+    // (w(dim) = h32("w:"+dim) % 2001 − 1000 ∈ [−1000, 1000]) so both
+    // engines derive identical weights with no artifact file; a real
+    // deployment broadcasts a trained w[64] — identical plan. Scale
+    // shape: weights are a pure function of the token (no join), so
+    // scoring is ONE explode + ONE doc_id groupBy with map-side partials
+    // — a single shuffle keyed by doc, entirely codegen'd, and the
+    // integer score is bit-identical at any parallelism.
+    "text_classify" -> ((s: SparkSession, d: String) => {
+      val dim = XF.h32(col("token")) % 64
+      val w = (XF.h32(concat(lit("w:"), dim.cast(StringType))) % 2001) -
+        lit(1000L)
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+        .select(col("doc_id"), w.as("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w")).as("score_u"), count(lit(1)).as("n_tokens"))
+        .select(col("doc_id"), col("score_u"),
+          XF.r6(col("score_u").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)).as("avg_token_w"),
+          (col("score_u") > 0L).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // quality scoring: length / distinct-ratio / stopword-ratio buckets.
     "text_quality" -> ((s: SparkSession, d: String) => {
       val ws = toks(col("text"))
@@ -323,6 +352,21 @@ object Text {
          |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token
          |      FROM documents)
          |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+
+    "text_classify" -> {
+      val dim = s"${XF.h32Sql("token")} % 64"
+      val w = s"(${XF.h32Sql(s"'w:' || CAST($dim AS VARCHAR)")} % 2001) - 1000"
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+         |            FROM documents),
+         |sc AS (SELECT doc_id, CAST(SUM($w) AS BIGINT) AS score_u,
+         |              COUNT(*) AS n_tokens
+         |       FROM tk GROUP BY 1)
+         |SELECT doc_id, score_u,
+         |  ROUND(CAST(score_u AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |    AS avg_token_w,
+         |  score_u > 0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
 
     "text_quality" -> {
       val nTok = "CAST(len(string_split(text,' ')) AS DOUBLE)"

@@ -45,10 +45,24 @@ object Tables {
     loaded.getOrCompute((spark, dir, name)) {
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        // Schema-adaptive ts normalization — the testdata has shipped
+        // both vintages: TIMESTAMP(NANOS) (physical int64, read as long
+        // nanos via the legacy conf, truncated to µs like DuckDB does)
+        // and native TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ, cast to
+        // the session type; session TZ is UTC so the instant matches
+        // DuckDB's naive read bit-for-bit). Either way downstream sees
+        // one canonical TimestampType `ts`.
+        raw.schema("ts").dataType match {
+          case LongType =>
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts DIV 1000")))
+          case TimestampType => raw
+          case _ =>
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+        }
       } else spark.read.parquet(s"$dir/$name.parquet")
     }
 

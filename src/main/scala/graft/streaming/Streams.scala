@@ -40,18 +40,28 @@ object Streams {
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // readStream requires a declared schema (no inference pass), but the
+    // testdata has shipped ts as both TIMESTAMP(NANOS)-as-long and native
+    // TIMESTAMP(MICROS) — one driver-side footer read picks the vintage,
+    // then the stream normalizes exactly like graft.sources.Tables.t.
+    val rawTs = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType),
+      StructField("ts", rawTs),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet") // table dir layout: one file per table
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    rawTs match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   // ---- transform builders (mode-agnostic: batch or streaming input) ----

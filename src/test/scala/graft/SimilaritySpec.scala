@@ -187,9 +187,15 @@ class SimilaritySpec extends SparkSpec {
     val expected = fin.map { case (cid, m) =>
       cid -> ((m.size.toLong, m.map(x => BigInt(x._2._2)).sum))
     }
+    // inertia is the exact decimal sum cast to double on output (oracle
+    // rendering parity); at test scale it stays far below 2^53, so the
+    // round trip back to BigInt is exact — assert that, don't assume it.
     val got = graft.SparkEntry.queries("emb_kmeans")(spark, sf).collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))).toMap
+      .map { r =>
+        val inertia = r.getDouble(2)
+        assert(inertia.isWhole && inertia.abs < 9.007199254740992e15)
+        r.getLong(0) -> ((r.getLong(1), BigInt(inertia.toLong)))
+      }.toMap
     assert(got === expected)
     assert(got.values.map(_._1).sum === vs.size.toLong)
   }
