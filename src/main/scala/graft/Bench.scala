@@ -44,6 +44,10 @@ object Bench {
     "emb_kmeans", "curate_boilerplate")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional name filter for local iteration (the driver passes none);
+    // a filtered run skips the BENCH_FULL.json overwrite so the
+    // committed record always reflects a complete sweep.
+    val only = args.toSet
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // untimed warmup: file-index + parquet footers + first codegen, so
     // the alphabetically-first query doesn't absorb session startup.
@@ -56,7 +60,8 @@ object Bench {
     // shows CPU-steal windows that can stall both consecutive runs, and
     // a moderate disagreement is the cheapest tell that one of the two
     // samples hit one.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
@@ -82,9 +87,10 @@ object Bench {
     // full per-query detail → file (committed per-round as the record)
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     // compact headline line → stdout (fits the harness's 2000-char tail)
     val head = results.filter(r => Headline(r._1))
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":${jmap(head)},"sf":"$sfDir"}""")

@@ -142,6 +142,28 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // as-of with a TOLERANCE window (30 min): a purchase only matches a
+    // view at most 30 minutes older — the attribution-window semantics
+    // (pandas merge_asof's `tolerance`). Same single merge pass, O(1)
+    // state: the latest right row <= t is the only candidate, so the
+    // exec nulls the match when even that row falls outside the window.
+    // The oracle runs DuckDB's native ASOF and NULLs the out-of-window
+    // matches — both sides must agree row for row.
+    "events_asof_tolerance" -> ((s: SparkSession, d: String) => {
+      val us = XF.epochUs(col("ts"))
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), us.as("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), us.as("us"))
+      graft.plans.AsOf.asOfJoin(purchases, views, "user_id", "us", "v_",
+          toleranceUs = Some(30L * 60 * 1000000))
+        .select(col("event_id"), col("user_id"),
+          col("v_event_id").as("view_event"),
+          (col("us") - col("v_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // range join: clicks within ±30 min of each error, same user. The
     // scalable form buckets time at the range width and equi-joins on
     // (user_id, bucket) with the error side exploded to its 3 covering
@@ -646,6 +668,19 @@ object Events {
     "events_asof_custom" ->
       s"""SELECT p.event_id, p.user_id, v.event_id AS view_event,
          |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         |  ON p.user_id = v.user_id AND p.ts >= v.ts
+         |ORDER BY p.event_id""".stripMargin,
+
+    // native ASOF with the out-of-window matches nulled — DuckDB has no
+    // tolerance parameter, so the window applies as a post-join CASE.
+    "events_asof_tolerance" ->
+      s"""SELECT p.event_id, p.user_id,
+         |  CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+         |       THEN v.event_id END AS view_event,
+         |  CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+         |       THEN epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us
          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
          |  ON p.user_id = v.user_id AND p.ts >= v.ts

@@ -236,6 +236,59 @@ object Similarity {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // PRODUCT QUANTIZATION + ADC — the memory side of scale ANN (IVF
+    // above bounds the SEARCH; PQ bounds the BYTES): the 64-dim vector
+    // splits into 4 subspaces of 16 dims, each subvector is encoded as
+    // its nearest codebook entry (data-derived codebook: every 100th
+    // vector, the same stand-in-for-trained-k-means device as
+    // sim_ivf_topk — a Lloyd codebook drops in with an identical plan),
+    // and a query's approximate distance to ANY vector is the sum of 4
+    // table lookups (Asymmetric Distance Computation, Jégou et al.,
+    // TPAMI 2011) — the corpus is 4 small codes per vector, never the
+    // raw floats. Everything is exact integer L2² in the quantized
+    // domain, so codes, ADC sums, and ranks are bit-identical across
+    // engines; argmin ties break by composite scalar d2·4096+cvid
+    // (cvid < 4096 — one total order both engines agree on). The
+    // output re-ranks each query's ADC top-5 with the EXACT distance —
+    // the calibration a PQ deployment runs to pick M and K before
+    // trusting the codes. Scale shape: the codebook (M×K subvectors)
+    // broadcasts; encoding is one corpus×codebook join grouped to N×M
+    // code rows; ADC probes join the broadcast query lookup table to
+    // the code table — no raw-vector shuffle anywhere past encoding.
+    "sim_pq_adc" -> ((s: SparkSession, d: String) => {
+      val cells = qEmb(s, d)
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
+      val cents = cells.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cvid"), col("dim"), col("qv").as("cqv"))
+      val dist = cells.join(broadcast(cents), Seq("dim"))
+        .withColumn("dd", col("qv") - col("cqv"))
+        .groupBy(col("vec_id"), expr("dim DIV 16").as("m"), col("cvid"))
+        .agg(sum(col("dd") * col("dd")).as("d2"))
+      val codes = dist.groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("cvid"), col("d2") * 4096 + col("cvid")).as("code"))
+      val qdist = dist.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("m"), col("cvid"), col("d2"))
+      val adc = codes.join(broadcast(qdist),
+          codes("m") === qdist("m") && codes("code") === qdist("cvid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id").as("cid"))
+        .agg(sum(col("d2")).as("adc_d2"))
+      val top = adc.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("cid"))))
+        .filter(col("rnk") <= TopK)
+      val e = qEmb(s, d)
+      top
+        .join(e.select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("n2").as("qn2")), Seq("qid"))
+        .join(e.select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("n2").as("cn2")), Seq("cid"))
+        .select(col("qid"), col("cid"), col("adc_d2"),
+          (col("qn2") + col("cn2") - lit(2L) * idot(col("qq"), col("cq")))
+            .as("exact_d2"),
+          col("rnk").cast(LongType).as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // per-label class centroid, exact: quantized components posexplode to
     // (label, dim) and sum as integers — associative, so the mean is
     // bit-identical at any parallelism (a float array average is not).
@@ -459,6 +512,38 @@ object Similarity {
   private val cosAB = qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")
 
   val oracles: Seq[(String, String)] = Seq(
+    "sim_pq_adc" ->
+      s"""WITH $qEmbSql,
+         |cells AS (SELECT vec_id, i - 1 AS dim, q[i] AS qv
+         |          FROM qn, unnest(range(1, len(q) + 1)) t(i)),
+         |cents AS (SELECT vec_id AS cvid, dim, qv AS cqv
+         |          FROM cells WHERE vec_id % 100 = 0),
+         |dist AS (SELECT c.vec_id, c.dim // 16 AS m, ct.cvid,
+         |           CAST(SUM((c.qv - ct.cqv) * (c.qv - ct.cqv)) AS BIGINT)
+         |             AS d2
+         |         FROM cells c JOIN cents ct ON c.dim = ct.dim
+         |         GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, m, arg_min(cvid, d2 * 4096 + cvid) AS code
+         |          FROM dist GROUP BY 1, 2),
+         |adc AS (SELECT qd.vec_id AS qid, co.vec_id AS cid,
+         |          CAST(SUM(qd.d2) AS BIGINT) AS adc_d2
+         |        FROM codes co
+         |        JOIN (SELECT * FROM dist WHERE vec_id % 50 = 0) qd
+         |          ON co.m = qd.m AND co.code = qd.cvid
+         |        WHERE qd.vec_id <> co.vec_id
+         |        GROUP BY 1, 2),
+         |ranked AS (SELECT qid, cid, adc_d2,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY adc_d2, cid) AS rnk
+         |           FROM adc)
+         |SELECT r.qid, r.cid, r.adc_d2,
+         |  CAST(a.n2 + b.n2 - 2 * ${idotSql("a.q", "b.q")} AS BIGINT)
+         |    AS exact_d2,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked r JOIN qn a ON a.vec_id = r.qid
+         |  JOIN qn b ON b.vec_id = r.cid
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+
     "sim_topk_bruteforce" ->
       s"""WITH $qEmbSql,
          |scored AS (

@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions.col
   * side's (key, time) sort tie-break — undefined. The testdata has no
   * same-key same-microsecond pairs (verified); corpora with ties should
   * pre-dedup the right side.
+  *
+  * Optional TOLERANCE (pandas merge_asof semantics): with
+  * `toleranceUs = Some(w)`, a left row matches only when
+  * `leftTime − rightTime <= w`. The merge pass is unchanged — the
+  * latest right row <= t is the only possible in-window match, so the
+  * check is one subtraction at emit time (requires a time column whose
+  * internal form is Long: epoch longs or timestamps).
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -45,7 +52,8 @@ case class AsOfJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
 
   // left as-of LEFT join: right side becomes nullable.
   override def output: Seq[Attribute] =
@@ -62,7 +70,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    toleranceUs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -96,6 +105,7 @@ case class AsOfJoinExec(
     val rTimeExpr = rightTime
     val lOutput = left.output
     val rOutput = right.output
+    val tol = toleranceUs
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
 
@@ -135,6 +145,7 @@ case class AsOfJoinExec(
       // the held match: last right row whose (key, time) <= current left
       var held: InternalRow = null
       var heldKey: Any = null
+      var heldTime: Any = null
 
       lIter.map { l =>
         val kt = lKey(l)
@@ -149,16 +160,22 @@ case class AsOfJoinExec(
             (rNextKey == null || keyOrd.compare(rNextKey, k) < 0)) advanceRight()
           // previous key's held row is stale
           if (held != null && keyOrd.compare(heldKey, k) != 0) {
-            held = null; heldKey = null
+            held = null; heldKey = null; heldTime = null
           }
           // consume right rows with key == k and time <= t
           while (rNext != null && rNextTime != null &&
             keyOrd.compare(rNextKey, k) == 0 &&
             timeOrd.compare(rNextTime, t) <= 0) {
-            held = rNext.copy(); heldKey = rNextKey
+            held = rNext.copy(); heldKey = rNextKey; heldTime = rNextTime
             advanceRight()
           }
-          resultProj(joined(l, if (held != null) held else nullRight))
+          // tolerance: the latest right row <= t is the only candidate;
+          // if even it is older than the window, the match is null.
+          // Time types with a Long internal form (timestamp micros /
+          // epoch longs) are enforced at the API layer.
+          val inWindow = held != null && (tol.isEmpty ||
+            t.asInstanceOf[Long] - heldTime.asInstanceOf[Long] <= tol.get)
+          resultProj(joined(l, if (inWindow) held else nullRight))
         }
       }
     }
@@ -172,8 +189,8 @@ case class AsOfJoinExec(
 /** Planner rule: AsOfJoin logical node -> AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -196,7 +213,8 @@ object AsOf {
       right: DataFrame,
       key: String,
       time: String,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_",
+      toleranceUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .experimental
@@ -211,9 +229,21 @@ object AsOf {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val lt = attr(lPlan, time)
+    if (toleranceUs.isDefined) {
+      require(toleranceUs.get >= 0, "asOfJoin: tolerance must be >= 0")
+      val ok = lt.dataType match {
+        case _: org.apache.spark.sql.types.LongType |
+             _: org.apache.spark.sql.types.TimestampType |
+             _: org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }
+      require(ok, s"asOfJoin: tolerance needs a long/timestamp time " +
+        s"column, got ${lt.dataType}")
+    }
     bridge.ofRows(spark, AsOfJoin(
       lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, rightPrefix + key),
-      attr(lPlan, time), attr(rPlan, rightPrefix + time)))
+      lt, attr(rPlan, rightPrefix + time), toleranceUs))
   }
 }

@@ -35,6 +35,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === Map("p1" -> null, "p2" -> "v1", "p3" -> null))
   }
 
+  test("tolerance nulls matches older than the window, keeps in-window") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "p1"), (1L, 300L, "p2"), (1L, 301L, "p3"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 90L, "v1"), (1L, 250L, "v2")).toDF("k", "t", "tag")
+    val got = AsOf.asOfJoin(l, r, "k", "t", toleranceUs = Some(50L))
+      .select(col("tag"), col("r_tag"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    // p1: v1 at gap 10 <= 50 → match; p2: latest is v2 at gap 50 → match
+    // (boundary inclusive); p3: gap 51 → null even though v2 exists.
+    assert(got === Map("p1" -> "v1", "p2" -> "v2", "p3" -> null))
+  }
+
+  test("tolerance(0) still matches equal timestamps") {
+    import spark.implicits._
+    val l = Seq((7L, 100L, "p")).toDF("k", "t", "tag")
+    val r = Seq((7L, 40L, "old"), (7L, 100L, "exact"))
+      .toDF("k", "t", "tag")
+    val got = AsOf.asOfJoin(l, r, "k", "t", toleranceUs = Some(0L))
+      .select(col("r_tag")).head().getString(0)
+    assert(got === "exact")
+  }
+
   test("equal timestamps match (time <= semantics) and latest wins") {
     import spark.implicits._
     val l = Seq((7L, 100L, "p")).toDF("k", "t", "tag")
