@@ -658,6 +658,56 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // LSH S-CURVE CALIBRATION — the table that justifies the (Bands,
+    // Rows) choice itself: over an all-pairs slice (doc_id < 100 — the
+    // bounded exhaustive unit, like sim_pair_matrix), each pair's exact
+    // Jaccard is bucketed into deciles and the OBSERVED band-collision
+    // rate is compared with the THEORETICAL S-curve
+    // P(candidate) = 1 − (1 − j^Rows)^Bands. Observed ≫ predicted in a
+    // low decile means correlated hash collisions; observed ≪ predicted
+    // near the threshold means the banding is dropping true pairs — the
+    // two failure modes worth catching before trusting the sketch on a
+    // corpus where exhaustive checking is impossible. Predicted-mean
+    // doubles mirror the oracle's expression order exactly (j·j·j,
+    // (t·t)·(t·t), decimal-sum mean), so every column hash-compares.
+    "dedup_lsh_scurve" -> ((s: SparkSession, d: String) => {
+      val sh = shingleDf(s, d).filter(col("doc_id") < 100)
+      val docs = docSets(sh)
+      val pairs = docs.select(col("doc_id").as("i"), col("ss").as("si"),
+          col("n").as("ni"))
+        .crossJoin(docs.select(col("doc_id").as("j"), col("ss").as("sj"),
+          col("n").as("nj")))
+        .filter(col("i") < col("j"))
+        .withColumn("inter",
+          size(array_intersect(col("si"), col("sj"))).cast(LongType))
+        .select(col("i"), col("j"), (col("inter").cast(DoubleType) /
+          (col("ni") + col("nj") - col("inter")).cast(DoubleType)).as("jac"))
+      val mh = minhashSigs(sh).localCheckpoint()
+      val bandHit = (0 until Bands).map { bd =>
+        (0 until Rows).map(r =>
+          col(s"a.m${bd * Rows + r}") === col(s"b.m${bd * Rows + r}"))
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      val j3 = col("jac") * col("jac") * col("jac")
+      val tt = (lit(1.0) - j3) * (lit(1.0) - j3)
+      val p = lit(1.0) - tt * tt
+      pairs
+        .join(mh.as("a"), col("i") === col("a.doc_id"))
+        .join(mh.as("b"), col("j") === col("b.doc_id"))
+        .select(col("i"), col("j"), col("jac"), bandHit.as("cand"))
+        .groupBy(least(floor(col("jac") * 10), lit(9.0)).cast(LongType)
+          .as("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cand"), 1L).otherwise(0L)).as("n_candidates"),
+          XF.r6(XF.davg(p)).as("predicted_rate"))
+        .withColumn("observed_rate",
+          XF.r6(col("n_candidates").cast(DoubleType) /
+            col("n_pairs").cast(DoubleType)))
+        .select(col("decile"), col("n_pairs"), col("n_candidates"),
+          col("observed_rate"), col("predicted_rate"))
+        .orderBy(col("decile"))
+    }),
+
     // SimHash signatures per document.
     "dedup_simhash" -> ((s: SparkSession, d: String) =>
       simhashDf(s, d).orderBy(col("doc_id"))),
@@ -770,6 +820,41 @@ object Dedup {
          |FROM jac JOIN cand ON jac.i = cand.i AND jac.j = cand.j
          |WHERE jac.jac >= CAST(0.7 AS DOUBLE)
          |ORDER BY jac.i, jac.j""".stripMargin,
+
+    "dedup_lsh_scurve" -> {
+      val bandHit = (0 until Bands).map { bd =>
+        (0 until Rows).map(r => s"a.m${bd * Rows + r} = b.m${bd * Rows + r}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      // expression order mirrors the Spark side: j·j·j, then (t·t)·(t·t)
+      val p = "(1.0 - ((1.0 - jac*jac*jac) * (1.0 - jac*jac*jac)) * " +
+        "((1.0 - jac*jac*jac) * (1.0 - jac*jac*jac)))"
+      s"""WITH sh AS (SELECT * FROM ($shingleSql) t0 WHERE doc_id < 100),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |jp AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) AS inter
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |allp AS (SELECT x.doc_id i, y.doc_id j,
+         |           COALESCE(jp.inter, 0) AS inter, x.n AS ni, y.n AS nj
+         |         FROM sz x JOIN sz y ON x.doc_id < y.doc_id
+         |         LEFT JOIN jp ON jp.i = x.doc_id AND jp.j = y.doc_id),
+         |jacs AS (SELECT i, j, CAST(inter AS DOUBLE) /
+         |           CAST(ni + nj - inter AS DOUBLE) AS jac FROM allp),
+         |$minhashBandsSql,
+         |obs AS (SELECT jacs.i, jacs.j, jacs.jac,
+         |          ($bandHit) AS cand
+         |        FROM jacs JOIN mh a ON a.doc_id = jacs.i
+         |        JOIN mh b ON b.doc_id = jacs.j)
+         |SELECT CAST(LEAST(FLOOR(jac * 10), 9) AS BIGINT) AS decile,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_candidates,
+         |  ROUND(CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE), 6) AS observed_rate,
+         |  ROUND(CAST(SUM(CAST($p AS DECIMAL(28,6))) AS DOUBLE) /
+         |    COUNT(*), 6) AS predicted_rate
+         |FROM obs GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "dedup_minhash_estimate" -> {
       val matchSum = (0 until K).map(k =>

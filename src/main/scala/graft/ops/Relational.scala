@@ -25,6 +25,63 @@ object Relational {
 
   private val ship2000 = "TIMESTAMP '2000-01-01 00:00:00'"
 
+  /** Expectation rule table for `audit_expectations`: (name, Spark
+    * predicate, DuckDB predicate). One list drives BOTH engines so a
+    * rule edit cannot desynchronize the oracle. Bounds on the double
+    * columns use exact binary-representable constants.
+    */
+  private val ExpectationRules
+      : Seq[(String, org.apache.spark.sql.Column, String)] = Seq(
+    ("discount_in_range",
+      col("l_discount") >= 0.0 && col("l_discount") <= 0.5,
+      "l_discount >= CAST(0 AS DOUBLE) AND l_discount <= CAST(0.5 AS DOUBLE)"),
+    ("orderkey_present", col("l_orderkey").isNotNull,
+      "l_orderkey IS NOT NULL"),
+    ("price_positive", col("l_extendedprice") > 0.0,
+      "l_extendedprice > CAST(0 AS DOUBLE)"),
+    ("quantity_in_range",
+      col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0,
+      "l_quantity >= CAST(1 AS DOUBLE) AND l_quantity <= CAST(50 AS DOUBLE)"),
+    ("returnflag_in_domain", col("l_returnflag").isin("A", "N", "R"),
+      "l_returnflag IN ('A', 'N', 'R')"),
+    ("shipdate_present", col("l_shipdate").isNotNull,
+      "l_shipdate IS NOT NULL"))
+
+  /** Range predicates audited by `layout_prune_audit` — two per z-order
+    * dimension, one layout-friendly and one broad, shared with the
+    * oracle SQL generator.
+    */
+  private val PrunePreds: Seq[(String, String, Long, Long)] = Seq(
+    ("fn_000_020", "fn", 0L, 20L), ("fn_100_140", "fn", 100L, 140L),
+    ("qty_10_20", "qty", 10L, 20L), ("qty_40_50", "qty", 40L, 50L))
+
+  /** Ship-date fortnight index (z-order's second dimension). */
+  private def fortnightCol: org.apache.spark.sql.Column =
+    floor(datediff(to_date(col("l_shipdate")),
+      to_date(lit("1992-01-01"))) / 16).cast(LongType)
+
+  /** Per-z-bucket "file" stats of the z-order layout (see zorder_layout
+    * for the clustering rationale): row count + per-dimension min/max —
+    * the zone map a data-skipping scan consults. Shared by
+    * `zorder_layout` (the compactness audit) and `layout_prune_audit`
+    * (the pruning-payoff audit).
+    */
+  private def zorderFiles(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast(IntegerType).cast(LongType)
+    val y = fortnightCol
+    val zval = (0 until 8).map { b =>
+      (shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)) +
+        (shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ + _)
+    t(s, d, "lineitem")
+      .select(x.as("qty"), y.as("fortnight"), zval.as("zval"))
+      .groupBy(shiftright(col("zval"), 6).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"),
+        min(col("fortnight")).as("min_fn"),
+        max(col("fortnight")).as("max_fn"))
+  }
+
   /** Exact lineitem revenue in cent-basis-points: cents × (100 − disc%).
     * The determinism-critical expression every q-shape shares — defined
     * ONCE so no copy can drift from the DuckDB twins (which inline the
@@ -689,22 +746,54 @@ object Relational {
     // write_partitioned's layout pass); this query is its oracle-checked
     // bucket-compactness audit. Pure integer bit arithmetic — exact in
     // both engines, codegen'd end to end.
-    "zorder_layout" -> ((s: SparkSession, d: String) => {
-      val x = col("l_quantity").cast(IntegerType).cast(LongType)
-      val y = floor(datediff(to_date(col("l_shipdate")),
-        to_date(lit("1992-01-01"))) / 16).cast(LongType)
-      val zval = (0 until 8).map { b =>
-        (shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)) +
-          (shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
-      }.reduce(_ + _)
-      t(s, d, "lineitem")
-        .select(x.as("qty"), y.as("fortnight"), zval.as("zval"))
-        .groupBy(shiftright(col("zval"), 6).as("zbucket"))
-        .agg(count(lit(1)).as("n"),
-          min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"),
-          min(col("fortnight")).as("min_fn"),
-          max(col("fortnight")).as("max_fn"))
-        .orderBy(col("zbucket"))
+    "zorder_layout" -> ((s: SparkSession, d: String) =>
+      zorderFiles(s, d).orderBy(col("zbucket"))),
+
+    // ZONE-MAP PRUNE AUDIT — the measured payoff of the z-order layout
+    // above: for four representative range predicates (two per
+    // dimension), how many z-bucket "files" a min/max zone map lets the
+    // scan SKIP, how many rows the surviving files hold, and the scan
+    // amplification versus the true match count. This is the audit that
+    // justifies (or rejects) a re-clustering pass on a 100 TB table —
+    // skip_ratio near 0 on the hot predicate column means the layout no
+    // longer serves the workload. One pass over the tiny per-file stats
+    // frame + ONE conditional-sum pass over the fact table for all four
+    // predicates together (never a scan per predicate); everything is
+    // exact integer arithmetic until the two r6 ratios.
+    "layout_prune_audit" -> ((s: SparkSession, d: String) => {
+      val preds = PrunePreds
+      val files = zorderFiles(s, d)
+      val fStats = files.agg(
+        count(lit(1)).as("n_files"),
+        array(preds.map { case (nm, dim, lo, hi) =>
+          val overlap = col(s"max_$dim") >= lo && col(s"min_$dim") <= hi
+          struct(lit(nm).as("pred"),
+            sum(when(overlap, 1L).otherwise(0L)).as("n_files_scanned"),
+            sum(when(overlap, col("n")).otherwise(0L)).as("rows_scanned"))
+        }: _*).as("ps"))
+      val dims = Map("qty" -> col("l_quantity").cast(IntegerType)
+        .cast(LongType), "fn" -> fortnightCol)
+      val mStats = t(s, d, "lineitem").agg(
+        array(preds.map { case (nm, dim, lo, hi) =>
+          struct(lit(nm).as("pred"),
+            sum(when(dims(dim) >= lo && dims(dim) <= hi, 1L).otherwise(0L))
+              .as("rows_matched"))
+        }: _*).as("ms"))
+      fStats.crossJoin(mStats)
+        .select(col("n_files"), explode(arrays_zip(col("ps"), col("ms")))
+          .as("z"))
+        .select(col("z.ps.pred").as("pred"), col("n_files"),
+          col("z.ps.n_files_scanned").as("n_files_scanned"),
+          col("z.ps.rows_scanned").as("rows_scanned"),
+          col("z.ms.rows_matched").as("rows_matched"),
+          r6((col("n_files") - col("z.ps.n_files_scanned"))
+            .cast(DoubleType) / col("n_files").cast(DoubleType))
+            .as("file_skip_ratio"),
+          when(col("z.ms.rows_matched") > 0L,
+            r6(col("z.ps.rows_scanned").cast(DoubleType) /
+              col("z.ms.rows_matched").cast(DoubleType)))
+            .as("scan_amplification"))
+        .orderBy(col("pred"))
     }),
 
     // TPC-H Q18 shape (large-volume buyers): pre-aggregate the fact table
@@ -912,6 +1001,30 @@ object Relational {
           t(s, d, "nation"), "n_nationkey"))
         .reduce(_.unionByName(_))
         .orderBy(col("edge"))
+    }),
+
+    // DECLARATIVE EXPECTATIONS AUDIT — the Deequ/dbt-test shape: a rule
+    // table (name, predicate) evaluated over the fact table in ONE scan
+    // (conditional sums inside a single aggregate, exploded to long
+    // form like profile_columns — never one pass per rule), reporting
+    // per-rule row count, violation count, and verdict. NULL counts as
+    // a violation unless the rule itself is a null check (the
+    // NOT COALESCE(pred, FALSE) convention, mirrored in the oracle).
+    // The rule strings live in ExpectationRules so the Spark predicates
+    // and the oracle SQL derive from one list and cannot drift.
+    "audit_expectations" -> ((s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .agg(array(ExpectationRules.map { case (nm, pred, _) =>
+          struct(
+            lit(nm).as("rule"),
+            count(lit(1)).as("n_rows"),
+            sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L))
+              .as("n_violations"))
+        }: _*).as("p"))
+        .select(explode(col("p")).as("p"))
+        .select(col("p.*"))
+        .withColumn("pass", col("n_violations") === 0L)
+        .orderBy(col("rule"))
     }),
 
     // EQUI-WIDTH HISTOGRAM — 50k-wide buckets over order totals via
@@ -1791,6 +1904,63 @@ object Relational {
          |  MIN(qty) AS min_qty, MAX(qty) AS max_qty,
          |  MIN(fortnight) AS min_fn, MAX(fortnight) AS max_fn
          |FROM zed GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
+
+    "layout_prune_audit" -> {
+      val z = (0 until 8).map(b =>
+        s"(((qty >> $b) & 1) << ${2 * b}) + (((fortnight >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      val dimCol = Map("qty" -> "qty", "fn" -> "fortnight")
+      val fsums = PrunePreds.zipWithIndex.map { case ((_, dim, lo, hi), i) =>
+        val ov = s"max_$dim >= $lo AND min_$dim <= $hi"
+        s"CAST(SUM(CASE WHEN $ov THEN 1 ELSE 0 END) AS BIGINT) AS fs$i,\n" +
+          s"  CAST(SUM(CASE WHEN $ov THEN n ELSE 0 END) AS BIGINT) AS rs$i"
+      }.mkString(",\n  ")
+      val msums = PrunePreds.zipWithIndex.map { case ((_, dim, lo, hi), i) =>
+        s"CAST(SUM(CASE WHEN ${dimCol(dim)} >= $lo AND ${dimCol(dim)} <= $hi" +
+          s" THEN 1 ELSE 0 END) AS BIGINT) AS m$i"
+      }.mkString(",\n  ")
+      val rows = PrunePreds.zipWithIndex.map { case ((nm, _, _, _), i) =>
+        s"SELECT '$nm' AS pred, n_files, fs$i AS n_files_scanned, " +
+          s"rs$i AS rows_scanned, m$i AS rows_matched FROM fs, ms"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH xy AS (
+         |  SELECT CAST(CAST(l_quantity AS INTEGER) AS BIGINT) AS qty,
+         |    CAST(FLOOR(datediff('day', DATE '1992-01-01',
+         |      CAST(l_shipdate AS DATE)) / 16.0) AS BIGINT) AS fortnight
+         |  FROM lineitem),
+         |zed AS (SELECT qty, fortnight, $z AS zval FROM xy),
+         |files AS (SELECT zval >> 6 AS zbucket, COUNT(*) AS n,
+         |    MIN(qty) AS min_qty, MAX(qty) AS max_qty,
+         |    MIN(fortnight) AS min_fn, MAX(fortnight) AS max_fn
+         |  FROM zed GROUP BY zbucket),
+         |fs AS (SELECT COUNT(*) AS n_files,
+         |  $fsums
+         |FROM files),
+         |ms AS (SELECT
+         |  $msums
+         |FROM xy)
+         |SELECT pred, n_files, n_files_scanned, rows_scanned, rows_matched,
+         |  ROUND(CAST(n_files - n_files_scanned AS DOUBLE) /
+         |    CAST(n_files AS DOUBLE), 6) AS file_skip_ratio,
+         |  CASE WHEN rows_matched > 0
+         |       THEN ROUND(CAST(rows_scanned AS DOUBLE) /
+         |                  CAST(rows_matched AS DOUBLE), 6) END
+         |    AS scan_amplification
+         |FROM (
+         |$rows
+         |) ORDER BY pred""".stripMargin
+    },
+
+    "audit_expectations" -> {
+      val sums = ExpectationRules.zipWithIndex.map { case ((_, _, sql), i) =>
+        s"CAST(SUM(CASE WHEN NOT COALESCE($sql, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v$i"
+      }.mkString(",\n  ")
+      val rows = ExpectationRules.zipWithIndex.map { case ((nm, _, _), i) =>
+        s"SELECT '$nm' AS rule, n_rows, v$i AS n_violations, v$i = 0 AS pass FROM agg"
+      }.mkString("\nUNION ALL\n")
+      s"WITH agg AS (SELECT COUNT(*) AS n_rows,\n  $sums\nFROM lineitem)\n" +
+        s"SELECT rule, n_rows, n_violations, pass FROM (\n$rows\n) ORDER BY rule"
     },
 
     "profile_skew" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -407,6 +407,55 @@ object Similarity {
         .orderBy(col("dim"))
     }),
 
+    // DIMENSION COVARIANCE / CORRELATION MATRIX — the input to PCA
+    // whitening and the pairwise completion of emb_dim_stats' per-dim
+    // monitor: a pair of dims drifting together (|corr| → 1) means the
+    // embedding space has collapsed directions that distort every
+    // distance above. Upper triangle of the 64×64 matrix from exact
+    // integer cross sums: cells self-join on vec_id fans each vector to
+    // its dim pairs (corpus × 64·65/2 rows — at 100 TB this is the one
+    // explode whose volume warrants the standard sample-then-estimate
+    // swap, same output contract), then one (d1, d2)-keyed agg whose
+    // map-side partials collapse to the 2080-cell key space. Every
+    // double op (divisions, sqrt) runs on exact integer sums in a fixed
+    // expression order mirrored by the oracle — IEEE-exact-rounded, so
+    // the matrix is bit-identical. corr guards the degenerate-variance
+    // case (ANSI mode faults double division by zero).
+    "emb_covariance" -> ((s: SparkSession, d: String) => {
+      val scale2 = 1048576.0 * 1048576.0
+      val cells = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Dedup.qvec(col("embedding"))).as(Seq("dim", "qv")))
+      val pairs = cells
+        .select(col("vec_id"), col("dim").as("d1"), col("qv").as("q1"))
+        .join(cells.select(col("vec_id"), col("dim").as("d2"),
+          col("qv").as("q2")), Seq("vec_id"))
+        .filter(col("d1") <= col("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("n"), sum(col("q1") * col("q2")).as("s12"))
+      val stats = cells.groupBy(col("dim"))
+        .agg(sum(col("qv")).as("s"), sum(col("qv") * col("qv")).as("s2"))
+      def m(c: Column): Column = c.cast(DoubleType) / col("n").cast(DoubleType)
+      val covQ = m(col("s12")) - m(col("s1v")) * m(col("s2v"))
+      val var1 = m(col("s21")) - m(col("s1v")) * m(col("s1v"))
+      val var2 = m(col("s22")) - m(col("s2v")) * m(col("s2v"))
+      pairs
+        .join(broadcast(stats.select(col("dim").as("d1"),
+          col("s").as("s1v"), col("s2").as("s21"))), Seq("d1"))
+        .join(broadcast(stats.select(col("dim").as("d2"),
+          col("s").as("s2v"), col("s2").as("s22"))), Seq("d2"))
+        .select(col("d1").cast(LongType).as("d1"),
+          col("d2").cast(LongType).as("d2"),
+          // + 0.0 collapses IEEE −0.0 (a tiny negative covariance
+          // rounded to zero) onto +0.0 — engines render them apart
+          (graft.functions.XF.r6(covQ / lit(scale2)) + lit(0.0)).as("cov"),
+          when(var1 * var2 > 0.0,
+            graft.functions.XF.r6(covQ / (sqrt(var1) * sqrt(var2))) +
+              lit(0.0))
+            .as("corr"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // pairwise similarity matrix for a tiny id range — the exhaustive
     // debugging view (bounded output: 20×20).
     "sim_pair_matrix" -> ((s: SparkSession, d: String) => {
@@ -512,6 +561,37 @@ object Similarity {
   private val cosAB = qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")
 
   val oracles: Seq[(String, String)] = Seq(
+    "emb_covariance" -> {
+      // every double op mirrors the Spark expression ORDER: mean terms
+      // are each divided by n before multiplying (not s1*s2/n²), and
+      // corr's denominator is sqrt(var1)*sqrt(var2), not sqrt(product).
+      def m(e: String) = s"(CAST($e AS DOUBLE) / CAST(n AS DOUBLE))"
+      val covQ = s"(${m("s12")} - ${m("s1v")} * ${m("s2v")})"
+      val var1 = s"(${m("s21")} - ${m("s1v")} * ${m("s1v")})"
+      val var2 = s"(${m("s22")} - ${m("s2v")} * ${m("s2v")})"
+      s"""WITH $qEmbSql,
+         |cells AS (SELECT vec_id, i - 1 AS dim, q[i] AS qv
+         |          FROM qn, unnest(range(1, len(q) + 1)) t(i)),
+         |pairs AS (SELECT a.dim AS d1, b.dim AS d2, COUNT(*) AS n,
+         |            CAST(SUM(a.qv * b.qv) AS BIGINT) AS s12
+         |          FROM cells a JOIN cells b ON a.vec_id = b.vec_id
+         |          WHERE a.dim <= b.dim GROUP BY 1, 2),
+         |st AS (SELECT dim, CAST(SUM(qv) AS BIGINT) AS s,
+         |         CAST(SUM(qv * qv) AS BIGINT) AS s2
+         |       FROM cells GROUP BY 1)
+         |SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+         |  ROUND($covQ / (1048576.0 * 1048576.0), 6) + CAST(0 AS DOUBLE)
+         |    AS cov,
+         |  CASE WHEN $var1 * $var2 > CAST(0 AS DOUBLE)
+         |       THEN ROUND($covQ / (sqrt($var1) * sqrt($var2)), 6) +
+         |            CAST(0 AS DOUBLE) END
+         |    AS corr
+         |FROM pairs
+         |JOIN (SELECT dim AS d1, s AS s1v, s2 AS s21 FROM st) USING (d1)
+         |JOIN (SELECT dim AS d2, s AS s2v, s2 AS s22 FROM st) USING (d2)
+         |ORDER BY d1, d2""".stripMargin
+    },
+
     "sim_pq_adc" ->
       s"""WITH $qEmbSql,
          |cells AS (SELECT vec_id, i - 1 AS dim, q[i] AS qv
