@@ -24,6 +24,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_quant_dot"),
       new ExpressionInfo(classOf[QuantDot].getName, "graft_quant_dot"),
       (args: Seq[Expression]) => QuantDot(args(0), args(1))))
+    // the Generator tier for SQL users: LATERAL VIEW / generator-position
+    // shingle hashing, `SELECT s FROM docs, LATERAL
+    // graft_shingle_hashes(text, 3)`. k arrives as a literal expression.
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(
+        classOf[graft.functions.ShingleHashes].getName,
+        "graft_shingle_hashes"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hashes: k must be an integer literal, got $other")
+        }
+        new graft.functions.ShingleHashes(args(0), k)
+      }))
     // optimizer tier: band-join theta→equi rewrite (see plans.BandJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
   }

@@ -715,18 +715,21 @@ object Relational {
     // a handful of keys is the signature that says "salt this key or
     // lean on AQE skew-join" (join_salted / agg_salted_twophase are the
     // treatments; this is the diagnosis). Two hash aggs — per-key then
-    // per-bucket (the second over |keys| rows, not the corpus) — plus a
-    // broadcast single-row total.
+    // per-bucket (the second over |keys| rows, not the corpus); the
+    // total for the share column is a window over the ≤20-row bucket
+    // frame, NOT a second aggregate branch (Catalyst would not share
+    // the subplan and the fact would scan twice — pinned in
+    // PlanShapeSpec).
     "profile_skew" -> ((s: SparkSession, d: String) => {
       val perKey = t(s, d, "events")
         .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-      val buckets = perKey
+      val wAll = Window.partitionBy(lit(1))
+      perKey
         .groupBy(length(col("c").cast(StringType)).cast(LongType)
           .as("digits"))
         .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
           max(col("c")).as("max_key_rows"))
-      val total = buckets.agg(sum(col("n_rows")).as("tot"))
-      buckets.crossJoin(broadcast(total))
+        .withColumn("tot", sum(col("n_rows")).over(wAll))
         .select(col("digits"), col("n_keys"), col("n_rows"),
           col("max_key_rows"),
           r6(col("n_rows").cast(DoubleType) / col("tot").cast(DoubleType))
@@ -1428,12 +1431,17 @@ object Relational {
       // the cross-multiplied threshold are corpus-scaled → DECIMAL(38,0)
       val valU = (round(col("l_extendedprice") * 100).cast(LongType) *
         round(col("l_quantity")).cast(LongType))
+      // the per-part frame feeds BOTH the global-total aggregate and the
+      // threshold filter; materialize it (parts-sized, tiny next to the
+      // fact) so the lineitem scan + supplier join run once, not once
+      // per branch — same single-computation rule as the shingle index.
       val v = t(s, d, "lineitem")
         .join(broadcast(t(s, d, "supplier").filter(col("s_nationkey") % 2 === 1)
           .select(col("s_suppkey"))), col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey"), valU.as("val_u"))
         .groupBy(col("l_partkey"))
         .agg(sum(col("val_u")).as("val_u"))
+        .localCheckpoint()
       val tot = v.agg(sumRevD(col("val_u")).as("tot_d"), count(lit(1)).as("np"))
       v.crossJoin(broadcast(tot))
         .filter(col("val_u").cast(DecimalType(38, 0)) * col("np") >

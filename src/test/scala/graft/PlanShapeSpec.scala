@@ -29,6 +29,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("audit_expectations evaluates every rule in ONE fact scan") {
+    val p = plan("audit_expectations")
+    // one aggregate over one parquet scan — a per-rule pass would show
+    // a scan (or a union of scans) per rule
+    assert(p.split("Scan parquet").length - 1 === 1, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("layout_prune_audit: one stats pass + one fact pass, no more") {
+    val p = plan("layout_prune_audit")
+    // the file-stats aggregate and the matched-rows aggregate each scan
+    // the fact once; four predicates must NOT mean eight scans
+    assert(p.split("Scan parquet").length - 1 === 2, p.take(1500))
+  }
+
+  test("profile_skew aggregates per key then per bucket — no self-join") {
+    val p = plan("profile_skew")
+    assert(p.split("Scan parquet").length - 1 === 1, p.take(1500))
+    // the only join is the single-row broadcast total (BNLJ is that
+    // scalar attach; a CartesianProduct would mean a real self-join)
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("dedup_semantic pairs only within clusters — equi-join on cid") {
     val p = plan("dedup_semantic")
     // the pair stage must key on the cluster id; the only permitted

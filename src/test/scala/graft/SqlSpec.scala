@@ -44,4 +44,21 @@ class SqlSpec extends SparkSpec {
     assert(viaSql.getDouble(0) === li.getDouble(0))
     assert(viaSql.getLong(1) === li.getLong(1))
   }
+
+  test("graft_shingle_hashes generator is callable from SQL") {
+    graft.sources.Tables.t(spark, sf, "documents")
+      .createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, s FROM docs_sql
+        |LATERAL VIEW graft_shingle_hashes(text, 3) t AS s
+        |ORDER BY doc_id, s""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaColumn = graft.sources.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes(col("text"), 3))
+      .orderBy("doc_id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql === viaColumn)
+    assert(viaSql.nonEmpty)
+  }
 }
