@@ -390,6 +390,36 @@ object Relational {
             .as("within_tol"))
         .orderBy(col("o_orderstatus"))),
 
+    // DDSKETCH QUANTILE CALIBRATION — the mergeable RELATIVE-error
+    // quantile sketch (functions/DDSketchAgg, Masson et al. VLDB'19)
+    // under the calibration contract: exact interpolated quantiles
+    // hash-compare across engines, and Spark asserts its own sketch
+    // estimates land within α·exact plus the ±5%-rank interpolation
+    // window (the disc-vs-cont slack — same device as
+    // agg_approx_quantile_calib; windows wide enough for the smallest
+    // group at sf0.001). All nine exact quantiles come from ONE
+    // percentile(array(...)) pass.
+    "agg_ddsketch_calibration" -> ((s: SparkSession, d: String) => {
+      val dd = udaf(graft.functions.DDSketchAgg, Encoders.scalaDouble)
+      val ps = expr("percentile(o_totalprice, array(" +
+        "0.45D, 0.5D, 0.55D, 0.85D, 0.9D, 0.95D, 0.94D, 0.99D, 1.0D))")
+      def ex(i: Int): org.apache.spark.sql.Column = element_at(col("ex"), i)
+      def within(est: org.apache.spark.sql.Column,
+          lo: org.apache.spark.sql.Column, mid: org.apache.spark.sql.Column,
+          hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        abs(est - mid) <= lit(0.011) * mid + (hi - lo)
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(ps.as("ex"), dd(col("o_totalprice")).as("sk"))
+        .select(col("o_orderstatus"),
+          round(ex(2), 4).as("exact_p50"),
+          round(ex(5), 4).as("exact_p90"),
+          round(ex(8), 4).as("exact_p99"),
+          within(col("sk.p50"), ex(1), ex(2), ex(3)).as("within_p50"),
+          within(col("sk.p90"), ex(4), ex(5), ex(6)).as("within_p90"),
+          within(col("sk.p99"), ex(7), ex(8), ex(9)).as("within_p99"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // COUNT-MIN HEAVY-HITTER CALIBRATION — one corpus pass builds a
     // mergeable Depth×Width Count-Min sketch (custom typed Aggregator,
     // functions/CountMinAgg.scala; partials merge by elementwise add, so
@@ -1733,6 +1763,14 @@ object Relational {
       """SELECT CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n_exact,
         |  COUNT(*) AS est_k64, TRUE AS small_within_bound
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_ddsketch_calibration" ->
+      """SELECT o_orderstatus,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+        |  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS exact_p99,
+        |  TRUE AS within_p50, TRUE AS within_p90, TRUE AS within_p99
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_approx_quantile_calib" ->
       """SELECT o_orderstatus,
