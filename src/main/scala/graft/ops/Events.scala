@@ -60,6 +60,23 @@ object Events {
           col("n"))
         .orderBy(col("bucket"))),
 
+    // sliding DISTINCT users per type (30-min window, 10-min slide) —
+    // the unique-actives dashboard series. Distinct-in-window cannot
+    // partially aggregate like a count, so each event expands to its 3
+    // covering windows before ONE (window, type)-keyed distinct agg
+    // (Spark's window() does the expansion; the oracle replicates it
+    // with an explicit 3-way unnest). At 100 TB the exact distinct
+    // swaps for the HLL sketch per cell (agg_sketch_reagg's pattern) —
+    // same expansion, mergeable cells.
+    "events_sliding_distinct" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"),
+          col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+          col("event_type"), col("n_users"))
+        .orderBy(col("bucket"), col("event_type"))),
+
     // gap-based sessionization: 30-min inactivity closes a session.
     // Boundary: a gap of EXACTLY 30 min starts a new session (>=), the
     // same half-open-interval semantics as session_window in
@@ -620,6 +637,18 @@ object Events {
          |  FROM events)
          |SELECT strftime(w, '%Y-%m-%d %H:%M') AS bucket, COUNT(*) AS n
          |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // each event covers the 3 sliding windows whose start is its 10-min
+    // bucket minus {0, 10, 20} minutes (slide 10, width 30).
+    "events_sliding_distinct" ->
+      s"""WITH w AS (
+         |  SELECT event_type, user_id,
+         |    time_bucket(INTERVAL '10 minutes', ts)
+         |      - k * (INTERVAL '10 minutes') AS ws
+         |  FROM events, unnest([0, 1, 2]) t(k))
+         |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS bucket, event_type,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM w GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
     "events_sessions" ->
       s"""WITH e AS (

@@ -185,7 +185,26 @@ object Sql {
       |UNPIVOT (n FOR priority IN (urgent, high, low))
       |ORDER BY o_orderstatus, priority""".stripMargin
 
+  // SQL-standard named WINDOW clause: one spec shared by several window
+  // functions — parser surface the DataFrame API has no analogue for.
+  // The running sum accumulates exact long cents (a running DOUBLE sum
+  // would be order-dependent only in the last ulp, but exactness is
+  // free here); identical text runs in DuckDB.
+  private val namedWindow =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS rn,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+      |    AS BIGINT) AS run_cents,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, rn""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sql_named_window" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "orders"); s.sql(namedWindow)
+    }),
     "sql_unpivot" -> ((s: SparkSession, d: String) => {
       reg(s, d, "orders"); s.sql(unpivotSql)
     }),
@@ -222,6 +241,7 @@ object Sql {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_named_window" -> namedWindow,
     "sql_unpivot" -> unpivotSql,
     "sql_recursive_tree" -> recursiveTree("//"),
     "sql_variant_extract" -> variantOracle,

@@ -332,6 +332,48 @@ object Streams {
       }
   }
 
+  case class AsOfMatch(purchase_id: Long, user_id: Long,
+    view_id: Option[Long], gap_us: Option[Long])
+  case class LatestView(view_id: Long, us: Long)
+
+  /** STREAMING AS-OF ENRICHMENT — the stateful-stream twin of the
+    * [[graft.plans.AsOfJoin]] batch operator: one event stream carries
+    * both sides (views = the state-building side, purchases = the
+    * enriched side), keyed by user; state is ONE latest-view row per
+    * user (O(1) per key — the smallest possible as-of state), and each
+    * purchase emits with the most recent view at-or-before its event
+    * time. Within a micro-batch rows sort by event time, so intra-batch
+    * order is exact; a view arriving in a LATER batch than a purchase
+    * it precedes is missed — the documented arrival-order bound every
+    * latest-state stream join has (the batch operator is the
+    * replay-exact form; StreamsSpec pins equality when batches respect
+    * event order, the same contract cdcLatestState tests).
+    */
+  def asOfEnrich(events: Dataset[Ev]): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    events.filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestView, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[LatestView]) =>
+          def us(e: Ev): Long =
+            e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+          val out = Seq.newBuilder[AsOfMatch]
+          evs.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
+            if (e.event_type == "view") {
+              val better = state.getOption.forall(lv =>
+                lv.us < us(e) || (lv.us == us(e) && lv.view_id < e.event_id))
+              if (better) state.update(LatestView(e.event_id, us(e)))
+            } else {
+              val m = state.getOption.filter(_.us <= us(e))
+              out += AsOfMatch(e.event_id, uid, m.map(_.view_id),
+                m.map(us(e) - _.us))
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   // ---- driver-contract batch-runnable queries -------------------------
 
   /** `session_window` also runs in batch mode — the same operator the

@@ -300,4 +300,52 @@ class StreamsSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("streaming as-of enrichment equals the batch as-of join in order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // event-time-ordered batches: the documented contract under which
+    // the stream twin replays the batch operator exactly
+    val evs = sampleEvents().sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Ev]
+    val query = Streams.asOfEnrich(mem.toDS()).writeStream
+      .format("memory").queryName("asof_s").outputMode("append").start()
+    try {
+      evs.grouped((evs.length / 3).max(1)).foreach { b =>
+        mem.addData(b); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val got = spark.table("asof_s").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val want = SparkEntry.queries("events_asof_custom")(spark, sf)
+      .collect()
+      .filter(r => evs.exists(_.event_id == r.getLong(0)))
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("as-of enrichment misses only views arriving after their purchase") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: Long, uid: Long, tpe: String) =
+      Ev(id, new java.sql.Timestamp(t), uid, tpe, 1.0)
+    val mem = MemoryStream[Ev]
+    val query = Streams.asOfEnrich(mem.toDS()).writeStream
+      .format("memory").queryName("asof_late").outputMode("append").start()
+    try {
+      // batch 1: the purchase at t=200 arrives BEFORE the t=100 view
+      mem.addData(Seq(ev(2, 200000, 7, "purchase")))
+      query.processAllAvailable()
+      // batch 2: the late view + a second purchase that CAN see it
+      mem.addData(Seq(ev(1, 100000, 7, "view"), ev(3, 300000, 7, "purchase")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("asof_late").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got === Map(2L -> -1L, 3L -> 1L))
+  }
 }
