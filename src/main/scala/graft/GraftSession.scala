@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.ShingleHashes].getName,
         "graft_shingle_hashes"),
       (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_shingle_hashes(text, k) takes 2 arguments, got ${args.length}")
         val k = args(1) match {
           case org.apache.spark.sql.catalyst.expressions
             .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v

@@ -688,9 +688,13 @@ object Dedup {
           col(s"a.m${bd * Rows + r}") === col(s"b.m${bd * Rows + r}"))
           .reduce(_ && _)
       }.reduce(_ || _)
-      val j3 = col("jac") * col("jac") * col("jac")
-      val tt = (lit(1.0) - j3) * (lit(1.0) - j3)
-      val p = lit(1.0) - tt * tt
+      // derived from the Bands/Rows constants (left-assoc products,
+      // mirrored by the oracle) so a banding change re-derives the
+      // theoretical curve instead of silently comparing against a
+      // stale hardcoded one
+      val jr = (1 to Rows).map(_ => col("jac")).reduce(_ * _)
+      val p = lit(1.0) -
+        (1 to Bands).map(_ => lit(1.0) - jr).reduce(_ * _)
       pairs
         .join(mh.as("a"), col("i") === col("a.doc_id"))
         .join(mh.as("b"), col("j") === col("b.doc_id"))
@@ -826,9 +830,11 @@ object Dedup {
         (0 until Rows).map(r => s"a.m${bd * Rows + r} = b.m${bd * Rows + r}")
           .mkString("(", " AND ", ")")
       }.mkString(" OR ")
-      // expression order mirrors the Spark side: j·j·j, then (t·t)·(t·t)
-      val p = "(1.0 - ((1.0 - jac*jac*jac) * (1.0 - jac*jac*jac)) * " +
-        "((1.0 - jac*jac*jac) * (1.0 - jac*jac*jac)))"
+      // expression order mirrors the Spark side: left-assoc j^Rows and
+      // (1 − j^Rows)^Bands products derived from the same constants
+      val jr = (1 to Rows).map(_ => "jac").mkString(" * ")
+      val t1 = s"(1.0 - ($jr))"
+      val p = s"(1.0 - ${(1 to Bands).map(_ => t1).mkString(" * ")})"
       s"""WITH sh AS (SELECT * FROM ($shingleSql) t0 WHERE doc_id < 100),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |jp AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) AS inter

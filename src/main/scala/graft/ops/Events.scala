@@ -26,6 +26,27 @@ import graft.sources.Tables.t
   */
 object Events {
 
+  /** The purchases-as-of-views query through the custom operator —
+    * shared by `events_asof_custom` (tolerance = None) and
+    * `events_asof_tolerance` so the two cannot drift apart in
+    * projection or key columns.
+    */
+  private def asOfCustom(s: SparkSession, d: String,
+      toleranceUs: Option[Long]): DataFrame = {
+    val us = XF.epochUs(col("ts"))
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), us.as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), us.as("us"))
+    graft.plans.AsOf.asOfJoin(purchases, views, "user_id", "us", "v_",
+        toleranceUs = toleranceUs)
+      .select(col("event_id"), col("user_id"),
+        col("v_event_id").as("view_event"),
+        (col("us") - col("v_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   // 30-min session gap — shared with the Relational-side session
   // consumers (events_concurrency_curve) so the two overlap algorithms
   // can never drift onto different session definitions
@@ -145,19 +166,8 @@ object Events {
     // sort-merge SparkPlan (one hash shuffle per side, single merge
     // pass, O(1) state) instead of the union+window trick above. Both
     // formulations check against the same DuckDB native ASOF oracle.
-    "events_asof_custom" -> ((s: SparkSession, d: String) => {
-      val us = XF.epochUs(col("ts"))
-      val ev = t(s, d, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), us.as("us"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), us.as("us"))
-      graft.plans.AsOf.asOfJoin(purchases, views, "user_id", "us", "v_")
-        .select(col("event_id"), col("user_id"),
-          col("v_event_id").as("view_event"),
-          (col("us") - col("v_us")).as("gap_us"))
-        .orderBy(col("event_id"))
-    }),
+    "events_asof_custom" -> ((s: SparkSession, d: String) =>
+      asOfCustom(s, d, toleranceUs = None)),
 
     // as-of with a TOLERANCE window (30 min): a purchase only matches a
     // view at most 30 minutes older — the attribution-window semantics
@@ -166,20 +176,8 @@ object Events {
     // exec nulls the match when even that row falls outside the window.
     // The oracle runs DuckDB's native ASOF and NULLs the out-of-window
     // matches — both sides must agree row for row.
-    "events_asof_tolerance" -> ((s: SparkSession, d: String) => {
-      val us = XF.epochUs(col("ts"))
-      val ev = t(s, d, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), us.as("us"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), us.as("us"))
-      graft.plans.AsOf.asOfJoin(purchases, views, "user_id", "us", "v_",
-          toleranceUs = Some(30L * 60 * 1000000))
-        .select(col("event_id"), col("user_id"),
-          col("v_event_id").as("view_event"),
-          (col("us") - col("v_us")).as("gap_us"))
-        .orderBy(col("event_id"))
-    }),
+    "events_asof_tolerance" -> ((s: SparkSession, d: String) =>
+      asOfCustom(s, d, toleranceUs = Some(30L * 60 * 1000000))),
 
     // range join: clicks within ±30 min of each error, same user. The
     // scalable form buckets time at the range width and equi-joins on

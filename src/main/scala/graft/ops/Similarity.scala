@@ -260,10 +260,14 @@ object Similarity {
         .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
       val cents = cells.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cvid"), col("dim"), col("qv").as("cqv"))
+      // dist feeds both the code argmin and the query lookup table —
+      // materialize it (N×M×K rows) so the cells×codebook join runs
+      // once, not once per branch (the shingle-index rule).
       val dist = cells.join(broadcast(cents), Seq("dim"))
         .withColumn("dd", col("qv") - col("cqv"))
         .groupBy(col("vec_id"), expr("dim DIV 16").as("m"), col("cvid"))
         .agg(sum(col("dd") * col("dd")).as("d2"))
+        .localCheckpoint()
       val codes = dist.groupBy(col("vec_id"), col("m"))
         .agg(min_by(col("cvid"), col("d2") * 4096 + col("cvid")).as("code"))
       val qdist = dist.filter(col("vec_id") % 50 === 0)
@@ -423,9 +427,13 @@ object Similarity {
     // case (ANSI mode faults double division by zero).
     "emb_covariance" -> ((s: SparkSession, d: String) => {
       val scale2 = 1048576.0 * 1048576.0
+      // three consumers (self-join left/right, per-dim stats) fan into
+      // the exploded frame — materialize it once (corpus×64 longs), the
+      // same single-computation rule as the shingle index.
       val cells = t(s, d, "embeddings")
         .select(col("vec_id"),
           posexplode(Dedup.qvec(col("embedding"))).as(Seq("dim", "qv")))
+        .localCheckpoint()
       val pairs = cells
         .select(col("vec_id"), col("dim").as("d1"), col("qv").as("q1"))
         .join(cells.select(col("vec_id"), col("dim").as("d2"),

@@ -27,9 +27,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def render(v):
     # one canonical rendering per cell, dtype-sensitive like the
     # driver's hash: repr distinguishes 290 / 290.0 / Decimal('290')
-    if isinstance(v, float):
-        return repr(v)
-    return repr(v) if not isinstance(v, str) else v
+    return v if isinstance(v, str) else repr(v)
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
