@@ -101,6 +101,37 @@ object Similarity {
     assign(cents).localCheckpoint()
   }
 
+  /** PQ sub-distance table (vec_id, m, cvid, d2): exact integer L2²
+    * from each vector's 16-dim subvector in subspace m to centroid
+    * cvid's subvector — the encode-time artifact both `sim_pq_adc`
+    * (codes + ADC lookups) and `emb_pq_error` (reconstruction audit)
+    * consume. Memoized + localCheckpoint per (session, dir) like the
+    * shingle index: the cells×codebook join runs once per corpus, and
+    * every consumer reads the materialized N×M×K frame.
+    */
+  private val pqMemo =
+    new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
+
+  private def pqDist(s: SparkSession, d: String): DataFrame =
+    pqMemo.getOrCompute((s, d)) {
+      val cells = qEmb(s, d)
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
+      val cents = cells.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cvid"), col("dim"), col("qv").as("cqv"))
+      cells.join(broadcast(cents), Seq("dim"))
+        .withColumn("dd", col("qv") - col("cqv"))
+        .groupBy(col("vec_id"), expr("dim DIV 16").as("m"), col("cvid"))
+        .agg(sum(col("dd") * col("dd")).as("d2"))
+        .localCheckpoint()
+    }
+
+  /** Per-(vector, subspace) nearest-centroid code (argmin with the
+    * d2·4096+cvid composite tie-break both engines share).
+    */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqDist(s, d).groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cvid"), col("d2") * 4096 + col("cvid")).as("code"))
+
   /** Query subset: every 50th vector. Stays tiny relative to the corpus
     * (the realistic ANN shape: few queries, huge candidate side).
     */
@@ -256,20 +287,8 @@ object Similarity {
     // code rows; ADC probes join the broadcast query lookup table to
     // the code table — no raw-vector shuffle anywhere past encoding.
     "sim_pq_adc" -> ((s: SparkSession, d: String) => {
-      val cells = qEmb(s, d)
-        .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
-      val cents = cells.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cvid"), col("dim"), col("qv").as("cqv"))
-      // dist feeds both the code argmin and the query lookup table —
-      // materialize it (N×M×K rows) so the cells×codebook join runs
-      // once, not once per branch (the shingle-index rule).
-      val dist = cells.join(broadcast(cents), Seq("dim"))
-        .withColumn("dd", col("qv") - col("cqv"))
-        .groupBy(col("vec_id"), expr("dim DIV 16").as("m"), col("cvid"))
-        .agg(sum(col("dd") * col("dd")).as("d2"))
-        .localCheckpoint()
-      val codes = dist.groupBy(col("vec_id"), col("m"))
-        .agg(min_by(col("cvid"), col("d2") * 4096 + col("cvid")).as("code"))
+      val dist = pqDist(s, d)
+      val codes = pqCodes(s, d)
       val qdist = dist.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("m"), col("cvid"), col("d2"))
       val adc = codes.join(broadcast(qdist),
@@ -409,6 +428,59 @@ object Similarity {
           graft.functions.XF.r6(col("mn").cast(DoubleType) / lit(scale)).as("min_val"),
           graft.functions.XF.r6(col("mx").cast(DoubleType) / lit(scale)).as("max_val"))
         .orderBy(col("dim"))
+    }),
+
+    // ANN CELL-OCCUPANCY AUDIT — index health for the sign-bucket
+    // coarse quantizer behind sim_ann_bucketed/multiprobe: every cell
+    // (including EMPTY ones — the 16-row universe generates and
+    // left-joins, because an unbalanced quantizer shows up precisely
+    // as empty cells next to hot ones) with its vector count and
+    // corpus share. Hot cells bound probe cost; at 100 TB this table
+    // decides when the fixed sign quantizer gets replaced by a trained
+    // codebook (same check real IVF indexes run as "imbalance factor").
+    "sim_cell_stats" -> ((s: SparkSession, d: String) => {
+      val occ = qEmb(s, d)
+        .select(bucket("q").cast(LongType).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy(lit(1))
+      s.range(16).select(col("id").as("cell"))
+        .join(occ, Seq("cell"), "left")
+        .withColumn("n_vecs", coalesce(col("n"), lit(0L)))
+        .withColumn("tot", sum(col("n_vecs")).over(wAll))
+        .select(col("cell"), col("n_vecs"),
+          graft.functions.XF.r6(col("n_vecs").cast(DoubleType) /
+            col("tot").cast(DoubleType)).as("share"))
+        .orderBy(col("cell"))
+    }),
+
+    // PQ RECONSTRUCTION-ERROR AUDIT — the quantization-quality table a
+    // PQ deployment reads next to sim_pq_adc's rank calibration: per
+    // subspace, the mean squared error of the assigned code (which is
+    // exactly min d2 — the argmin's own distance) and the RELATIVE
+    // error against the subspace's signal energy Σq². A subspace whose
+    // rel_err runs hot needs more centroids (or a rotation) before its
+    // ADC distances can be trusted. Exact integer sums end-to-end
+    // (corpus-scaled Σ min-d² would widen to DECIMAL(38,0) at 100 TB,
+    // same note as emb_kmeans' inertia); reads the materialized pqDist
+    // artifact, one extra explode pass for the norms.
+    "emb_pq_error" -> ((s: SparkSession, d: String) => {
+      val scale2 = 1048576.0 * 1048576.0
+      val err = pqDist(s, d).groupBy(col("vec_id"), col("m"))
+        .agg(min(col("d2")).as("e"))
+      val norms = qEmb(s, d)
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
+        .groupBy(col("vec_id"), expr("dim DIV 16").as("m"))
+        .agg(sum(col("qv") * col("qv")).as("n2s"))
+      err.join(norms, Seq("vec_id", "m"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("e")).as("se"),
+          sum(col("n2s")).as("sn"))
+        .select(col("m"), col("n_vecs"),
+          graft.functions.XF.r6(col("se").cast(DoubleType) /
+            col("n_vecs").cast(DoubleType) / lit(scale2)).as("mean_err"),
+          graft.functions.XF.r6(col("se").cast(DoubleType) /
+            col("sn").cast(DoubleType)).as("rel_err"))
+        .orderBy(col("m"))
     }),
 
     // DIMENSION COVARIANCE / CORRELATION MATRIX — the input to PCA
@@ -568,6 +640,23 @@ object Similarity {
 
   private val cosAB = qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")
 
+  /** DuckDB twin of the PQ encode chain ([[pqDist]]/[[pqCodes]]):
+    * CTEs `cells`, `cents`, `dist`, `codes` over the quantized corpus.
+    */
+  private val pqCtesSql: String =
+    s"""$qEmbSql,
+       |cells AS (SELECT vec_id, i - 1 AS dim, q[i] AS qv
+       |          FROM qn, unnest(range(1, len(q) + 1)) t(i)),
+       |cents AS (SELECT vec_id AS cvid, dim, qv AS cqv
+       |          FROM cells WHERE vec_id % 100 = 0),
+       |dist AS (SELECT c.vec_id, c.dim // 16 AS m, ct.cvid,
+       |           CAST(SUM((c.qv - ct.cqv) * (c.qv - ct.cqv)) AS BIGINT)
+       |             AS d2
+       |         FROM cells c JOIN cents ct ON c.dim = ct.dim
+       |         GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, m, arg_min(cvid, d2 * 4096 + cvid) AS code
+       |          FROM dist GROUP BY 1, 2)""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     "emb_covariance" -> {
       // every double op mirrors the Spark expression ORDER: mean terms
@@ -600,19 +689,35 @@ object Similarity {
          |ORDER BY d1, d2""".stripMargin
     },
 
-    "sim_pq_adc" ->
+    "sim_cell_stats" ->
       s"""WITH $qEmbSql,
-         |cells AS (SELECT vec_id, i - 1 AS dim, q[i] AS qv
-         |          FROM qn, unnest(range(1, len(q) + 1)) t(i)),
-         |cents AS (SELECT vec_id AS cvid, dim, qv AS cqv
-         |          FROM cells WHERE vec_id % 100 = 0),
-         |dist AS (SELECT c.vec_id, c.dim // 16 AS m, ct.cvid,
-         |           CAST(SUM((c.qv - ct.cqv) * (c.qv - ct.cqv)) AS BIGINT)
-         |             AS d2
-         |         FROM cells c JOIN cents ct ON c.dim = ct.dim
-         |         GROUP BY 1, 2, 3),
-         |codes AS (SELECT vec_id, m, arg_min(cvid, d2 * 4096 + cvid) AS code
-         |          FROM dist GROUP BY 1, 2),
+         |occ AS (SELECT CAST(${bucketSql("q")} AS BIGINT) AS cell,
+         |          COUNT(*) AS n
+         |        FROM qn GROUP BY 1),
+         |uni AS (SELECT CAST(k AS BIGINT) AS cell
+         |        FROM unnest(range(0, 16)) t(k))
+         |SELECT cell, COALESCE(n, 0) AS n_vecs,
+         |  ROUND(CAST(COALESCE(n, 0) AS DOUBLE) /
+         |    CAST(SUM(COALESCE(n, 0)) OVER () AS DOUBLE), 6) AS share
+         |FROM uni LEFT JOIN occ USING (cell)
+         |ORDER BY cell""".stripMargin,
+
+    "emb_pq_error" ->
+      s"""WITH $pqCtesSql,
+         |err AS (SELECT vec_id, m, MIN(d2) AS e FROM dist GROUP BY 1, 2),
+         |norms AS (SELECT vec_id, dim // 16 AS m,
+         |            CAST(SUM(qv * qv) AS BIGINT) AS n2s
+         |          FROM cells GROUP BY 1, 2)
+         |SELECT m, COUNT(*) AS n_vecs,
+         |  ROUND(CAST(SUM(e) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) /
+         |    (1048576.0 * 1048576.0), 6) AS mean_err,
+         |  ROUND(CAST(SUM(e) AS DOUBLE) / CAST(SUM(n2s) AS DOUBLE), 6)
+         |    AS rel_err
+         |FROM err JOIN norms USING (vec_id, m)
+         |GROUP BY m ORDER BY m""".stripMargin,
+
+    "sim_pq_adc" ->
+      s"""WITH $pqCtesSql,
          |adc AS (SELECT qd.vec_id AS qid, co.vec_id AS cid,
          |          CAST(SUM(qd.d2) AS BIGINT) AS adc_d2
          |        FROM codes co

@@ -75,6 +75,42 @@ object Text {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("doc_id"), col("dim"))),
 
+    // POSITIONAL CO-OCCURRENCE LIFT — the skip-gram-window statistic
+    // behind embedding training and collocation mining: ordered token
+    // pairs within a 3-token window, scored by lift
+    // n_co·N / (n_w1·n_w2) (the integer-exact association measure —
+    // market-basket's device; no transcendental ln, so no cross-libm
+    // PMI hazard). The window join is the EQUI form: each token
+    // explodes to its 3 forward offsets and joins on (doc, position) —
+    // 3N rows a side, never the per-doc len² self-join (the oracle
+    // keeps the theta form, fine at oracle scale). Margins are
+    // vocab-bounded and join back onto the floor-filtered pair set.
+    "text_cooc_lift" -> ((s: SparkSession, d: String) => {
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(toks(col("text")))
+          .as(Seq("pos", "w")))
+      val pairs = tk
+        .select(col("doc_id"), col("pos"), col("w").as("w1"),
+          explode(array(lit(1), lit(2), lit(3))).as("k"))
+        .withColumn("p2", col("pos") + col("k"))
+        .join(tk.select(col("doc_id"), col("pos").as("p2"),
+          col("w").as("w2")), Seq("doc_id", "p2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 10L)
+      val nw = tk.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      val total = tk.agg(count(lit(1)).as("n_total"))
+      pairs
+        .join(nw.select(col("w").as("w1"), col("nw").as("nw1")), Seq("w1"))
+        .join(nw.select(col("w").as("w2"), col("nw").as("nw2")), Seq("w2"))
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"), col("n_co"),
+          XF.r6((col("n_co").cast(DoubleType) *
+              col("n_total").cast(DoubleType)) /
+            (col("nw1").cast(DoubleType) * col("nw2").cast(DoubleType)))
+            .as("lift"))
+        .orderBy(col("n_co").desc, col("w1"), col("w2"))
+    }),
+
     // LINEAR QUALITY CLASSIFIER over hashed features — the fastText-shape
     // inference pass a curation pipeline runs per document: each token
     // folds into one of 64 hashed dimensions (same trick as
@@ -352,6 +388,24 @@ object Text {
          |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token
          |      FROM documents)
          |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+
+    "text_cooc_lift" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, i AS pos, ws[i] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents) d0,
+         |       unnest(range(1, len(ws) + 1)) t(i)),
+         |pr AS (SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_co
+         |       FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+         |         AND b.pos - a.pos IN (1, 2, 3)
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+         |nw AS (SELECT w, COUNT(*) AS nw FROM tk GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n_total FROM tk)
+         |SELECT w1, w2, CAST(n_co AS BIGINT) AS n_co,
+         |  ROUND((CAST(n_co AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+         |    (CAST(x.nw AS DOUBLE) * CAST(y.nw AS DOUBLE)), 6) AS lift
+         |FROM pr JOIN nw x ON x.w = pr.w1 JOIN nw y ON y.w = pr.w2, tot
+         |ORDER BY n_co DESC, w1, w2""".stripMargin,
 
     "text_classify" -> {
       val dim = s"${XF.h32Sql("token")} % 64"
