@@ -668,8 +668,10 @@ object Dedup {
     // near the threshold means the banding is dropping true pairs — the
     // two failure modes worth catching before trusting the sketch on a
     // corpus where exhaustive checking is impossible. Predicted-mean
-    // doubles mirror the oracle's expression order exactly (j·j·j,
-    // (t·t)·(t·t), decimal-sum mean), so every column hash-compares.
+    // doubles mirror the oracle's expression order exactly
+    // (left-associative j^Rows and (1−j^Rows)^Bands products derived
+    // from the same constants, decimal-sum mean), so every column
+    // hash-compares.
     "dedup_lsh_scurve" -> ((s: SparkSession, d: String) => {
       val sh = shingleDf(s, d).filter(col("doc_id") < 100)
       val docs = docSets(sh)

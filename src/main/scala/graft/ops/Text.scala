@@ -86,9 +86,13 @@ object Text {
     // keeps the theta form, fine at oracle scale). Margins are
     // vocab-bounded and join back onto the floor-filtered pair set.
     "text_cooc_lift" -> ((s: SparkSession, d: String) => {
+      // four consumers fan into the tokenized frame (both pair-join
+      // sides, the margins, the total) — materialize it once, the same
+      // single-computation rule as the shingle index.
       val tk = t(s, d, "documents")
         .select(col("doc_id"), posexplode(toks(col("text")))
           .as(Seq("pos", "w")))
+        .localCheckpoint()
       val pairs = tk
         .select(col("doc_id"), col("pos"), col("w").as("w1"),
           explode(array(lit(1), lit(2), lit(3))).as("k"))
