@@ -728,6 +728,23 @@ object Dedup {
     "dedup_clusters" -> ((s: SparkSession, d: String) =>
       clusterLabels(s, d).orderBy(col("doc_id"))),
 
+    // CLUSTER-SIZE HISTOGRAM — the dedup YIELD report read before
+    // applying the decision: how many near-dup clusters exist at each
+    // size, how many documents they hold, and how many would be removed
+    // (size − 1 per cluster). A fat tail here (one giant cluster) means
+    // a boilerplate template is glueing unrelated docs — the signal to
+    // tighten the Hamming threshold before dedup_apply deletes real
+    // content. Runs over the memoized label artifact: two tiny
+    // label-frame aggs, corpus never rescanned.
+    "dedup_cluster_stats" -> ((s: SparkSession, d: String) =>
+      clusterLabels(s, d)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"),
+          sum(col("sz") - 1L).as("n_removed"))
+        .orderBy(col("cluster_size"))),
+
     // APPLY the dedup decision: the surviving corpus after near-dup
     // clustering — each cluster keeps its min-id doc, unclustered docs
     // pass through. This is the op a pipeline actually runs (pairs and
@@ -924,6 +941,14 @@ object Dedup {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clustersCteSql
          |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $clustersCteSql,
+         |szs AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY 1)
+         |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+         |  CAST(SUM(sz - 1) AS BIGINT) AS n_removed
+         |FROM szs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_apply" ->
       s"""WITH RECURSIVE $clustersCteSql,
