@@ -176,10 +176,15 @@ object Dedup {
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // doc sizes come from a broadcast docs-bounded aggregate, not a
+    // second count-over-partition WindowExec pass over the full sorted
+    // shingle frame (the row_number window pays the doc_id shuffle+sort
+    // either way; the unordered count window added a whole extra
+    // window pass for a value a tiny broadcast join supplies).
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val prefixes = sh.join(freq, Seq("s"))
+      .join(broadcast(sizes), Seq("doc_id"))
       .withColumn("rk", row_number().over(wr))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .filter(col("rk") <= col("n") - floor(col("n") * t) + 1 &&
         col("df") <= maxDf)
       .select(col("s"), struct(col("doc_id"), col("n")).as("dn"))
@@ -537,17 +542,18 @@ object Dedup {
       val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       val wr = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+      // doc-size side table: |docs| rows, broadcast twice — onto the
+      // prefix side (supplying n without a second count-over-partition
+      // WindowExec pass, same trade as prefixCandidates) and onto the
+      // index side so the size prune (inter ≤ nj ⇒ nj ≥ ceil(t·ni) for
+      // any qualifying pair) drops under-sized containers BEFORE the
+      // distinct and the set-array verify join ever see them.
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nj"))
       val prefixes = sh.join(freq, Seq("s"))
+        .join(broadcast(sizes.withColumnRenamed("nj", "n")), Seq("doc_id"))
         .withColumn("rk", row_number().over(wr))
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
         .filter(col("rk") <= col("n") - floor(col("n") * tC) + 1)
         .select(col("s"), col("doc_id").as("i"), col("n").as("ni"))
-      // doc-size side table: |docs| rows, broadcast onto the index so
-      // the size prune (inter ≤ nj ⇒ nj ≥ ceil(t·ni) for any qualifying
-      // pair) drops under-sized containers BEFORE the distinct and the
-      // set-array verify join ever see them.
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nj"))
       val cand = prefixes
         .join(sh.select(col("s"), col("doc_id").as("j")), Seq("s"))
         .filter(col("i") =!= col("j"))

@@ -1036,6 +1036,47 @@ object Relational {
         .orderBy(col("edge"))
     }),
 
+    // ABC / PARETO CLASSIFICATION — the inventory-policy segmentation:
+    // parts ranked by exact integer revenue, running cumulative share
+    // of the grand total, classed A (first 70% of revenue mass) / B
+    // (to 90%) / C (tail). The windows run over the PARTS AGGREGATE
+    // (10⁴× smaller than the fact — one fact shuffle, then a tiny
+    // global sort), and the boundary test is exact decimal
+    // cross-multiplication (cum·10 vs tot·7|9) — no float can flip a
+    // boundary row between engines. At 100 TB, if even the parts frame
+    // outgrows one task, the global rank becomes a
+    // repartitionByRange(rev_u desc) + per-range prefix sums with
+    // broadcast range offsets — the standard distributed prefix-sum;
+    // class boundaries and output contract unchanged.
+    "parts_abc_pareto" -> ((s: SparkSession, d: String) => {
+      val perPart = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(revU).as("rev_u"))
+      val wRank = Window.orderBy(col("rev_u").desc, col("l_partkey"))
+      val wCum = wRank.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      perPart
+        .withColumn("rnk", row_number().over(wRank))
+        // cumulative and grand totals are corpus-scaled → decimal
+        // accumulators (the sumRevD contract); per-part rev_u is a
+        // bounded long
+        .withColumn("cum_u",
+          sum(col("rev_u").cast(DecimalType(38, 0))).over(wCum))
+        .withColumn("tot_u",
+          sum(col("rev_u").cast(DecimalType(38, 0))).over(wAll))
+        .select(col("l_partkey").as("partkey"),
+          col("rnk").cast(LongType).as("rnk"),
+          (col("rev_u").cast(DoubleType) / 10000.0).as("revenue"),
+          r6(col("cum_u").cast(DoubleType) / col("tot_u").cast(DoubleType))
+            .as("cum_share"),
+          when(col("cum_u") * 10 <= col("tot_u") * 7, "A")
+            .when(col("cum_u") * 10 <= col("tot_u") * 9, "B")
+            .otherwise("C").as("abc_class"))
+        .filter(col("rnk") <= 200)
+        .orderBy(col("rnk"))
+    }),
+
     // DECLARATIVE EXPECTATIONS AUDIT — the Deequ/dbt-test shape: a rule
     // table (name, predicate) evaluated over the fact table in ONE scan
     // (conditional sums inside a single aggregate, exploded to long
@@ -1997,6 +2038,30 @@ object Relational {
          |$rows
          |) ORDER BY pred""".stripMargin
     },
+
+    "parts_abc_pareto" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |      AS rev_u
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey, rev_u,
+        |    row_number() OVER (ORDER BY rev_u DESC, l_partkey) AS rnk,
+        |    SUM(CAST(rev_u AS DECIMAL(38,0))) OVER (
+        |      ORDER BY rev_u DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u,
+        |    SUM(CAST(rev_u AS DECIMAL(38,0))) OVER () AS tot_u
+        |  FROM pp)
+        |SELECT l_partkey AS partkey, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(rev_u AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue,
+        |  ROUND(CAST(cum_u AS DOUBLE) / CAST(tot_u AS DOUBLE), 6)
+        |    AS cum_share,
+        |  CASE WHEN cum_u * 10 <= tot_u * 7 THEN 'A'
+        |       WHEN cum_u * 10 <= tot_u * 9 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM r WHERE rnk <= 200 ORDER BY rnk""".stripMargin,
 
     "audit_expectations" -> {
       val sums = ExpectationRules.zipWithIndex.map { case ((_, _, sql), i) =>
