@@ -176,14 +176,18 @@ object Dedup {
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    // doc sizes come from a broadcast docs-bounded aggregate, not a
-    // second count-over-partition WindowExec pass over the full sorted
-    // shingle frame (the row_number window pays the doc_id shuffle+sort
-    // either way; the unordered count window added a whole extra
-    // window pass for a value a tiny broadcast join supplies).
+    // doc sizes come from a docs-bounded aggregate joined on doc_id,
+    // not a second count-over-partition WindowExec pass over the full
+    // sorted shingle frame: the row_number window needs the doc_id
+    // exchange either way, so the equi-join rides the partitioning the
+    // window requires and the unordered count window's extra pass
+    // disappears. No broadcast hint — the sizes frame is |docs|-sized
+    // (corpus-proportional at 100 TB, where a forced broadcast would
+    // fail); the doc_id-keyed shuffle join is the scale-safe shape and
+    // AQE still broadcasts it when it measures small.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val prefixes = sh.join(freq, Seq("s"))
-      .join(broadcast(sizes), Seq("doc_id"))
+      .join(sizes, Seq("doc_id"))
       .withColumn("rk", row_number().over(wr))
       .filter(col("rk") <= col("n") - floor(col("n") * t) + 1 &&
         col("df") <= maxDf)
@@ -542,22 +546,27 @@ object Dedup {
       val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       val wr = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-      // doc-size side table: |docs| rows, broadcast twice — onto the
-      // prefix side (supplying n without a second count-over-partition
-      // WindowExec pass, same trade as prefixCandidates) and onto the
-      // index side so the size prune (inter ≤ nj ⇒ nj ≥ ceil(t·ni) for
-      // any qualifying pair) drops under-sized containers BEFORE the
-      // distinct and the set-array verify join ever see them.
+      // doc-size side table: |docs| rows, MATERIALIZED once (two
+      // consumers with different renames defeat ReuseExchange) and
+      // joined twice — onto the prefix side (supplying n without a
+      // second count-over-partition WindowExec pass, same trade as
+      // prefixCandidates) and onto the index side so the size prune
+      // (inter ≤ nj ⇒ nj ≥ ceil(t·ni) for any qualifying pair) drops
+      // under-sized containers BEFORE the distinct and the set-array
+      // verify join ever see them. No broadcast hints: the frame is
+      // corpus-proportional at 100 TB — keyed shuffle joins are the
+      // scale-safe shape, and AQE broadcasts when it measures small.
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nj"))
+        .localCheckpoint()
       val prefixes = sh.join(freq, Seq("s"))
-        .join(broadcast(sizes.withColumnRenamed("nj", "n")), Seq("doc_id"))
+        .join(sizes.withColumnRenamed("nj", "n"), Seq("doc_id"))
         .withColumn("rk", row_number().over(wr))
         .filter(col("rk") <= col("n") - floor(col("n") * tC) + 1)
         .select(col("s"), col("doc_id").as("i"), col("n").as("ni"))
       val cand = prefixes
         .join(sh.select(col("s"), col("doc_id").as("j")), Seq("s"))
         .filter(col("i") =!= col("j"))
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "j")), Seq("j"))
+        .join(sizes.withColumnRenamed("doc_id", "j"), Seq("j"))
         .filter(col("nj") >= ceil(col("ni") * tC))
         .select(col("i"), col("j")).distinct()
       val docs = docSets(sh)

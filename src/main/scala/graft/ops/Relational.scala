@@ -1055,7 +1055,11 @@ object Relational {
       val wRank = Window.orderBy(col("rev_u").desc, col("l_partkey"))
       val wCum = wRank.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)
-      val wAll = Window.partitionBy(lit(1))
+      // the grand total shares the rank window's partition+sort (full
+      // frame), so all three window columns compute in ONE WindowExec
+      // pass — a partitionBy(lit(1)) spec would buffer the frame again
+      val wTot = wRank.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
       perPart
         .withColumn("rnk", row_number().over(wRank))
         // cumulative and grand totals are corpus-scaled → decimal
@@ -1064,7 +1068,7 @@ object Relational {
         .withColumn("cum_u",
           sum(col("rev_u").cast(DecimalType(38, 0))).over(wCum))
         .withColumn("tot_u",
-          sum(col("rev_u").cast(DecimalType(38, 0))).over(wAll))
+          sum(col("rev_u").cast(DecimalType(38, 0))).over(wTot))
         .select(col("l_partkey").as("partkey"),
           col("rnk").cast(LongType).as("rnk"),
           (col("rev_u").cast(DoubleType) / 10000.0).as("revenue"),

@@ -262,10 +262,12 @@ object Text {
       // the tokenizer per element — O(len²) per document (measured 4×
       // this query's total time). CollapseProject keeps the boundary:
       // the alias is non-cheap and multiply-referenced.
-      // ...and materialize the bigram frame itself: it feeds BOTH the
-      // count-table aggregation and the scoring join, and plan reuse
-      // does not cross the branches — without this the tokenize+explode
-      // corpus scan runs twice (the shingle-index rule).
+      // The bigram frame deliberately stays UNmaterialized even though
+      // two branches consume it: unlike the shingle index (8-byte
+      // hashes), bg is one string-pair row per token — LARGER than the
+      // corpus — so checkpointing it would demand >corpus-size executor
+      // storage at 100 TB. Re-running the tokenize scan for the tiny
+      // vocab²-bounded count table is the cheaper, bounded plan.
       val bg = t(s, d, "documents")
         .select(col("doc_id"), toks(col("text")).as("ws"))
         .filter(size(col("ws")) >= 2)
@@ -274,7 +276,6 @@ object Text {
             i => struct(element_at(col("ws"), i).as("w1"),
               element_at(col("ws"), i + 1).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .localCheckpoint()
       // materialize the (vocab²-bounded, tiny) conditional-count table
       // once: without it the context-total branch re-derives the whole
       // bigram aggregation from a THIRD corpus scan — plan-level reuse
