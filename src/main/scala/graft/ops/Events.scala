@@ -318,6 +318,34 @@ object Events {
         .orderBy(col("user_id"))
     }),
 
+    // SAMPLE-RATIO-MISMATCH CHECK — the health gate read BEFORE any
+    // A/B readout is trusted: a 50/50 hash split whose observed arm
+    // sizes drift beyond chance (1-df chi-square vs the 3.841 95%
+    // critical value) means assignment or logging is broken and
+    // events_ab_test's z statistic is meaningless. Same deterministic
+    // bucketing as the readout, one user-level aggregation; the
+    // chi-square is a fixed IEEE chain over exact integer counts
+    // ((a−e)²/e + (b−e)²/e with e = n/2), so the statistic and the
+    // flag are bit-stable in both engines.
+    "events_ab_srm" -> ((s: SparkSession, d: String) => {
+      val variant = pmod(XF.h32(concat(lit("exp1:"),
+        col("user_id").cast(StringType))), lit(2L))
+      t(s, d, "events")
+        .select(col("user_id"), variant.as("variant"))
+        .groupBy(col("user_id")).agg(max(col("variant")).as("variant"))
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("e",
+          (col("n_a") + col("n_b")).cast(DoubleType) / 2.0)
+        .withColumn("chi2", when(col("e") > 0.0, XF.r6(
+          (col("n_a").cast(DoubleType) - col("e")) *
+            (col("n_a").cast(DoubleType) - col("e")) / col("e") +
+          (col("n_b").cast(DoubleType) - col("e")) *
+            (col("n_b").cast(DoubleType) - col("e")) / col("e"))))
+        .select(col("n_a"), col("n_b"), col("chi2"),
+          (col("chi2") > 3.841).as("srm_flag"))
+    }),
+
     // A/B-TEST READOUT — deterministic hash bucketing (the assignment a
     // real experiment framework computes: stable under retry, no
     // rand()) into two variants, then per-variant exposure/conversion
@@ -797,6 +825,33 @@ object Events {
          |    THEN sqrt(var_gap) / mean_gap ELSE CAST(0 AS DOUBLE) END, 6)
          |    < CAST(0.5 AS DOUBLE) AS too_regular
          |FROM m ORDER BY user_id""".stripMargin,
+
+    "events_ab_srm" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    MAX(${XF.h32Sql("'exp1:' || CAST(user_id AS VARCHAR)")} % 2)
+         |      AS variant
+         |  FROM events GROUP BY 1),
+         |c AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b
+         |  FROM pu),
+         |x AS (
+         |  SELECT n_a, n_b,
+         |    CAST(n_a + n_b AS DOUBLE) / CAST(2 AS DOUBLE) AS e
+         |  FROM c),
+         |s AS (
+         |  SELECT n_a, n_b,
+         |    CASE WHEN e > CAST(0 AS DOUBLE) THEN ROUND(
+         |      (CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e +
+         |      (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e,
+         |      6) END AS chi2
+         |  FROM x)
+         |SELECT n_a, n_b, chi2, chi2 > CAST(3.841 AS DOUBLE) AS srm_flag
+         |FROM s""".stripMargin,
 
     "events_ab_test" ->
       s"""WITH pu AS (
