@@ -941,10 +941,13 @@ object Relational {
     // RFM SEGMENTATION — the classic customer scoring: recency (days
     // since last order at the corpus horizon), frequency (order
     // count), monetary (exact long-cents total), each cut into
-    // quartiles by ntile over the customer frame, concatenated into
-    // the segment code. One shuffle builds the per-customer frame
-    // (customer-count-sized); the three ntile windows run over it with
-    // deterministic (metric, key) orderings.
+    // quartiles, concatenated into the segment code. One shuffle
+    // builds the per-customer frame (customer-count-sized, checkpointed
+    // so the three scans below read blocks, not lineage); each quartile
+    // is a DISTRIBUTED rank (Scan.runningOver — per-bucket windows +
+    // broadcast offsets, never a global ntile window) fed through the
+    // exact NTILE formula with the broadcast total count. Three
+    // customer-sized equi-joins reassemble the scores.
     "orders_rfm" -> ((s: SparkSession, d: String) => {
       val horizon = to_timestamp(lit("2002-01-01 00:00:00"))
       val perCust = t(s, d, "orders")
@@ -955,14 +958,27 @@ object Relational {
           count(lit(1)).as("frequency"),
           sum(round(col("o_totalprice") * 100).cast(LongType))
             .as("monetary_cents"))
-      def quartile(c: String, asc: Boolean): org.apache.spark.sql.Column =
-        ntile(4).over(Window.orderBy(
-          (if (asc) col(c).asc else col(c).desc), col("o_custkey")))
-          .cast(LongType)
+        .localCheckpoint()
+      val nCust = perCust.agg(count(lit(1)).as("__n_cust"))
+      def quartile(c: String, asc: Boolean): DataFrame =
+        Scan.runningOver(perCust.select(col("o_custkey"), col(c)),
+            v = col(c), desc = !asc,
+            order = Seq(if (asc) col(c).asc else col(c).desc,
+              col("o_custkey")),
+            outs = Seq(("__rnk", lit(1L))))
+          .crossJoin(broadcast(nCust))
+          .select(col("o_custkey"),
+            Scan.ntileOf(col("__rnk"), 4, col("__n_cust"))
+              .as(s"__score_$c"))
       perCust
-        .withColumn("r_score", quartile("recency_days", asc = true))
-        .withColumn("f_score", quartile("frequency", asc = false))
-        .withColumn("m_score", quartile("monetary_cents", asc = false))
+        .join(quartile("recency_days", asc = true), Seq("o_custkey"))
+        .join(quartile("frequency", asc = false), Seq("o_custkey"))
+        .join(quartile("monetary_cents", asc = false), Seq("o_custkey"))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          col("__score_recency_days").as("r_score"),
+          col("__score_frequency").as("f_score"),
+          col("__score_monetary_cents").as("m_score"))
         .withColumn("segment", concat(col("r_score"), col("f_score"),
           col("m_score")))
         .orderBy(col("o_custkey"))
@@ -974,9 +990,12 @@ object Relational {
     // stream IS the concurrency curve, and the per-day max is the
     // capacity readout. The companion of events_session_overlap — the
     // same question answered by the sweep-line algorithm instead of
-    // the pair join (O(n log n), no pair blowup; the global ordering
-    // is the documented scale bound: range-partition the deltas and
-    // prefix-sum partition offsets — the standard distributed scan).
+    // the pair join (O(n log n), no pair blowup). The running sum is
+    // the DISTRIBUTED scan (Scan.runningOver): time-quantile buckets,
+    // per-bucket windows in parallel, a bucket-count-sized offset
+    // table broadcast back — the delta frame (2 rows/session,
+    // corpus-proportional, so checkpointed once) never feeds a global
+    // single-task window.
     "events_concurrency_curve" -> ((s: SparkSession, d: String) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -989,13 +1008,18 @@ object Relational {
           sum(newSess).over(byUser).as("session_no"))
         .groupBy(col("user_id"), col("session_no"))
         .agg(min(col("us")).as("st"), max(col("us")).as("en"))
-      val deltas = sess.select(col("st").as("at"), lit(1L).as("d"))
-        .unionByName(sess.select((col("en") + 1).as("at"),
-          lit(-1L).as("d")))
-      val sweep = Window.orderBy(col("at"), col("d"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      deltas
-        .withColumn("conc", sum(col("d")).over(sweep))
+      // ±1 boundary deltas in ONE pass over sess (explode, not a
+      // union whose two branches would each recompute the session
+      // windows during checkpoint materialization)
+      val deltas = sess.select(explode(array(
+          struct(col("st").as("at"), lit(1L).as("d")),
+          struct((col("en") + 1).as("at"), lit(-1L).as("d"))))
+          .as("bd"))
+        .select(col("bd.at").as("at"), col("bd.d").as("d"))
+        .localCheckpoint()
+      Scan.runningOver(deltas, v = col("at"), desc = false,
+          order = Seq(col("at"), col("d")),
+          outs = Seq(("conc", col("d"))))
         .groupBy(date_format(timestamp_micros(col("at")), "yyyy-MM-dd").as("day"))
         .agg(max(col("conc")).as("peak_concurrency"),
           count(lit(1)).as("n_boundary_events"))
@@ -1039,36 +1063,31 @@ object Relational {
     // ABC / PARETO CLASSIFICATION — the inventory-policy segmentation:
     // parts ranked by exact integer revenue, running cumulative share
     // of the grand total, classed A (first 70% of revenue mass) / B
-    // (to 90%) / C (tail). The windows run over the PARTS AGGREGATE
-    // (10⁴× smaller than the fact — one fact shuffle, then a tiny
-    // global sort), and the boundary test is exact decimal
+    // (to 90%) / C (tail). One fact shuffle builds the parts aggregate
+    // (checkpointed); the rank and the cumulative decimal sum are then
+    // ONE distributed scan (Scan.runningOver — revenue-quantile
+    // buckets, a shared per-bucket WindowExec, broadcast offsets), so
+    // no frame-sized global sort survives even if the parts key space
+    // outgrows one task at 100 TB. The grand total attaches as a
+    // broadcast scalar, and the boundary test is exact decimal
     // cross-multiplication (cum·10 vs tot·7|9) — no float can flip a
-    // boundary row between engines. At 100 TB, if even the parts frame
-    // outgrows one task, the global rank becomes a
-    // repartitionByRange(rev_u desc) + per-range prefix sums with
-    // broadcast range offsets — the standard distributed prefix-sum;
-    // class boundaries and output contract unchanged.
+    // boundary row between engines.
     "parts_abc_pareto" -> ((s: SparkSession, d: String) => {
       val perPart = t(s, d, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(revU).as("rev_u"))
-      val wRank = Window.orderBy(col("rev_u").desc, col("l_partkey"))
-      val wCum = wRank.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      // the grand total shares the rank window's partition+sort (full
-      // frame), so all three window columns compute in ONE WindowExec
-      // pass — a partitionBy(lit(1)) spec would buffer the frame again
-      val wTot = wRank.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      perPart
-        .withColumn("rnk", row_number().over(wRank))
-        // cumulative and grand totals are corpus-scaled → decimal
-        // accumulators (the sumRevD contract); per-part rev_u is a
-        // bounded long
-        .withColumn("cum_u",
-          sum(col("rev_u").cast(DecimalType(38, 0))).over(wCum))
-        .withColumn("tot_u",
-          sum(col("rev_u").cast(DecimalType(38, 0))).over(wTot))
+        .localCheckpoint()
+      // cumulative and grand totals are corpus-scaled → decimal
+      // accumulators (the sumRevD contract); per-part rev_u is a
+      // bounded long; the running count over the (rev_u desc, partkey)
+      // total order IS row_number
+      val tot = perPart
+        .agg(sum(col("rev_u").cast(DecimalType(38, 0))).as("tot_u"))
+      Scan.runningOver(perPart, v = col("rev_u"), desc = true,
+          order = Seq(col("rev_u").desc, col("l_partkey")),
+          outs = Seq(("rnk", lit(1L)),
+            ("cum_u", col("rev_u").cast(DecimalType(38, 0)))))
+        .crossJoin(broadcast(tot))
         .select(col("l_partkey").as("partkey"),
           col("rnk").cast(LongType).as("rnk"),
           (col("rev_u").cast(DoubleType) / 10000.0).as("revenue"),

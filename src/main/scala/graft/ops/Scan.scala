@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed prefix scan: running aggregates over ONE global ordering
+  * without a single-task `WindowExec` over the data-sized frame — the
+  * textbook two-level (local-scan + offset) decomposition:
+  *
+  *   1. bucket every row with an id MONOTONE in the global ordering
+  *      (sampled quantile boundaries of the leading sort key — only the
+  *      row→bucket ASSIGNMENT depends on the sample; every downstream
+  *      running value is exact wherever the boundaries fall);
+  *   2. one hash-partitioned window per bucket computes the LOCAL
+  *      running values in parallel — `Window.partitionBy(bucket)`, so
+  *      the sort is per-bucket, never global;
+  *   3. per-bucket totals (a map-side-combinable aggregate, ≤ nB rows)
+  *      are prefix-summed by a window over the BUCKET-COUNT-sized frame
+  *      — the one intentionally-global window in the plan, bounded by
+  *      the `nB` knob (a cluster-parallelism constant), not the corpus;
+  *   4. the offsets broadcast back and add to the local values.
+  *
+  * Replaces the `Window.orderBy(...)` global-scan shape in
+  * `events_concurrency_curve` / `parts_abc_pareto` / `orders_rfm`
+  * (SCALE.md's round-6 watch list): at 100 TB a global window is a
+  * single task sorting the whole frame; this form's widest sequential
+  * step is nB rows.
+  *
+  * Caller contract: `df` should be MATERIALIZED (`localCheckpoint`)
+  * when its lineage is expensive — the scan reads it three times
+  * (quantile bounds, local windows, bucket totals), and deliberately
+  * does NOT rely on exchange reuse across differently-pruned branches.
+  *
+  * Skew note: rows that tie on the bucketing key are indivisible (an
+  * order-respecting partition cannot split a tie group), so a key with
+  * a pathological tie mass serializes within its bucket; the swap is
+  * compositing the tiebreak column into the bucketing key. The three
+  * call sites order by near-continuous keys (micros timestamps, revenue
+  * sums, per-customer metrics) where tie groups are O(1).
+  */
+object Scan {
+
+  /** Internal column names — prefixed so plan-shape pins can recognize
+    * the scan machinery's frames in rendered plans.
+    */
+  private[graft] val BucketCol = "__scan_bucket"
+  private def tCol(nm: String) = "__scan_t_" + nm
+  private def oCol(nm: String) = "__scan_o_" + nm
+
+  /** `df` + [[BucketCol]]: a bucket id monotone NON-DECREASING in the
+    * (`v` asc|desc) ordering, assigned from `nB`-quantile boundaries of
+    * `v` (one `percentile_approx` pass — mergeable, exact-enough: the
+    * boundaries only steer row placement). Equal `v` values always land
+    * in one bucket, so bucketing by the leading sort key alone is safe
+    * for any tiebreak columns.
+    */
+  def withQuantileBucket(df: DataFrame, v: Column, desc: Boolean,
+      nB: Int): DataFrame = {
+    require(nB >= 2, s"need at least 2 buckets, got $nB")
+    val vd = v.cast("double")
+    val probs = array((1 until nB).map(i => lit(i.toDouble / nB)): _*)
+    val bounds = df.agg(
+      percentile_approx(vd, probs, lit(10000)).as("__scan_bounds"))
+    // bucket = #boundaries strictly on the ALREADY-ORDERED side of v:
+    // asc → |{b : v > b}| (non-decreasing in v), desc → |{b : v < b}|
+    // (non-decreasing as v falls). ≤ nB-element array filter, codegen'd.
+    val b = size(filter(col("__scan_bounds"),
+      x => if (desc) vd < x else vd > x))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(BucketCol, b)
+      .drop("__scan_bounds")
+  }
+
+  /** Running sums over the global ([[BucketCol]] asc, `order`) ordering.
+    * `outs` = (outName, value expression) pairs; all outs share ONE
+    * per-bucket WindowExec pass. Returns `df`'s columns + the outs.
+    * `df` must already carry [[BucketCol]] (see [[withQuantileBucket]]).
+    */
+  def prefixSums(df: DataFrame, order: Seq[Column],
+      outs: Seq[(String, Column)]): DataFrame = {
+    val wLocal = Window.partitionBy(col(BucketCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = outs.foldLeft(df) { case (acc, (nm, v)) =>
+      acc.withColumn(nm, sum(v).over(wLocal))
+    }
+    val aggs = outs.map { case (nm, v) => sum(v).as(tCol(nm)) }
+    val totals = df.groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*)
+    // the bounded global window: ≤ nB+1 rows, running total of the rows
+    // BEFORE each bucket (unbounded-preceding .. -1; first bucket null)
+    val wOff = Window.orderBy(col(BucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(
+      col(BucketCol) +: outs.map { case (nm, _) =>
+        sum(col(tCol(nm))).over(wOff).as(oCol(nm))
+      }: _*)
+    val orig = df.columns.filterNot(_ == BucketCol)
+    local.join(broadcast(offsets), Seq(BucketCol))
+      .select(orig.map(col) ++ outs.map { case (nm, _) =>
+        (col(nm) + coalesce(col(oCol(nm)), lit(0))).as(nm)
+      }: _*)
+  }
+
+  /** [[withQuantileBucket]] + [[prefixSums]] in one call: running sums
+    * over the (`v` asc|desc, then `order` tiebreaks) global ordering.
+    * `order` must be the FULL sort (including `v` first) — the bucket
+    * column only coarsens it.
+    */
+  def runningOver(df: DataFrame, v: Column, desc: Boolean,
+      order: Seq[Column], outs: Seq[(String, Column)],
+      nB: Int = 64): DataFrame =
+    prefixSums(withQuantileBucket(df, v, desc, nB), order, outs)
+
+  /** Exact long integer division (both operands ≥ 0, divisor > 0):
+    * subtracting the remainder makes the double division exact for any
+    * values ≤ 2^53.
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast(LongType)
+
+  /** SQL `ntile(n)` computed from a global 1-based rank and the total
+    * row count — the distributed-rank replacement for a global ntile
+    * window: the first `total % n` tiles hold `⌈total/n⌉` rows, the
+    * rest `⌊total/n⌋` (identical to Spark's and DuckDB's NTILE). When
+    * `total < n` every row is its own tile and the (division-by-zero)
+    * else branch is provably unreachable — CaseWhen evaluates lazily.
+    */
+  def ntileOf(rnk: Column, n: Int, total: Column): Column = {
+    val q = idiv(total, lit(n))
+    val rem = total % n
+    val threshold = rem * (q + 1)
+    when(rnk <= threshold, idiv(rnk - 1, q + 1) + 1)
+      .otherwise(rem + idiv(rnk - threshold - 1, q) + 1)
+      .cast(LongType)
+  }
+}

@@ -126,11 +126,20 @@ object Similarity {
     }
 
   /** Per-(vector, subspace) nearest-centroid code (argmin with the
-    * d2·4096+cvid composite tie-break both engines share).
+    * d2·4096+rank composite tie-break both engines share, where rank
+    * is the DENSE centroid index cvid/100 — so the composite stays a
+    * total order up to 4096 centroids = 409 600 corpus vectors, not
+    * 4096 raw ids; past that the guard fails LOUDLY instead of letting
+    * min_by resolve ties engine-arbitrarily).
     */
-  private def pqCodes(s: SparkSession, d: String): DataFrame =
+  private def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val denseRank = when(col("cvid") >= 409600L, raise_error(lit(
+      "pqCodes: centroid rank >= 4096 — the d2*4096+rank tie-break is " +
+        "no longer a total order; widen the composite base")))
+      .otherwise((col("cvid") / 100).cast(LongType))
     pqDist(s, d).groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("cvid"), col("d2") * 4096 + col("cvid")).as("code"))
+      .agg(min_by(col("cvid"), col("d2") * 4096 + denseRank).as("code"))
+  }
 
   /** Query subset: every 50th vector. Stays tiny relative to the corpus
     * (the realistic ANN shape: few queries, huge candidate side).
@@ -278,8 +287,9 @@ object Similarity {
     // TPAMI 2011) — the corpus is 4 small codes per vector, never the
     // raw floats. Everything is exact integer L2² in the quantized
     // domain, so codes, ADC sums, and ranks are bit-identical across
-    // engines; argmin ties break by composite scalar d2·4096+cvid
-    // (cvid < 4096 — one total order both engines agree on). The
+    // engines; argmin ties break by composite scalar d2·4096+rank
+    // with rank the dense centroid index cvid/100 (guarded loud at
+    // 4096 centroids — one total order both engines agree on). The
     // output re-ranks each query's ADC top-5 with the EXACT distance —
     // the calibration a PQ deployment runs to pick M and K before
     // trusting the codes. Scale shape: the codebook (M×K subvectors)
@@ -654,7 +664,7 @@ object Similarity {
        |             AS d2
        |         FROM cells c JOIN cents ct ON c.dim = ct.dim
        |         GROUP BY 1, 2, 3),
-       |codes AS (SELECT vec_id, m, arg_min(cvid, d2 * 4096 + cvid) AS code
+       |codes AS (SELECT vec_id, m, arg_min(cvid, d2 * 4096 + cvid // 100) AS code
        |          FROM dist GROUP BY 1, 2)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(

@@ -151,8 +151,10 @@ case class AsOfJoinExec(
         val kt = lKey(l)
         val k = kt.get(0, lKeyExpr.dataType)
         val t = kt.get(1, lTimeExpr.dataType)
-        if (k == null) {
-          // SQL semantics: null keys match nothing
+        if (k == null || t == null) {
+          // SQL semantics: null keys match nothing; a null TIME value
+          // likewise (without this guard a null t would unbox to 0L in
+          // the tolerance check below and could fabricate a match)
           resultProj(joined(l, nullRight))
         } else {
           // drop right rows for keys before k

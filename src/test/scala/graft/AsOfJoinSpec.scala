@@ -98,4 +98,26 @@ class AsOfJoinSpec extends SparkSpec {
         (if (x.isNullAt(1)) null else x.getString(1))).toMap
     assert(got === Map("p1" -> "v1", "pnull" -> null))
   }
+
+  test("null left TIME values never match (no 0L unboxing fabrication)") {
+    import spark.implicits._
+    // without the t-null guard, tnull's time unboxes to 0L and the
+    // tolerance check computes 0 - heldTime — with a right row at a
+    // NEGATIVE time that would fabricate an in-window match
+    val l = Seq((Option(5L), Option(100L), "p1"),
+      (Option(5L), Option.empty[Long], "tnull")).toDF("k", "t", "tag")
+    val r = Seq((Option(5L), Option(-10L), "v0"),
+      (Option(5L), Option(50L), "v1")).toDF("k", "t", "tag")
+    val plain = AsOf.asOfJoin(l, r, "k", "t")
+      .select(col("tag"), col("r_tag"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(plain === Map("p1" -> "v1", "tnull" -> null))
+    val tol = AsOf.asOfJoin(l, r, "k", "t", toleranceUs = Some(20L))
+      .select(col("tag"), col("r_tag"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    // p1: held v1 at 50, gap 50 > 20 → null; tnull: guarded → null
+    assert(tol === Map("p1" -> null, "tnull" -> null))
+  }
 }

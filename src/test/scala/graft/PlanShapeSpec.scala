@@ -184,6 +184,71 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  // ---- distributed-scan pins (round 7) -------------------------------
+  // The three ex-global-window queries now run Scan.runningOver: every
+  // remaining zero-partition WindowExec must sit above a grouped
+  // aggregate (the bucket-count-sized offset table), never directly
+  // over a data-sized frame, and at least one per-bucket (partitioned)
+  // window must exist. Structural walk, so AQE is off for the build.
+
+  private def noAqePlan(name: String)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  Seq("events_concurrency_curve", "parts_abc_pareto", "orders_rfm")
+    .foreach { q =>
+      test(s"$q: global windows only over bucket-count-bounded frames") {
+        import org.apache.spark.sql.execution.window.WindowExec
+        import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        val p = noAqePlan(q)
+        val globals = p.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        globals.foreach { w =>
+          val grouped = w.collectFirst {
+            case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => a
+          }
+          assert(grouped.isDefined,
+            s"$q: global WindowExec over a non-aggregated frame\n$w")
+        }
+        val perBucket = p.collect {
+          case w: WindowExec if w.partitionSpec.exists(
+            _.toString.contains(graft.ops.Scan.BucketCol)) => w
+        }
+        assert(perBucket.nonEmpty,
+          s"$q: expected a per-bucket WindowExec (Scan.prefixSums)")
+        assert(!p.toString.contains("CartesianProduct"))
+      }
+    }
+
+  // ---- exchange-count pins for the bench top-10 (round 7) ------------
+  // Ceilings read off graft.tools.ExchangeCount at this spec's exact
+  // conditions (sf0.001, 4 cores). A future "optimization" that adds a
+  // shuffle to a hot query fails here, not in the round bench.
+  // orders_rfm gets headroom to 10: near the broadcast threshold its
+  // three score reassembly joins legitimately flip BHJ<->SMJ with
+  // testdata size (+1 shuffle each); the others are size-stable.
+  private val shuffleCeilings = Seq(
+    "events_sliding_distinct" -> 3, "graph_triangles" -> 5,
+    "dedup_ngram_jaccard" -> 8, "dedup_embedding_cosine" -> 1,
+    "join_bloom_prefilter" -> 5, "profile_columns" -> 1,
+    "events_session_overlap" -> 4, "dedup_exact" -> 2,
+    "dedup_containment" -> 5, "text_surprisal" -> 3,
+    "events_concurrency_curve" -> 4, "parts_abc_pareto" -> 3,
+    "orders_rfm" -> 10)
+
+  shuffleCeilings.foreach { case (q, ceiling) =>
+    test(s"$q: at most $ceiling shuffle exchanges") {
+      val p = plan(q)
+      val n = "Exchange (?:range|hash)partitioning".r.findAllIn(p).length
+      assert(n <= ceiling,
+        s"$q grew to $n shuffles (pinned <= $ceiling)\n${p.take(1500)}")
+    }
+  }
+
   test("text_pii_scrub is map-only: no exchange before the sort") {
     val p = plan("text_pii_scrub")
     // exactly the top-k/sort exchange, nothing from the scrub itself
