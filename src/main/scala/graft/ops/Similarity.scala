@@ -153,7 +153,7 @@ object Similarity {
     * plan shape — derive cell id, equi-join on it). Shared with
     * [[Dedup]]'s embedding near-dup candidate generation.
     */
-  private[ops] def bucket(vcol: String): org.apache.spark.sql.Column =
+  private[graft] def bucket(vcol: String): org.apache.spark.sql.Column =
     (0 until 4).map(k =>
       when(element_at(col(vcol), k + 1) >= 0L, lit(1 << k)).otherwise(lit(0)))
       .reduce(_ + _)

@@ -148,18 +148,26 @@ object Wnv {
       .groupBy(col("c_custkey"))
       .agg(count(lit(1)).as("join_count"))
 
-  /** J2: Erase selection semantics — in-risk addresses minus 1500-ft
-    * opt-out buffers, planned as a grid-cell hash anti-join (see header).
+  /** J2 as a pure frame transform: in-risk points minus 1500-ft opt-out
+    * buffers, planned as a grid-cell hash anti-join (see header). This
+    * is the ONE downstream DAG every acquisition path feeds — the
+    * fixture/mock path ([[eraseSelection]], the oracle-checked surface)
+    * and the live HTTP path (downloadSheet + geocodeLive, LiveSpec's
+    * stub-served e2e) differ only in how `pts` was produced.
+    *
+    * @param pts    frame with c_custkey/x_ft/y_ft (plus carried columns)
+    * @param zn     zone catalog ([[zones]] shape)
+    * @param optPts opt-out point frame with x_ft/y_ft
     */
-  def eraseSelection(spark: SparkSession, dir: String): DataFrame = {
+  def eraseSelectionFrom(pts: DataFrame, zn: DataFrame,
+      optPts: DataFrame): DataFrame = {
     val cell = BufferFt
-    val pts = points(spark, dir)
     val inRisk = pts
-      .join(broadcast(zones(spark, dir).filter(col("high_risk"))),
+      .join(broadcast(zn.filter(col("high_risk"))),
         inZone(col("x_ft"), col("y_ft")), "left_semi")
       .withColumn("gx", floor(col("x_ft") / cell))
       .withColumn("gy", floor(col("y_ft") / cell))
-    val bufCells = optOut(spark, dir)
+    val bufCells = optPts
       .select(col("x_ft").as("ox"), col("y_ft").as("oy"))
       .withColumn("gx", explode(sequence(
         floor((col("ox") - BufferFt) / cell), floor((col("ox") + BufferFt) / cell))))
@@ -173,6 +181,22 @@ object Wnv {
         "left_anti")
       .drop("gx", "gy")
   }
+
+  /** J2 over the testdata fixture path (mock geocode). */
+  def eraseSelection(spark: SparkSession, dir: String): DataFrame =
+    eraseSelectionFrom(points(spark, dir), zones(spark, dir),
+      optOut(spark, dir))
+
+  /** Flagship tail: per-zone target counts over an erase-selection
+    * frame — shared by `wnv_pipeline_e2e`/`wnv_symbology` and the live
+    * path's e2e test.
+    */
+  def zoneTargetCounts(sel: DataFrame, zn: DataFrame): DataFrame =
+    sel.join(broadcast(zn.filter(col("high_risk"))),
+        inZone(col("x_ft"), col("y_ft")), "inner")
+      .groupBy(col("zone_id"))
+      .agg(count(lit(1)).as("n_targets"))
+      .orderBy(col("zone_id"))
 
   // ------------------------------------------------------------------
   // driver-contract query surface
@@ -253,12 +277,7 @@ object Wnv {
 
     "wnv_pipeline_e2e" -> ((s: SparkSession, d: String) => {
       // flagship: zones × erase-selection → per-zone target counts
-      val sel = eraseSelection(s, d)
-      sel.join(broadcast(zones(s, d).filter(col("high_risk"))),
-          inZone(col("x_ft"), col("y_ft")), "inner")
-        .groupBy(col("zone_id"))
-        .agg(count(lit(1)).as("n_targets"))
-        .orderBy(col("zone_id"))
+      zoneTargetCounts(eraseSelection(s, d), zones(s, d))
     }),
 
     // G2 analogue (apply_renderer, reference final_project.py:169-184:

@@ -188,6 +188,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("probe generator == closed-form hd<=w predicate at every width") {
+    import graft.ops.{Dedup, Similarity}
+    // ground truth: per-pair cell Hamming distance from an exact
+    // all-pairs JVM loop over a small slice
+    val e = graft.ops.Dedup.qEmb(spark, sf).filter(col("vec_id") < 60)
+      .withColumn("home", Similarity.bucket("q"))
+    val homes = e.select(col("vec_id"), col("home")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // a Seq of (pair, hd), NOT a Map: collecting pair-typed elements
+    // out of a Map would rebuild a Map keyed by i and silently keep one
+    // j per i
+    val byHd = (for {
+      i <- homes.keys.toSeq; j <- homes.keys.toSeq if i < j
+    } yield ((i, j), Integer.bitCount(homes(i) ^ homes(j))))
+    (0 to 4).foreach { w =>
+      val got = Dedup.embCosinePairs(e, w)
+        .select(col("i"), col("j")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = byHd.collect { case (p, hd) if hd <= w => p }.toSet
+      assert(got === want, s"width $w")
+      // each qualifying pair exactly once (the unique-mask property)
+      assert(got.size === Dedup.embCosinePairs(e, w).count())
+    }
+    // width 4 is provably ALL pairs — truth shares the generator path
+    assert(byHd.size === Dedup.embCosinePairs(e, 4).count())
+  }
+
+  test("recall calibration plans equi-joins only, even at full width") {
+    val p = graft.SparkEntry.queries("dedup_embedding_recall")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      || "BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, // scalar truth attach
+      p.take(1500))
+  }
+
   test("quantized cosine tracks float cosine within quantization error") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(col("vec_id") < 10)

@@ -84,4 +84,76 @@ class LiveSpec extends SparkSpec {
     assert(df.count() === 2)
     assert(df.columns.toSeq === Seq("Street Address", "City"))
   }
+
+  test("live path via HTTP stub feeds the SAME DAG and matches the mock e2e") {
+    import graft.geo.Geo
+    import graft.ops.Wnv
+    // JVM replica of the mock geocoder (Geo.geocode*: md5-slice hashes),
+    // served over REAL HTTP so the live chain — downloadSheet +
+    // HttpTransport + geocodeLive's partition loop — runs end to end
+    // against a 127.0.0.1 stub, then hands its points to the IDENTICAL
+    // downstream DAG (eraseSelectionFrom + zoneTargetCounts) the
+    // oracle-checked wnv_pipeline_e2e uses. Result equality proves the
+    // two acquisition paths share one pipeline.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(s: String, off: Int): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(off - 1, off + 7), 16)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length.toLong)
+      ex.getResponseBody.write(b); ex.close()
+    }
+    val sheetCsv = {
+      val rows = spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+        .collect().map(r => s"${r.getLong(0)},${r.getString(1)}")
+      ("c_custkey,c_name" +: rows.toSeq).mkString("\n")
+    }
+    server.createContext("/sheet",
+      (ex: com.sun.net.httpserver.HttpExchange) => respond(ex, sheetCsv))
+    server.createContext("/search",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val q = ex.getRequestURI.getRawQuery.split("&")
+          .collectFirst { case kv if kv.startsWith("q=") =>
+            java.net.URLDecoder.decode(kv.substring(2), "UTF-8") }.get
+        if (h32(q, 1) % 20 == 0) respond(ex, "[]") // deterministic miss
+        else {
+          val lon = -105.5 + (h32(q, 9) % 100000).toDouble / 200000.0
+          val lat = 39.9 + (h32(q, 17) % 100000).toDouble / 333333.0
+          respond(ex, s"""[{"place_id":1,"lon":"$lon","lat":"$lat"}]""")
+        }
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val transport = new Live.HttpTransport
+      val dest = Live.downloadSheet(s"$base/sheet",
+        Files.createTempDirectory("live_e2e").resolve("sheet.csv"), transport)
+      val sheet = spark.read.option("header", "true")
+        .schema("c_custkey LONG, c_name STRING").csv(dest.toString)
+      val livePts = Live.geocodeLive(
+          sheet.select(col("c_custkey"),
+            concat(col("c_name"), lit(" Boulder CO")).as("addr")),
+          "addr", transport, endpoint = s"$base/search",
+          ratePerSec = 1e6, partitions = 4)
+        .filter(col("lon").isNotNull && col("lat").isNotNull)
+        .select(col("c_custkey"), col("lon"), col("lat"),
+          lit("Residential").as("addr_type"))
+        .withColumn("x_ft", Geo.xFt(col("lon")))
+        .withColumn("y_ft", Geo.yFt(col("lat")))
+      val zn = Wnv.zones(spark, sf)
+      val live = Wnv.zoneTargetCounts(
+          Wnv.eraseSelectionFrom(livePts, zn,
+            livePts.filter(col("c_custkey") % 10 === 0)), zn)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val mock = SparkEntry.queries("wnv_pipeline_e2e")(spark, sf)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(live.nonEmpty)
+      assert(live === mock)
+    } finally server.stop(0)
+  }
 }
