@@ -296,6 +296,10 @@ object Wnv {
       counts.select(col("zone_id"), col("n_targets"),
           lit("#FF0000").as("fill"), lit("#000000").as("outline"),
           lit(0.5).as("opacity"),
+          // bounded global window BY DESIGN: the frame is the zone
+          // catalog (25 rows; ~10^5 even nationwide — see SCALE.md), a
+          // cluster-constant-sized dimension, never corpus-scaled. The
+          // corpus-scaled orderings use ops/Scan.runningOver instead.
           ntile(4).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("n_targets"), col("zone_id")))
             .cast(LongType).as("density_class"))
