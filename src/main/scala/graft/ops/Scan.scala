@@ -7,7 +7,9 @@ import org.apache.spark.sql.types.LongType
 
 /** Distributed prefix scan: running aggregates over ONE global ordering
   * without a single-task `WindowExec` over the data-sized frame — the
-  * textbook two-level (local-scan + offset) decomposition:
+  * textbook two-level (local-scan + offset) decomposition (Blelloch,
+  * "Prefix Sums and Their Applications", CMU-CS-90-190, applied to the
+  * shuffle-exchange setting):
   *
   *   1. bucket every row with an id MONOTONE in the global ordering
   *      (sampled quantile boundaries of the leading sort key — only the

@@ -238,7 +238,11 @@ class PlanShapeSpec extends SparkSpec {
     "events_session_overlap" -> 4, "dedup_exact" -> 2,
     "dedup_containment" -> 5, "text_surprisal" -> 3,
     "events_concurrency_curve" -> 4, "parts_abc_pareto" -> 3,
-    "orders_rfm" -> 10)
+    "orders_rfm" -> 10,
+    // round-7 bench reordering (full-scan warmup removed cold-read
+    // noise): the queries that entered the top 10 get ceilings too
+    "text_cooc_lift" -> 4, "agg_ddsketch_calibration" -> 2,
+    "agg_approx_calibration" -> 3, "curate_boilerplate" -> 4)
 
   shuffleCeilings.foreach { case (q, ceiling) =>
     test(s"$q: at most $ceiling shuffle exchanges") {

@@ -69,6 +69,31 @@ class ScanSpec extends SparkSpec {
       .select(col("run")).head().getLong(0) === 42L)
   }
 
+  test("decimal running sums stay exact through the offset join") {
+    // the parts_abc_pareto path: corpus-scaled DECIMAL(38,0)
+    // accumulators — the per-bucket sums, the offsets window, and the
+    // final local+offset addition must all stay in the decimal domain
+    // (a silent fall-through to double would round large cumulative
+    // totals and break the oracle hash)
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val big = 1234567890123456L // ~2^60 per row: double would round
+    val df = (0 until 200).map(i => (i.toLong, big + i)).toDF("id", "v")
+    val scanned = Scan.runningOver(df, col("v"), desc = false,
+      Seq(col("v"), col("id")),
+      Seq(("cum", col("v").cast(DecimalType(38, 0)))), nB = 7)
+    assert(scanned.schema("cum").dataType === DecimalType(38, 0))
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("want",
+      sum(col("v").cast(DecimalType(38, 0))).over(w))
+    assert(scanned.join(want, Seq("id"))
+      .filter(col("cum") =!= col("want")).count() === 0)
+    // the grand cumulative total is exact to the last digit
+    val total = scanned.agg(max(col("cum"))).head().getDecimal(0)
+    assert(total === new java.math.BigDecimal(
+      (BigInt(big) * 200 + (0 until 200).sum).toString))
+  }
+
   test("ntileOf replicates Spark ntile at every (N, n) shape") {
     for (n <- Seq(2, 3, 4, 7); nRows <- Seq(1, 2, 3, 4, 5, 6, 7, 8, 30, 97)) {
       val df = (1 to nRows).map(i => (i.toLong, (i * 13 % 11).toLong))
