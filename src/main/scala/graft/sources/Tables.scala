@@ -95,6 +95,41 @@ object Tables {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** JSON-Lines scan with a DECLARED schema — the interchange format
+    * training-data pipelines actually ship (one document object per
+    * line). The explicit schema matters at scale twice over: it skips
+    * Spark's whole-corpus inference pass, and it keeps column pruning
+    * effective (a pruned read parses only the requested fields per
+    * line). PERMISSIVE keeps malformed lines as null rows, same
+    * drop-with-a-filter contract as [[csv]]; pass
+    * `columnNameOfCorruptRecord` via the schema if the caller wants to
+    * quarantine them instead.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .json(path)
+
+  /** JSON-Lines sink (overwrite, one object per line — `spark.write
+    * .json` is JSONL by construction; nulls are dropped per field, the
+    * format's idiom).
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** ORC scan/sink pair — the columnar alternative when the warehouse
+    * side is Hive/Trino-centric. Same predicate-pushdown and
+    * column-pruning contract as parquet (SourcesSpec pins the
+    * round-trip; ORC pushdown uses its own `searchArgument` machinery
+    * but the plan shape is identical).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Schema of the reference's opt-out extract
     * (FIXTURES.md §1.1; reference GSheetsETL_Lab2.py:16-18).
     */

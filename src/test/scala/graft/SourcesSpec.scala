@@ -12,20 +12,26 @@ class SourcesSpec extends SparkSpec {
   private def orders = graft.sources.Tables.t(spark, sf, "orders")
     .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
 
-  test("JSON sink/source round-trips with a declared schema") {
+  test("JSONL sink/source round-trips with a declared schema") {
     val dir = Files.createTempDirectory("json_rt").toString + "/orders"
-    orders.write.mode("overwrite").json(dir)
-    val back = spark.read.schema(orders.schema).json(dir)
+    graft.sources.Tables.writeJsonl(orders, dir)
+    val back = graft.sources.Tables.jsonl(spark, dir, orders.schema)
     assert(back.count() === orders.count())
     val a = orders.agg(sum(col("o_orderkey"))).head().getLong(0)
     val b = back.agg(sum(col("o_orderkey"))).head().getLong(0)
     assert(a === b)
+    // pruned read parses only the requested fields (ReadSchema shrinks)
+    val pruned = back.select("o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema: struct<o_orderkey:bigint>"),
+      pruned.take(1500))
   }
 
   test("ORC sink/source round-trips with pushdown intact") {
     val dir = Files.createTempDirectory("orc_rt").toString + "/orders"
-    orders.write.mode("overwrite").orc(dir)
-    val back = spark.read.orc(dir).filter(col("o_totalprice") > 300000.0)
+    graft.sources.Tables.writeOrc(orders, dir)
+    val back = graft.sources.Tables.orc(spark, dir)
+      .filter(col("o_totalprice") > 300000.0)
     val plan = back.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [") &&
       plan.contains("GreaterThan(o_totalprice"), plan.take(1500))
