@@ -61,4 +61,65 @@ class GeoSpec extends SparkSpec {
     assert(d.getDouble(1) === 25.0)
     assert(d.getDouble(2) === 0.0)
   }
+
+  test("erase arcs: hand-built circle-circle cases") {
+    import spark.implicits._
+    import graft.geo.EraseArcs
+    val tau = 2 * math.Pi
+    // one zone: unit-ish circle R=1000 at origin
+    val zones = Seq((1, 0.0, 0.0, 1000.0)).toDF(
+      "zone_id", "cx_ft", "cy_ft", "radius_ft")
+    def arcsFor(bufs: (Double, Double)*): Seq[(Double, Double)] =
+      EraseArcs.eraseArcs(spark, zones,
+          bufs.toDF("x_ft", "y_ft"), bufferFt = 300.0)
+        .collect().map(a => (a.start, a.end)).toSeq
+    // no buffers → the whole circle survives
+    assert(arcsFor() === Seq((0.0, tau)))
+    // buffer far away → untouched
+    assert(arcsFor((5000.0, 0.0)) === Seq((0.0, tau)))
+    // buffer strictly interior (d + r < R) → boundary untouched
+    assert(arcsFor((100.0, 0.0)) === Seq((0.0, tau)))
+    // buffer centered ON the boundary at bearing 0: covers ±α with
+    // cos α = (d²+R²−r²)/(2dR) at d=R=1000, r=300
+    val alpha = math.acos((1000.0 * 1000 + 1000.0 * 1000 - 300.0 * 300) /
+      (2 * 1000.0 * 1000))
+    val one = arcsFor((1000.0, 0.0))
+    assert(one.length === 1)
+    assert(math.abs(one.head._1 - alpha) < 1e-12)
+    assert(math.abs(one.head._2 - (tau - alpha)) < 1e-12)
+    // two overlapping boundary buffers at bearings 0 and ~α merge into
+    // ONE covered interval → still one surviving arc
+    val px = 1000.0 * math.cos(alpha); val py = 1000.0 * math.sin(alpha)
+    val two = arcsFor((1000.0, 0.0), (px, py))
+    assert(two.length === 1, two)
+    // a huge buffer swallowing the whole boundary → nothing survives
+    assert(EraseArcs.eraseArcs(spark, zones,
+        Seq((0.0, 0.0)).toDF("x_ft", "y_ft"), bufferFt = 2500.0)
+      .collect().isEmpty)
+  }
+
+  test("erase arcs: covered + surviving is 360 degrees on real frames") {
+    import graft.geo.EraseArcs
+    val zones = graft.ops.Wnv.zones(spark, sf)
+    val buffers = graft.ops.Wnv.optOut(spark, sf)
+      .select(col("x_ft"), col("y_ft"))
+    val arcs = EraseArcs.eraseArcs(spark, zones, buffers,
+      graft.ops.Wnv.BufferFt).collect()
+    assert(arcs.nonEmpty)
+    // per zone: surviving total ∈ [0, 2π], arcs disjoint and ordered
+    arcs.groupBy(_.zone_id).foreach { case (z, as) =>
+      val sorted = as.sortBy(_.start)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.end <= b.start + 1e-12, s"zone $z")
+        case _ =>
+      }
+      val total = as.map(_.len).sum
+      assert(total >= -1e-9 && total <= 2 * math.Pi + 1e-9, s"zone $z")
+    }
+    // consistency with the selection semantics: a zone whose boundary
+    // is fully erased must still be a zone (arcs absent != zone absent
+    // in the selection outputs) — here we only require some zone
+    // retains a full untouched circle OR a partial arc exists
+    assert(arcs.exists(_.len > 0))
+  }
 }
