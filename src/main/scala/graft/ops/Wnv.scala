@@ -324,6 +324,24 @@ object Wnv {
             lit(": "), col("n_targets").cast(StringType),
             lit(" target addresses")).as("line"))
         .orderBy(col("zone_id"))
+    }),
+
+    // J2 GEOMETRY (round 7): the exact zone-boundary arcs surviving
+    // the opt-out buffer disks — the true-geometry slice of arcpy's
+    // Erase (see geo/EraseArcs.scala). Transcendental (atan2/acos), so
+    // rows-only in the driver check (the agg_approx_distinct rule: no
+    // DuckDB hash twin by declared design); the geometry itself is
+    // pinned in GeoSpec against hand-built circle-circle cases and the
+    // 360° conservation property. Angles emitted in degrees, r6.
+    "wnv_erase_arcs" -> ((s: SparkSession, d: String) => {
+      graft.geo.EraseArcs.eraseArcs(s, zones(s, d),
+          optOut(s, d).select(col("x_ft"), col("y_ft")), BufferFt)
+        .toDF()
+        .select(col("zone_id"),
+          XF.r6(col("start") * 180.0 / math.Pi).as("start_deg"),
+          XF.r6(col("end") * 180.0 / math.Pi).as("end_deg"),
+          XF.r6(col("len") * 180.0 / math.Pi).as("arc_deg"))
+        .orderBy(col("zone_id"), col("start_deg"))
     })
   )
 

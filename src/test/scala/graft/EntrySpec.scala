@@ -14,9 +14,12 @@ class EntrySpec extends SparkSpec {
 
   test("every oracle key has a query and every query runs at sf0.001") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // the only query without an oracle is the documented HLL sketch one
+    // the only no-oracle queries are the documented ones: HLL sketch
+    // values are implementation-defined, and the erase-arc geometry is
+    // transcendental (atan2/acos — not bit-stable across engines, the
+    // Lcc rule); both are pinned by their own specs instead
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("agg_approx_distinct"))
+    assert(noOracle === Set("agg_approx_distinct", "wnv_erase_arcs"))
   }
 
   test("every query returns at least one row at sf0.001 (driver gate)") {
