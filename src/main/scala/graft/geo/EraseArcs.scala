@@ -73,6 +73,109 @@ object EraseArcs {
     }
   }
 
+  /** EXACT area of (zone disk − union of buffer disks) via Green's
+    * theorem over the region's arc boundary — the closed form of the
+    * quantity the reference's final report wants (how much ground the
+    * spray zone actually covers after opt-outs). Pure JVM on one
+    * zone's geometry (buffer centers RELATIVE to the zone center);
+    * unit- and grid-sampling-tested in GeoSpec without Spark.
+    *
+    * Boundary decomposition: the region's boundary is (a) the zone
+    * circle's arcs not inside any buffer, traversed CCW, and (b) for
+    * each buffer, the arcs of its circle inside the zone and outside
+    * every other buffer, traversed CW (hole side). For an arc of a
+    * circle centered (cx,cy) radius ρ over [θa,θb] CCW, ½∮(x dy − y dx)
+    * = ½[ρ²Δθ + cx·ρ(sin θb − sin θa) − cy·ρ(cos θb − cos θa)]; CW
+    * pieces contribute the negation. Exact-duplicate buffer centers
+    * are deduplicated first (identical circles would erase each
+    * other's boundary).
+    */
+  private[graft] def erasedArea(bigR: Double,
+      buffersIn: Seq[(Double, Double)], r: Double): Double = {
+    val buffers = buffersIn.distinct
+      .filter { case (x, y) => math.hypot(x, y) < bigR + r }
+    def arcContrib(cx: Double, cy: Double, rho: Double,
+        a: Double, b: Double): Double =
+      0.5 * (rho * rho * (b - a) +
+        cx * rho * (math.sin(b) - math.sin(a)) -
+        cy * rho * (math.cos(b) - math.cos(a)))
+    def clampAcos(x: Double): Double =
+      math.acos(math.max(-1.0, math.min(1.0, x)))
+    // (a) surviving zone arcs, CCW around the origin
+    val zoneCovered = buffers.flatMap { case (ox, oy) =>
+      val d = math.hypot(ox, oy)
+      if (d >= bigR + r) None
+      else if (d <= r - bigR) Some((0.0, math.Pi)) // boundary swallowed
+      else if (d <= bigR - r) None                 // strictly interior
+      else Some((math.atan2(oy, ox),
+        clampAcos((d * d + bigR * bigR - r * r) / (2 * d * bigR))))
+    }
+    val zonePart = survivingIntervals(zoneCovered)
+      .map { case (s, e) => arcContrib(0.0, 0.0, bigR, s, e) }.sum
+    // (b) per buffer: pieces inside the zone, outside other buffers, CW
+    val bufferPart = buffers.zipWithIndex.map { case ((ox, oy), i) =>
+      val d = math.hypot(ox, oy)
+      // interval of THIS buffer circle lying inside the zone disk
+      val inside: Option[(Double, Double)] =
+        if (d >= bigR + r) None
+        else if (d <= bigR - r) Some((0.0, math.Pi)) // whole circle inside
+        else if (d <= r - bigR) None // zone inside buffer: circle outside
+        else Some((math.atan2(-oy, -ox),
+          clampAcos((d * d + r * r - bigR * bigR) / (2 * d * r))))
+      inside match {
+        case None => 0.0
+        case Some((inB, inA)) =>
+          // covered-by-others on this circle + the outside-zone band
+          val others = buffers.zipWithIndex.filter(_._2 != i)
+            .map(_._1).flatMap { case (px, py) =>
+              val dij = math.hypot(px - ox, py - oy)
+              if (dij >= 2 * r) None
+              else if (dij == 0.0) None // deduped above; safety
+              else Some((math.atan2(py - oy, px - ox),
+                clampAcos(dij / (2 * r))))
+            }
+          val outsideZone =
+            if (inA >= math.Pi) Nil // fully inside: no outside band
+            else Seq((inB + math.Pi, math.Pi - inA))
+          survivingIntervals(others ++ outsideZone)
+            .map { case (s, e) => arcContrib(ox, oy, r, s, e) }.sum
+      }
+    }.sum
+    // hole pieces are CW: subtract their CCW-form contributions
+    math.max(0.0, zonePart - bufferPart)
+  }
+
+  /** Surviving area per zone in square feet (see [[erasedArea]]):
+    * same broadcast-join candidate generation as [[eraseArcs]], the
+    * per-zone geometry evaluated in `mapGroups` (candidate sets are
+    * locality-bounded; at extreme buffer densities the buffer-buffer
+    * pairing inside becomes its own grid-cell join — the documented
+    * swap). Zones with no candidate buffer keep the full πR².
+    */
+  def eraseArea(spark: SparkSession, zones: DataFrame, buffers: DataFrame,
+      bufferFt: Double): DataFrame = {
+    import spark.implicits._
+    val zcat = zones.select(col("zone_id").cast("int"),
+      col("cx_ft"), col("cy_ft"), col("radius_ft"))
+    val pairs = buffers.select(col("x_ft"), col("y_ft"))
+      .join(broadcast(zcat),
+        Geo.dist2(col("x_ft"), col("y_ft"), col("cx_ft"), col("cy_ft"))
+          < (col("radius_ft") + bufferFt) * (col("radius_ft") + bufferFt))
+      .select(col("zone_id").cast("int"),
+        (col("x_ft") - col("cx_ft")).as("dx"),
+        (col("y_ft") - col("cy_ft")).as("dy"), col("radius_ft"))
+      .as[(Int, Double, Double, Double)]
+    val touched = pairs.groupByKey(_._1).mapGroups { (zid, rows) =>
+      val rs = rows.toSeq
+      zid -> erasedArea(rs.head._4, rs.map(t => (t._2, t._3)), bufferFt)
+    }.collect().toMap
+    val all = zcat.select(col("zone_id"), col("radius_ft"))
+      .as[(Int, Double)].collect().toSeq.sortBy(_._1).map { case (z, rr) =>
+        (z, touched.getOrElse(z, math.Pi * rr * rr))
+      }
+    all.toDF("zone_id", "area_sqft")
+  }
+
   /** Surviving boundary arcs per zone after erasing `buffers`.
     *
     * @param zones   zone catalog: zone_id, cx_ft, cy_ft, radius_ft

@@ -98,6 +98,53 @@ class GeoSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("erased area: closed form matches hand cases and grid sampling") {
+    import graft.geo.EraseArcs
+    val R = 1000.0; val r = 300.0
+    def area(bufs: (Double, Double)*): Double =
+      EraseArcs.erasedArea(R, bufs, r)
+    val full = math.Pi * R * R
+    // no buffers / far buffer → full disk
+    assert(math.abs(area() - full) < 1e-6)
+    assert(math.abs(area((5000.0, 0.0)) - full) < 1e-6)
+    // concentric interior hole → annulus
+    assert(math.abs(area((0.0, 0.0)) - (full - math.Pi * r * r)) < 1e-6)
+    // duplicate centers erase once, not twice
+    assert(math.abs(area((100.0, 50.0), (100.0, 50.0)) -
+      (full - math.Pi * r * r)) < 1e-6)
+    // zone swallowed by a huge buffer → empty region
+    assert(EraseArcs.erasedArea(R, Seq((0.0, 0.0)), 2500.0) === 0.0)
+    // straddling buffer → full − exact lens area
+    val d = 1000.0
+    def lens(rr: Double, dd: Double): Double =
+      R * R * math.acos((dd * dd + R * R - rr * rr) / (2 * dd * R)) +
+        rr * rr * math.acos((dd * dd + rr * rr - R * R) / (2 * dd * rr)) -
+        0.5 * math.sqrt((-dd + rr + R) * (dd + rr - R) *
+          (dd - rr + R) * (dd + rr + R))
+    assert(math.abs(area((d, 0.0)) - (full - lens(r, d))) < 1e-6)
+    // deterministic pseudo-random configuration vs grid sampling
+    val bufs = (1 to 12).map { i =>
+      val a = i * 2.399963229728653 // golden angle: spread bearings
+      val rad = 150.0 + (i * 173) % 1100
+      (rad * math.cos(a), rad * math.sin(a))
+    }
+    val got = EraseArcs.erasedArea(R, bufs, r)
+    val n = 600
+    var in = 0; var tot = 0
+    for (ix <- -n to n; iy <- -n to n) {
+      val x = ix * R / n; val y = iy * R / n
+      if (x * x + y * y <= R * R) {
+        tot += 1
+        val hit = bufs.exists { case (bx, by) =>
+          (x - bx) * (x - bx) + (y - by) * (y - by) < r * r }
+        if (!hit) in += 1
+      }
+    }
+    val sampled = full * in / tot
+    assert(math.abs(got - sampled) / full < 2e-3,
+      s"green $got vs grid $sampled")
+  }
+
   test("erase arcs: covered + surviving is 360 degrees on real frames") {
     import graft.geo.EraseArcs
     val zones = graft.ops.Wnv.zones(spark, sf)
