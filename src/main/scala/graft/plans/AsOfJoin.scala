@@ -164,11 +164,15 @@ case class AsOfJoinExec(
           if (held != null && keyOrd.compare(heldKey, k) != 0) {
             held = null; heldKey = null; heldTime = null
           }
-          // consume right rows with key == k and time <= t
-          while (rNext != null && rNextTime != null &&
-            keyOrd.compare(rNextKey, k) == 0 &&
-            timeOrd.compare(rNextTime, t) <= 0) {
-            held = rNext.copy(); heldKey = rNextKey; heldTime = rNextTime
+          // consume right rows with key == k and time <= t. A right row
+          // with NULL time matches nothing but must still be consumed:
+          // it sorts FIRST in its key group (asc nulls-first), so
+          // leaving it pending would block every valid row behind it.
+          while (rNext != null && keyOrd.compare(rNextKey, k) == 0 &&
+            (rNextTime == null || timeOrd.compare(rNextTime, t) <= 0)) {
+            if (rNextTime != null) {
+              held = rNext.copy(); heldKey = rNextKey; heldTime = rNextTime
+            }
             advanceRight()
           }
           // tolerance: the latest right row <= t is the only candidate;

@@ -120,4 +120,19 @@ class AsOfJoinSpec extends SparkSpec {
     // p1: held v1 at 50, gap 50 > 20 → null; tnull: guarded → null
     assert(tol === Map("p1" -> null, "tnull" -> null))
   }
+
+  test("null right TIME rows are skipped, not group-blocking") {
+    import spark.implicits._
+    // the null-time right row sorts FIRST in its key group (asc
+    // nulls-first); it must be consumed past, or v1 behind it would
+    // never be held and p1 would lose a valid match
+    val l = Seq((Option(5L), Option(100L), "p1")).toDF("k", "t", "tag")
+    val r = Seq((Option(5L), Option.empty[Long], "vnull"),
+      (Option(5L), Option(50L), "v1")).toDF("k", "t", "tag")
+    val got = AsOf.asOfJoin(l, r, "k", "t")
+      .select(col("tag"), col("r_tag"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(got === Map("p1" -> "v1"))
+  }
 }
