@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.XF._
-import graft.sources.Tables.t
+import graft.sources.Tables.{t, bucketed}
 
 /** The standard relational operator surface (SURVEY.md §2.3-2.4) declared
   * over the driver testdata: scans with pushdown, projections/filters,
@@ -318,6 +318,29 @@ object Relational {
           col("n_customers"), col("n_suppliers"))
         .orderBy(col("nationkey"))
     }),
+
+    // CO-LOCATED BUCKET JOIN — the storage-side answer to "minimize
+    // shuffles": both tables persisted bucketed+sorted on the join key
+    // (Tables.bucketed, one file per bucket), so the per-customer order
+    // rollup — the join AND the aggregate — runs with ZERO data
+    // shuffles. The scan's bucket spec is HashPartitioning(custkey, 8),
+    // which satisfies the merge join's required distribution on both
+    // sides and the aggregate's clustering above it; the only exchange
+    // left in the plan is the presentation sort's range partitioning.
+    // At 100 TB this is the difference between re-shuffling the fact
+    // table in EVERY downstream query and paying that shuffle once at
+    // ingest. The `merge` hint pins the shape against AQE electing a
+    // broadcast at toy SF (also shuffle-free, but not the storage
+    // property under test); BucketingSpec pins the no-Exchange plan.
+    "join_bucket_colocated" -> ((s: SparkSession, d: String) =>
+      bucketed(s, d, "customer", "c_custkey")
+        .hint("merge")
+        .join(bucketed(s, d, "orders", "o_custkey"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_spent"))
+        .orderBy(col("c_custkey"))),
 
     "agg_stats" -> ((s: SparkSession, d: String) =>
       t(s, d, "customer").groupBy(col("c_mktsegment"))
@@ -997,17 +1020,10 @@ object Relational {
     // corpus-proportional, so checkpointed once) never feeds a global
     // single-task window.
     "events_concurrency_curve" -> ((s: SparkSession, d: String) => {
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val us = unix_micros(col("ts"))
-      val newSess = when(
-        us - lag(us, 1).over(byUser) >= Events.gapUs ||
-          lag(us, 1).over(byUser).isNull, 1L).otherwise(0L)
-      val sess = t(s, d, "events")
-        .select(col("user_id"), col("event_id"), us.as("us"),
-          sum(newSess).over(byUser).as("session_no"))
-        .groupBy(col("user_id"), col("session_no"))
-        .agg(min(col("us")).as("st"), max(col("us")).as("en"))
+      // shared memoized session frame (Events.sessionFrame) — ONE
+      // session definition for all three session consumers, computed
+      // once and checkpointed
+      val sess = Events.sessionFrame(s, d)
       // ±1 boundary deltas in ONE pass over sess (explode, not a
       // union whose two branches would each recompute the session
       // windows during checkpoint materialization)
@@ -1802,6 +1818,15 @@ object Relational {
          |SELECT COALESCE(ck, sk) AS nationkey, n_customers, n_suppliers
          |FROM c FULL OUTER JOIN s ON ck = sk
          |ORDER BY nationkey""".stripMargin,
+
+    // oracle reads the ORIGINAL parquet — the bucketed copy holds the
+    // exact same rows, so layout must not change a single value
+    "join_bucket_colocated" ->
+      s"""SELECT c_custkey, COUNT(*) AS n_orders,
+         |  ${dS("o_totalprice")} AS total_spent
+         |FROM customer JOIN orders ON o_custkey = c_custkey
+         |GROUP BY c_custkey
+         |ORDER BY c_custkey""".stripMargin,
 
     "agg_stats" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n,

@@ -47,4 +47,26 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS customer_bkt")
   }
+
+  test("join_bucket_colocated: join AND aggregate run with zero data shuffles") {
+    val q = SparkEntry.queries("join_bucket_colocated")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // merge-hinted join over two bucketed scans
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    // the bucket spec satisfies the join's distribution on both sides
+    // AND the aggregate's clustering above it — the only exchange left
+    // is the presentation orderBy's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+    assert(plan.contains("Exchange rangepartitioning"), plan.take(3000))
+    assert(plan.contains("SelectedBucketsCount"), plan.take(3000))
+    // layout must not change a single value: parity with the plain join
+    val expected = graft.sources.Tables.t(spark, sf, "customer")
+      .join(graft.sources.Tables.t(spark, sf, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
 }
