@@ -82,13 +82,19 @@ object Bench {
     // the committed record is the driver's sweep (sf0.1, unfiltered);
     // local smoke runs at other SFs land in a per-SF file instead of
     // clobbering the round artifact
+    // getName (not endsWith) so a trailing slash cannot divert the
+    // committed round record into a gitignored per-SF file
     val fullPath =
-      if (sfDir.endsWith("sf0.1")) "BENCH_FULL.json"
+      if (new java.io.File(sfDir).getName == "sf0.1") "BENCH_FULL.json"
       else s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"
-    if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-        (full + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    val wrote = only.isEmpty && {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+          (full + "\n").getBytes("UTF-8"))
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $fullPath write failed: $e"); false }
+    }
     // compact headline line → stdout (fits the harness's 2000-char
     // tail): slowest queries first, greedily filled to the byte budget
     val bySlowest = results.sortBy(-_._2)
@@ -96,7 +102,10 @@ object Bench {
     val head = bySlowest.takeWhile { case (k, v) =>
       used += k.length + r3(v).length + 4; used <= HeadlineBudget
     }.sortBy(_._1)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":${jmap(head)},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    // the pointer names the file actually written THIS run (absent on
+    // filtered runs, which skip the write)
+    val fullRef = if (wrote) s""","full":"$fullPath"""" else ""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"queries":${jmap(head)}$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,7 +61,16 @@ object Scan {
   def withQuantileBucket(df: DataFrame, v: Column, desc: Boolean,
       nB: Int): DataFrame = {
     require(nB >= 2, s"need at least 2 buckets, got $nB")
-    val vd = v.cast("double")
+    // NULL ordering guard: a null v would silently land in bucket 0
+    // (size(filter(...)) over a null comparison is 0), which fronts the
+    // global order regardless of asc/desc — the opposite of Spark's
+    // desc = NULLS LAST — and an all-null frame would return null
+    // quantile bounds and drop every row at the offset join. No call
+    // site orders by a nullable key; fail loudly if one ever does.
+    val vd = when(v.isNull, raise_error(lit(
+        "Scan.withQuantileBucket: null ordering key — the quantile " +
+        "bucketing has no null placement; filter or coalesce first")))
+      .otherwise(v).cast("double")
     val probs = array((1 until nB).map(i => lit(i.toDouble / nB)): _*)
     val bounds = df.agg(
       percentile_approx(vd, probs, lit(10000)).as("__scan_bounds"))

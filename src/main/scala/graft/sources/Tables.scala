@@ -84,14 +84,27 @@ object Tables {
     * to O(cluster cores) — the knob trades file count against per-bucket
     * sort memory; the plan shape is nBuckets-independent.
     */
-  private val bucketMemo =
-    new graft.BoundedMemo[(SparkSession, String, String), DataFrame](MaxMemo)
+  private val bucketMemo = new graft.BoundedMemo[
+    (SparkSession, String, String, String, Int), DataFrame](MaxMemo)
 
   def bucketed(spark: SparkSession, dir: String, name: String,
       bucketCol: String, nBuckets: Int = 8): DataFrame =
-    bucketMemo.getOrCompute((spark, dir, name)) {
-      val tbl = "graft_bkt_" + name + "_" +
+    bucketMemo.getOrCompute((spark, dir, name, bucketCol, nBuckets)) {
+      // name encodes EVERY layout parameter (source dir, bucket column,
+      // bucket count) so two layouts of one table can never collide —
+      // in the memo or in the warehouse
+      val tbl = s"graft_bkt_${name}_${bucketCol}_${nBuckets}_" +
         java.lang.Integer.toHexString(dir.hashCode)
+      // cross-JVM idempotence: `mode("overwrite")` only overwrites
+      // tables the CURRENT (in-memory) catalog knows about — a fresh
+      // JVM takes the CREATE path and fails LOCATION_ALREADY_EXISTS on
+      // the previous run's surviving warehouse directory. Drop both the
+      // catalog entry and the stale location before writing.
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + "/" + tbl)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       t(spark, dir, name)
         .repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
         .write.mode("overwrite")

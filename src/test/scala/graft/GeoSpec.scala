@@ -169,4 +169,34 @@ class GeoSpec extends SparkSpec {
     // retains a full untouched circle OR a partial arc exists
     assert(arcs.exists(_.len > 0))
   }
+
+  test("erase area: the distributed path equals a driver-side replay") {
+    // drives the Spark plumbing of eraseArea — the broadcast touch
+    // join, per-zone group assembly, and the untouched-zone full-disk
+    // fallback — against a driver-side replay that feeds the same pure
+    // kernel directly (the kernel itself is validated by the closed
+    // form / grid-sampling test above)
+    import graft.geo.EraseArcs
+    val zones = graft.ops.Wnv.zones(spark, sf)
+    val buffers = graft.ops.Wnv.optOut(spark, sf)
+      .select(col("x_ft"), col("y_ft"))
+    val r = graft.ops.Wnv.BufferFt
+    val got = EraseArcs.eraseArea(spark, zones, buffers, r)
+      .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+    val zs = zones.select(col("zone_id").cast("int"), col("cx_ft"),
+        col("cy_ft"), col("radius_ft"))
+      .collect().map(w => (w.getInt(0), w.getDouble(1), w.getDouble(2),
+        w.getDouble(3)))
+    val bs = buffers.collect().map(w => (w.getDouble(0), w.getDouble(1)))
+    assert(got.keySet === zs.map(_._1).toSet)
+    zs.foreach { case (z, cx, cy, rr) =>
+      val near = bs.toSeq.collect { case (x, y)
+          if (x - cx) * (x - cx) + (y - cy) * (y - cy) < (rr + r) * (rr + r) =>
+        (x - cx, y - cy)
+      }
+      val want = EraseArcs.erasedArea(rr, near, r)
+      assert(math.abs(got(z) - want) <= 1e-9 * math.max(1.0, want),
+        s"zone $z: spark ${got(z)} vs replay $want")
+    }
+  }
 }
