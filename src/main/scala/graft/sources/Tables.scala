@@ -85,16 +85,20 @@ object Tables {
     * sort memory; the plan shape is nBuckets-independent.
     */
   private val bucketMemo = new graft.BoundedMemo[
-    (SparkSession, String, String, String, Int), DataFrame](MaxMemo)
+    (SparkSession, String, String, String, Int, Seq[String]), DataFrame](
+    MaxMemo)
 
   def bucketed(spark: SparkSession, dir: String, name: String,
-      bucketCol: String, nBuckets: Int = 8): DataFrame =
-    bucketMemo.getOrCompute((spark, dir, name, bucketCol, nBuckets)) {
+      bucketCol: String, nBuckets: Int = 8,
+      sortCols: Seq[String] = Nil): DataFrame =
+    bucketMemo.getOrCompute(
+      (spark, dir, name, bucketCol, nBuckets, sortCols)) {
       // name encodes EVERY layout parameter (source dir, bucket column,
-      // bucket count) so two layouts of one table can never collide —
-      // in the memo or in the warehouse
-      val tbl = s"graft_bkt_${name}_${bucketCol}_${nBuckets}_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      // in-bucket sort, bucket count) so two layouts of one table can
+      // never collide — in the memo or in the warehouse
+      val tbl = ("graft_bkt_" + name + "_" +
+        (bucketCol +: sortCols).mkString("_") + s"_${nBuckets}_" +
+        java.lang.Integer.toHexString(dir.hashCode)).toLowerCase
       // cross-JVM idempotence: `mode("overwrite")` only overwrites
       // tables the CURRENT (in-memory) catalog knows about — a fresh
       // JVM takes the CREATE path and fails LOCATION_ALREADY_EXISTS on
@@ -108,7 +112,8 @@ object Tables {
       t(spark, dir, name)
         .repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
         .write.mode("overwrite")
-        .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+        .bucketBy(nBuckets, bucketCol)
+        .sortBy(bucketCol, sortCols: _*)
         .saveAsTable(tbl)
       spark.table(tbl)
     }

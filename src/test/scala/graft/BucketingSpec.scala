@@ -69,4 +69,31 @@ class BucketingSpec extends SparkSpec {
     val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
   }
+
+  test("per-user windows over a user-bucketed events layout need no shuffle") {
+    // the fact-side version of the co-location story: sessionization
+    // and every other Window.partitionBy(user_id) analysis — the
+    // dominant event-table cost — reads its required distribution
+    // straight from the bucket spec. Only a per-partition SortExec
+    // remains (the event_id tiebreak extends the stored (user_id, ts)
+    // order), never an Exchange.
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.bucketed(spark, sf, "events", "user_id",
+      sortCols = Seq("ts"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val q = ev.select(col("user_id"), col("event_id"),
+      row_number().over(byUser).as("rn"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    // parity: same row count and per-user max rank as the plain scan
+    val bucketedRanks = q.groupBy(col("user_id"))
+      .agg(max(col("rn")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val plainCounts = graft.sources.Tables.t(spark, sf, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(bucketedRanks === plainCounts)
+  }
 }
