@@ -77,4 +77,38 @@ class SourcesSpec extends SparkSpec {
     // the refused table is untouched
     assert(spark.read.parquet(dir).count() === orders.count())
   }
+
+  test("parquet v2 scan answers COUNT/MIN/MAX from footer statistics") {
+    // the metadata-only aggregate: with aggregate pushdown on the v2
+    // reader, a whole-table COUNT/MIN/MAX never deserializes a single
+    // row group — it reads the footers. At 100 TB that turns the
+    // standing profiling sweep (row counts, column ranges) from a full
+    // corpus scan into a file-listing-sized job. v1 remains the default
+    // engine path; this pins that the v2 escape hatch works when a
+    // metadata-only readout is what a caller wants.
+    val prevAgg = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val q = spark.read.parquet(s"$sf/orders.parquet")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"), plan.take(2000))
+      assert(!plan.contains("PushedAggregation: []"), plan.take(2000))
+      val row = q.collect().head
+      val ref = orders.agg(count(lit(1)), min(col("o_totalprice")),
+        max(col("o_totalprice"))).collect().head
+      assert(row.getLong(0) === ref.getLong(0))
+      assert(row.getDouble(1) === ref.getDouble(1))
+      assert(row.getDouble(2) === ref.getDouble(2))
+    } finally {
+      prevAgg.fold(spark.conf.unset("spark.sql.parquet.aggregatePushdown"))(
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", _))
+      prevV1.fold(spark.conf.unset("spark.sql.sources.useV1SourceList"))(
+        spark.conf.set("spark.sql.sources.useV1SourceList", _))
+    }
+  }
 }
