@@ -118,6 +118,49 @@ class RelationalSpec extends SparkSpec {
       "bloom filter should sit below (print after) the semi join")
   }
 
+  test("Catalyst's injected runtime bloom filter fires on a shuffle join") {
+    // the optimizer-owned twin of join_bloom_prefilter: when a shuffle
+    // join's build side carries a selective filter, Catalyst can inject
+    // a BloomFilterAggregate/might_contain pair itself — no hand-built
+    // bit array. Thresholds are sized for 100 TB (10 MB creation side /
+    // 10 GB scan side), so at test scale they must be lowered to see
+    // the rewrite; the pin is that the engine's config path and plan
+    // shape work, with exact result parity against the un-filtered join.
+    // creationSideThreshold is an UPPER bound (the build side must be
+    // small enough to collect into a bloom filter) — only the
+    // application-side floor needs lowering at test scale
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the rule only fires on a PROBABLE shuffle join, judged by size
+      // not by hint — at test scale the dim is auto-broadcastable, so
+      // broadcast must be off for the join to qualify
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+      val dim = spark.read.parquet(s"$sf/customer.parquet")
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"))
+      val q = orders.hint("merge")
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan.take(3000))
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      val want = orders
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q18 aggregates lineitem before any join touches it") {
     val df = graft.SparkEntry.queries("q18_top_buyers")(spark, sf)
     df.count()
