@@ -64,24 +64,31 @@ object Events {
     * lineage. One session definition in one place also means the three
     * consumers can never drift onto different gap semantics.
     */
+  /** Gap sessionization over ANY events-shaped frame (user_id, ts,
+    * event_id, value) — the one session definition behind
+    * [[sessionFrame]] and the bucketed-layout twin
+    * (`events_sessions_bucketed`).
+    */
+  private def sessionsOver(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val us = XF.epochUs(col("ts"))
+    val newSess = when(
+      us - lag(us, 1).over(byUser) >= gapUs ||
+        lag(us, 1).over(byUser).isNull, 1L).otherwise(0L)
+    ev.select(col("user_id"), col("event_id"), col("value"), us.as("us"),
+        sum(newSess).over(byUser).as("session_no"))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("us")).as("st"), max(col("us")).as("en"),
+        count(lit(1)).as("n_events"),
+        XF.dsum(col("value")).as("total_value"))
+  }
+
   private val sessMemo =
     new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
   private[ops] def sessionFrame(s: SparkSession, d: String): DataFrame =
     sessMemo.getOrCompute((s, d)) {
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val us = XF.epochUs(col("ts"))
-      val newSess = when(
-        us - lag(us, 1).over(byUser) >= gapUs ||
-          lag(us, 1).over(byUser).isNull, 1L).otherwise(0L)
-      t(s, d, "events")
-        .select(col("user_id"), col("event_id"), col("value"), us.as("us"),
-          sum(newSess).over(byUser).as("session_no"))
-        .groupBy(col("user_id"), col("session_no"))
-        .agg(min(col("us")).as("st"), max(col("us")).as("en"),
-          count(lit(1)).as("n_events"),
-          XF.dsum(col("value")).as("total_value"))
-        .localCheckpoint()
+      sessionsOver(t(s, d, "events")).localCheckpoint()
     }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -137,6 +144,23 @@ object Events {
     // agree at the boundary.
     "events_sessions" -> ((s: SparkSession, d: String) =>
       sessionFrame(s, d)
+        .select(col("user_id"), col("session_no"),
+          col("st").as("session_start_us"),
+          col("en").as("session_end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_no"))),
+
+    // the same sessionization over the BUCKETED events layout
+    // (user_id buckets, (user_id, ts) in-bucket sort): the per-user
+    // window and the session rollup read their distribution straight
+    // from the bucket spec — zero exchanges below the presentation
+    // sort (BucketingSpec pins the plan). The oracle is byte-identical
+    // to events_sessions' and reads the ORIGINAL parquet, so this row
+    // is also the layout-fidelity gate: a bucketed write that altered
+    // one timestamp or dropped one row would hash-mismatch here.
+    "events_sessions_bucketed" -> ((s: SparkSession, d: String) =>
+      sessionsOver(graft.sources.Tables.bucketed(
+          s, d, "events", "user_id", sortCols = Seq("ts")))
         .select(col("user_id"), col("session_no"),
           col("st").as("session_start_us"),
           col("en").as("session_end_us"),
@@ -689,6 +713,27 @@ object Events {
          |FROM w GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
     "events_sessions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $gapUs
+         |           OR lag(epoch_us(ts)) OVER w IS NULL
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT user_id, event_id, value, us,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         |  FROM e)
+         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+         |  MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+         |  COUNT(*) AS n_events, ${XF.dsumSql("value")} AS total_value
+         |FROM s GROUP BY user_id, session_no
+         |ORDER BY user_id, session_no""".stripMargin,
+
+    // IDENTICAL oracle to events_sessions, over the ORIGINAL parquet:
+    // the bucketed layout must not change a single value
+    "events_sessions_bucketed" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
          |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $gapUs

@@ -96,4 +96,15 @@ class BucketingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     assert(bucketedRanks === plainCounts)
   }
+
+  test("events_sessions_bucketed: sessionization plan has no data shuffle") {
+    // the driver-surface form of the previous pin: the per-user window
+    // AND the (user_id, session_no) rollup both read the bucket spec
+    // (HashPartitioning(user_id) clusters any key list it prefixes);
+    // only the presentation sort's range exchange remains
+    val q = SparkEntry.queries("events_sessions_bucketed")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+    assert(plan.contains("Exchange rangepartitioning"), plan.take(3000))
+  }
 }
