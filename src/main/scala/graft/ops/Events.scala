@@ -52,22 +52,12 @@ object Events {
   // can never drift onto different session definitions
   private[ops] val gapUs = 30L * 60 * 1000000
 
-  /** Per-user gap sessions `(user_id, session_no, st, en, n_events,
-    * total_value)` — the shared prefix of the three session consumers
-    * (`events_sessions`, `events_session_overlap`,
-    * `events_concurrency_curve`), each of which previously re-ran the
-    * full sessionization (event shuffle + two per-user window passes +
-    * grouped rollup) independently. Memoized per (session, dir) and
-    * localCheckpointed, same contract as the basket / shingle-frame
-    * memos: the most expensive shared subplan is computed once and
-    * every consumer (and every timed bench repeat) reads blocks, not
-    * lineage. One session definition in one place also means the three
-    * consumers can never drift onto different gap semantics.
-    */
   /** Gap sessionization over ANY events-shaped frame (user_id, ts,
     * event_id, value) — the one session definition behind
     * [[sessionFrame]] and the bucketed-layout twin
-    * (`events_sessions_bucketed`).
+    * (`events_sessions_bucketed`). Deliberately does NOT checkpoint:
+    * the bucketed twin's zero-shuffle plan pin needs the scan's bucket
+    * spec visible to the window, which a checkpoint would erase.
     */
   private def sessionsOver(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
@@ -84,12 +74,34 @@ object Events {
         XF.dsum(col("value")).as("total_value"))
   }
 
+  /** Per-user gap sessions `(user_id, session_no, st, en, n_events,
+    * total_value)` — the shared prefix of the three session consumers
+    * (`events_sessions`, `events_session_overlap`,
+    * `events_concurrency_curve`), each of which previously re-ran the
+    * full sessionization (event shuffle + two per-user window passes +
+    * grouped rollup) independently. Memoized per (session, dir) and
+    * localCheckpointed, same contract as the basket / shingle-frame
+    * memos: the most expensive shared subplan is computed once and
+    * every consumer (and every timed bench repeat) reads blocks, not
+    * lineage.
+    */
   private val sessMemo =
     new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
   private[ops] def sessionFrame(s: SparkSession, d: String): DataFrame =
     sessMemo.getOrCompute((s, d)) {
       sessionsOver(t(s, d, "events")).localCheckpoint()
     }
+
+  /** Presentation projection shared by `events_sessions` and its
+    * bucketed twin — one schema so the byte-identical-oracle design
+    * cannot drift on a rename.
+    */
+  private def presentSessions(df: DataFrame): DataFrame =
+    df.select(col("user_id"), col("session_no"),
+        col("st").as("session_start_us"),
+        col("en").as("session_end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_no"))
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
@@ -143,29 +155,20 @@ object Events {
     // [[graft.streaming.Streams.sessions]] — batch and stream twins
     // agree at the boundary.
     "events_sessions" -> ((s: SparkSession, d: String) =>
-      sessionFrame(s, d)
-        .select(col("user_id"), col("session_no"),
-          col("st").as("session_start_us"),
-          col("en").as("session_end_us"),
-          col("n_events"), col("total_value"))
-        .orderBy(col("user_id"), col("session_no"))),
+      presentSessions(sessionFrame(s, d))),
 
     // the same sessionization over the BUCKETED events layout
     // (user_id buckets, (user_id, ts) in-bucket sort): the per-user
     // window and the session rollup read their distribution straight
     // from the bucket spec — zero exchanges below the presentation
-    // sort (BucketingSpec pins the plan). The oracle is byte-identical
-    // to events_sessions' and reads the ORIGINAL parquet, so this row
-    // is also the layout-fidelity gate: a bucketed write that altered
-    // one timestamp or dropped one row would hash-mismatch here.
+    // sort (BucketingSpec pins the plan). The oracle IS
+    // events_sessions' (one shared string) and reads the ORIGINAL
+    // parquet, so this row is also the layout-fidelity gate: a
+    // bucketed write that altered one timestamp or dropped one row
+    // would hash-mismatch here.
     "events_sessions_bucketed" -> ((s: SparkSession, d: String) =>
-      sessionsOver(graft.sources.Tables.bucketed(
-          s, d, "events", "user_id", sortCols = Seq("ts")))
-        .select(col("user_id"), col("session_no"),
-          col("st").as("session_start_us"),
-          col("en").as("session_end_us"),
-          col("n_events"), col("total_value"))
-        .orderBy(col("user_id"), col("session_no"))),
+      presentSessions(sessionsOver(graft.sources.Tables.bucketedFor(
+        s, d, "events")))),
 
     // first event per (user, type) — batch form of
     // dropDuplicatesWithinWatermark keyed on (user_id, event_type).
@@ -678,6 +681,30 @@ object Events {
     })
   )
 
+  /** One session-oracle string for BOTH layout rows (`events_sessions`,
+    * `events_sessions_bucketed`) — the bucketed twin compares against
+    * the same session definition by construction, not by discipline
+    * (the Sql.scala shared-oracle pattern).
+    */
+  private val sessionsOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $gapUs
+       |           OR lag(epoch_us(ts)) OVER w IS NULL
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, event_id, value, us,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+       |  FROM e)
+       |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       |  MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       |  COUNT(*) AS n_events, ${XF.dsumSql("value")} AS total_value
+       |FROM s GROUP BY user_id, session_no
+       |ORDER BY user_id, session_no""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     "events_json_extract" ->
       s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k
@@ -712,45 +739,11 @@ object Events {
          |  COUNT(DISTINCT user_id) AS n_users
          |FROM w GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
-    "events_sessions" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
-         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $gapUs
-         |           OR lag(epoch_us(ts)) OVER w IS NULL
-         |         THEN 1 ELSE 0 END AS new_sess
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |s AS (
-         |  SELECT user_id, event_id, value, us,
-         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
-         |  FROM e)
-         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
-         |  MIN(us) AS session_start_us, MAX(us) AS session_end_us,
-         |  COUNT(*) AS n_events, ${XF.dsumSql("value")} AS total_value
-         |FROM s GROUP BY user_id, session_no
-         |ORDER BY user_id, session_no""".stripMargin,
+    "events_sessions" -> sessionsOracle,
 
-    // IDENTICAL oracle to events_sessions, over the ORIGINAL parquet:
-    // the bucketed layout must not change a single value
-    "events_sessions_bucketed" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
-         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $gapUs
-         |           OR lag(epoch_us(ts)) OVER w IS NULL
-         |         THEN 1 ELSE 0 END AS new_sess
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |s AS (
-         |  SELECT user_id, event_id, value, us,
-         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
-         |  FROM e)
-         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
-         |  MIN(us) AS session_start_us, MAX(us) AS session_end_us,
-         |  COUNT(*) AS n_events, ${XF.dsumSql("value")} AS total_value
-         |FROM s GROUP BY user_id, session_no
-         |ORDER BY user_id, session_no""".stripMargin,
+    // THE SAME string, over the ORIGINAL parquet: the bucketed layout
+    // must not change a single value
+    "events_sessions_bucketed" -> sessionsOracle,
 
     "events_dedup_first" ->
       s"""SELECT user_id, event_type, event_id FROM (

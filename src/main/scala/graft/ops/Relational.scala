@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.XF._
-import graft.sources.Tables.{t, bucketed}
+import graft.sources.Tables.t
 
 /** The standard relational operator surface (SURVEY.md §2.3-2.4) declared
   * over the driver testdata: scans with pushdown, projections/filters,
@@ -333,9 +333,9 @@ object Relational {
     // broadcast at toy SF (also shuffle-free, but not the storage
     // property under test); BucketingSpec pins the no-Exchange plan.
     "join_bucket_colocated" -> ((s: SparkSession, d: String) =>
-      bucketed(s, d, "customer", "c_custkey")
+      graft.sources.Tables.bucketedFor(s, d, "customer")
         .hint("merge")
-        .join(bucketed(s, d, "orders", "o_custkey"),
+        .join(graft.sources.Tables.bucketedFor(s, d, "orders"),
           col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_custkey"))
         .agg(count(lit(1)).as("n_orders"),

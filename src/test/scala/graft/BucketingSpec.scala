@@ -78,8 +78,7 @@ class BucketingSpec extends SparkSpec {
     // remains (the event_id tiebreak extends the stored (user_id, ts)
     // order), never an Exchange.
     import org.apache.spark.sql.expressions.Window
-    val ev = graft.sources.Tables.bucketed(spark, sf, "events", "user_id",
-      sortCols = Seq("ts"))
+    val ev = graft.sources.Tables.bucketedFor(spark, sf, "events")
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val q = ev.select(col("user_id"), col("event_id"),
@@ -106,5 +105,9 @@ class BucketingSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
     assert(plan.contains("Exchange rangepartitioning"), plan.take(3000))
+    // layout must not change a single value: full-row parity with the
+    // plain-layout twin (same invariant the driver checks by oracle)
+    val plain = SparkEntry.queries("events_sessions")(spark, sf)
+    assert(q.collect().toSeq === plain.collect().toSeq)
   }
 }
