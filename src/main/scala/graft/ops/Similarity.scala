@@ -546,6 +546,71 @@ object Similarity {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // PRINCIPAL COMPONENT VIA POWER ITERATION — distributed PCA's
+    // dominant direction over the embedding corpus: 3 fixed iterations
+    // of x ← C·x with max-norm rescaling, over the exact integer
+    // covariance NUMERATOR matrix C(i,j) = n·Σq_iq_j − Σq_i·Σq_j (the
+    // emb_covariance sums, never divided). The pagerank determinism
+    // rule: the spec IS the integer micro-unit trajectory — DECIMAL(38)
+    // sums, magnitude-only floor division (sign · (|v| DIV m), so
+    // truncation-vs-floor semantics on negatives can never differ
+    // between engines), identical in Spark and DuckDB(HUGEINT) bit for
+    // bit. Scale shape: the C build is ONE corpus×64² fan-in collapsing
+    // to 4 096 cells (emb_covariance's plan, same documented
+    // sample-then-estimate swap at 100 TB); each iteration is a
+    // 4 096×64 join — constant-size work regardless of corpus.
+    "emb_pca_power" -> ((s: SparkSession, d: String) => {
+      val dec = DecimalType(38, 0)
+      val cells = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Dedup.qvec(col("embedding"))).as(Seq("dim", "qv")))
+        .localCheckpoint()
+      val nn = cells.select(col("vec_id")).distinct().count()
+      val pairs = cells
+        .select(col("vec_id"), col("dim").as("d1"), col("qv").as("q1"))
+        .join(cells.select(col("vec_id"), col("dim").as("d2"),
+          col("qv").as("q2")), Seq("vec_id"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(sum((col("q1") * col("q2")).cast(dec)).as("s12"))
+      val stats = cells.groupBy(col("dim"))
+        .agg(sum(col("qv").cast(dec)).as("sv"))
+      val cNum = pairs
+        .join(broadcast(stats.select(col("dim").as("d1"),
+          col("sv").as("sv1"))), Seq("d1"))
+        .join(broadcast(stats.select(col("dim").as("d2"),
+          col("sv").as("sv2"))), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          (lit(nn).cast(dec) * col("s12") - col("sv1") * col("sv2"))
+            .cast(dec).as("cnum"))
+      // reduce C to ≤1e6 magnitude longs (direction-preserving): the
+      // iteration only needs the direction, and bounded operands keep
+      // every later product exact
+      val g = cNum.agg((expr("max(abs(cnum)) DIV 1000000") + 1L).as("g"))
+      val cRed = cNum.crossJoin(broadcast(g))
+        .select(col("d1"), col("d2"),
+          (when(col("cnum") < 0, -1L).otherwise(1L) *
+            expr("abs(cnum) DIV g")).as("cred"))
+        .localCheckpoint()
+      var x = stats.select(col("dim"), lit(1000000L).as("xv"))
+      for (_ <- 1 to 3) {
+        val y = cRed
+          .join(x.select(col("dim").as("d2"), col("xv").as("x2")),
+            Seq("d2"))
+          .groupBy(col("d1"))
+          .agg(sum((col("cred") * col("x2")).cast(dec)).as("y"))
+        val mx = y.agg(greatest(max(abs(col("y"))).cast(dec),
+          lit(1L).cast(dec)).as("mx"))
+        x = y.crossJoin(broadcast(mx))
+          .select(col("d1").as("dim"),
+            (when(col("y") < 0, -1L).otherwise(1L) *
+              expr("(abs(y) * CAST(1000000 AS DECIMAL(38,0))) DIV mx"))
+              .as("xv"))
+      }
+      x.select(col("dim").cast(LongType).as("dim"),
+          col("xv").as("loading_micro"))
+        .orderBy(col("dim"))
+    }),
+
     // pairwise similarity matrix for a tiny id range — the exhaustive
     // debugging view (bounded output: 20×20).
     "sim_pair_matrix" -> ((s: SparkSession, d: String) => {
@@ -697,6 +762,45 @@ object Similarity {
          |JOIN (SELECT dim AS d1, s AS s1v, s2 AS s21 FROM st) USING (d1)
          |JOIN (SELECT dim AS d2, s AS s2v, s2 AS s22 FROM st) USING (d2)
          |ORDER BY d1, d2""".stripMargin
+    },
+
+    "emb_pca_power" -> {
+      // HUGEINT mirrors Spark's DECIMAL(38,0); every division is
+      // magnitude-only (sign · (|v| // m)) so DuckDB's floor `//` and
+      // Spark's truncating DIV agree — operands are never negative
+      def iter(k: Int): String =
+        s"""y$k AS (SELECT d1 AS dim, CAST(SUM(cred * x.xv) AS HUGEINT) AS y
+           |  FROM cr JOIN x${k - 1} x ON x.dim = cr.d2 GROUP BY 1),
+           |m$k AS (SELECT GREATEST(MAX(ABS(y)), 1) AS mx FROM y$k),
+           |x$k AS (SELECT dim,
+           |    (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
+           |      ((ABS(y) * 1000000) // mx) AS xv
+           |  FROM y$k CROSS JOIN m$k)""".stripMargin
+      s"""WITH $qEmbSql,
+         |cells AS (SELECT vec_id, i - 1 AS dim, q[i] AS qv
+         |          FROM qn, unnest(range(1, len(q) + 1)) t(i)),
+         |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n
+         |       FROM cells),
+         |p AS (SELECT a.dim AS d1, b.dim AS d2,
+         |        CAST(SUM(CAST(a.qv AS HUGEINT) * b.qv) AS HUGEINT) AS s12
+         |      FROM cells a JOIN cells b ON a.vec_id = b.vec_id
+         |      GROUP BY 1, 2),
+         |st AS (SELECT dim, CAST(SUM(CAST(qv AS HUGEINT)) AS HUGEINT) AS sv
+         |       FROM cells GROUP BY 1),
+         |c AS (SELECT d1, d2, nn.n * s12 - a.sv * b.sv AS cnum
+         |      FROM p JOIN st a ON a.dim = p.d1
+         |      JOIN st b ON b.dim = p.d2 CROSS JOIN nn),
+         |g AS (SELECT MAX(ABS(cnum)) // 1000000 + 1 AS g FROM c),
+         |cr AS (SELECT d1, d2,
+         |         (CASE WHEN cnum < 0 THEN -1 ELSE 1 END) *
+         |           (ABS(cnum) // g.g) AS cred
+         |       FROM c CROSS JOIN g),
+         |x0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS xv FROM st),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT CAST(dim AS BIGINT) AS dim, CAST(xv AS BIGINT) AS loading_micro
+         |FROM x3 ORDER BY dim""".stripMargin
     },
 
     "sim_cell_stats" ->

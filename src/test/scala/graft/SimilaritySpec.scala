@@ -233,4 +233,40 @@ class SimilaritySpec extends SparkSpec {
     // survivors must be a strict subset at this scale (some dup found)
     assert(got.size < vs.size)
   }
+
+  test("pca power iteration: max-norm invariant and a JVM-side replay") {
+    val got = graft.SparkEntry.queries("emb_pca_power")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 64)
+    // after max-norm rescaling the dominant component is exactly ±1e6
+    assert(got.values.map(math.abs).max === 1000000L)
+    // JVM replay of the identical integer trajectory over the same
+    // quantized cells (BigInt = the DECIMAL(38,0)/HUGEINT domain)
+    val cells = graft.ops.Dedup.qEmb(spark, sf)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val nn = BigInt(cells.length)
+    val dims = cells.head._2.length
+    val s12 = Array.ofDim[BigInt](dims, dims)
+    val sv = Array.fill(dims)(BigInt(0))
+    for (i <- 0 until dims; j <- 0 until dims) s12(i)(j) = BigInt(0)
+    cells.foreach { case (_, q) =>
+      for (i <- 0 until dims) {
+        sv(i) += q(i)
+        for (j <- 0 until dims) s12(i)(j) += BigInt(q(i)) * q(j)
+      }
+    }
+    val c = Array.tabulate(dims, dims)((i, j) => nn * s12(i)(j) - sv(i) * sv(j))
+    val g = c.flatten.map(_.abs).max / 1000000 + 1
+    val cr = c.map(_.map(v => (if (v < 0) -1 else 1) * (v.abs / g)))
+    var x = Array.fill(dims)(BigInt(1000000))
+    for (_ <- 1 to 3) {
+      val y = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => cr(i)(j) * x(j)).sum)
+      val mx = y.map(_.abs).max.max(BigInt(1))
+      x = y.map(v => (if (v < 0) -1 else 1) * (v.abs * 1000000 / mx))
+    }
+    val want = (0 until dims).map(i => i.toLong -> x(i).toLong).toMap
+    assert(got === want)
+  }
 }
