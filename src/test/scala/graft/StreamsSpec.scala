@@ -37,6 +37,37 @@ class StreamsSpec extends SparkSpec {
     spark.table("out")
   }
 
+  test("watermark advance evicts closed-window state (bounded state store)") {
+    // the streaming scale guard: unbounded state is what kills a
+    // streaming job at 100 TB/day, and the watermark is the eviction
+    // contract. Fill the tumbling aggregate's state with many open
+    // windows, then advance event time far past them all (+30 min
+    // delay) — the state store must SHRINK, not accumulate forever.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2001-01-01 00:00:00").getTime
+    def ev(id: Long, plusMin: Long) = Ev(id,
+      new java.sql.Timestamp(base + plusMin * 60000L), id, "view", 1.0)
+    val mem = MemoryStream[Ev]
+    val query = Streams.tumbling(mem.toDF()).writeStream
+      .format("memory").queryName("evict_out").outputMode("append").start()
+    try {
+      // 60 events over 10 hours → many distinct hour windows in state
+      mem.addData((1L to 60L).map(i => ev(i, i * 10)))
+      query.processAllAvailable()
+      val filled = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(filled > 1, s"expected several open windows, got $filled")
+      // one event 10 DAYS later closes every earlier window; a second
+      // batch commits the eviction the advanced watermark allows
+      mem.addData(Seq(ev(1000, 14400)))
+      query.processAllAvailable()
+      mem.addData(Seq(ev(1001, 14401)))
+      query.processAllAvailable()
+      val after = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(after < filled, s"state did not shrink: $filled -> $after")
+    } finally query.stop()
+  }
+
   test("watermarked dedup emits every event exactly once under replay") {
     val evs = sampleEvents()
     import spark.implicits._
