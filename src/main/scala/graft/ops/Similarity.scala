@@ -125,6 +125,112 @@ object Similarity {
         .localCheckpoint()
     }
 
+  /** The DuckDB CTE chain both PCA oracles share (through `x3`, the
+    * final loading vector). HUGEINT mirrors Spark's DECIMAL(38,0);
+    * every division is magnitude-only (sign · (|v| // m)) so DuckDB's
+    * floor `//` and Spark's truncating DIV agree — operands are never
+    * negative.
+    */
+  private lazy val pcaSqlCtes: String = {
+    def iter(k: Int): String =
+      s"""y$k AS (SELECT d1 AS dim, CAST(SUM(cred * x.xv) AS HUGEINT) AS y
+         |  FROM cr JOIN x${k - 1} x ON x.dim = cr.d2 GROUP BY 1),
+         |m$k AS (SELECT GREATEST(MAX(ABS(y)), 1) AS mx FROM y$k),
+         |x$k AS (SELECT dim,
+         |    (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
+         |      ((ABS(y) * 1000000) // mx) AS xv
+         |  FROM y$k CROSS JOIN m$k)""".stripMargin
+    s"""$qEmbSql,
+       |cells AS (SELECT vec_id, i - 1 AS dim, q[i] AS qv
+       |          FROM qn, unnest(range(1, len(q) + 1)) t(i)),
+       |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n
+       |       FROM cells),
+       |p AS (SELECT a.dim AS d1, b.dim AS d2,
+       |        CAST(SUM(CAST(a.qv AS HUGEINT) * b.qv) AS HUGEINT) AS s12
+       |      FROM cells a JOIN cells b ON a.vec_id = b.vec_id
+       |      GROUP BY 1, 2),
+       |st AS (SELECT dim, CAST(SUM(CAST(qv AS HUGEINT)) AS HUGEINT) AS sv
+       |       FROM cells GROUP BY 1),
+       |c AS (SELECT d1, d2, nn.n * s12 - a.sv * b.sv AS cnum
+       |      FROM p JOIN st a ON a.dim = p.d1
+       |      JOIN st b ON b.dim = p.d2 CROSS JOIN nn),
+       |g AS (SELECT MAX(ABS(cnum)) // 1000000 + 1 AS g FROM c),
+       |cr AS (SELECT d1, d2,
+       |         (CASE WHEN cnum < 0 THEN -1 ELSE 1 END) *
+       |           (ABS(cnum) // g.g) AS cred
+       |       FROM c CROSS JOIN g),
+       |x0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS xv FROM st),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}""".stripMargin
+  }
+
+  /** The PCA artifacts shared by `emb_pca_power` and
+    * `emb_pca_explained`: (C, x) where C is the exact integer
+    * covariance NUMERATOR matrix C(i,j) = n·Σq_iq_j − Σq_i·Σq_j
+    * (DECIMAL(38,0), full symmetric 64×64) and x the micro-unit
+    * loading vector after 3 power iterations with max-norm rescaling.
+    * Division appears only as sign·(|v| DIV m) — magnitude-only, so
+    * truncation-vs-floor on negatives can never split the engines.
+    * Memoized + localCheckpoint per (session, dir): the corpus-sized
+    * C fan-in (emb_covariance's plan shape) runs once; the iterations
+    * are 4 096×64 joins — constant-size work regardless of corpus.
+    */
+  private val pcaMemo = new graft.BoundedMemo[(SparkSession, String),
+    (DataFrame, DataFrame)](8)
+
+  private def pcaParts(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    pcaMemo.getOrCompute((s, d)) {
+      val dec = DecimalType(38, 0)
+      val cells = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Dedup.qvec(col("embedding"))).as(Seq("dim", "qv")))
+        .localCheckpoint()
+      val nn = cells.select(col("vec_id")).distinct().count()
+      val pairs = cells
+        .select(col("vec_id"), col("dim").as("d1"), col("qv").as("q1"))
+        .join(cells.select(col("vec_id"), col("dim").as("d2"),
+          col("qv").as("q2")), Seq("vec_id"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(sum((col("q1") * col("q2")).cast(dec)).as("s12"))
+      val stats = cells.groupBy(col("dim"))
+        .agg(sum(col("qv").cast(dec)).as("sv"))
+      val cNum = pairs
+        .join(broadcast(stats.select(col("dim").as("d1"),
+          col("sv").as("sv1"))), Seq("d1"))
+        .join(broadcast(stats.select(col("dim").as("d2"),
+          col("sv").as("sv2"))), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          (lit(nn).cast(dec) * col("s12") - col("sv1") * col("sv2"))
+            .cast(dec).as("cnum"))
+        .localCheckpoint()
+      // reduce C to ≤1e6 magnitude longs (direction-preserving): the
+      // iteration only needs the direction, and bounded operands keep
+      // every later product exact
+      val g = cNum.agg((expr("max(abs(cnum)) DIV 1000000") + 1L).as("g"))
+      val cRed = cNum.crossJoin(broadcast(g))
+        .select(col("d1"), col("d2"),
+          (when(col("cnum") < 0, -1L).otherwise(1L) *
+            expr("abs(cnum) DIV g")).as("cred"))
+        .localCheckpoint()
+      var x = stats.select(col("dim"), lit(1000000L).as("xv"))
+      for (_ <- 1 to 3) {
+        val y = cRed
+          .join(x.select(col("dim").as("d2"), col("xv").as("x2")),
+            Seq("d2"))
+          .groupBy(col("d1"))
+          .agg(sum((col("cred") * col("x2")).cast(dec)).as("y"))
+        val mx = y.agg(greatest(max(abs(col("y"))).cast(dec),
+          lit(1L).cast(dec)).as("mx"))
+        x = y.crossJoin(broadcast(mx))
+          .select(col("d1").as("dim"),
+            (when(col("y") < 0, -1L).otherwise(1L) *
+              expr("(abs(y) * CAST(1000000 AS DECIMAL(38,0))) DIV mx"))
+              .as("xv"))
+      }
+      (cNum, x.localCheckpoint())
+    }
+
   /** Per-(vector, subspace) nearest-centroid code (argmin with the
     * d2·4096+rank composite tie-break both engines share, where rank
     * is the DENSE centroid index cvid/100 — so the composite stays a
@@ -560,55 +666,39 @@ object Similarity {
     // sample-then-estimate swap at 100 TB); each iteration is a
     // 4 096×64 join — constant-size work regardless of corpus.
     "emb_pca_power" -> ((s: SparkSession, d: String) => {
-      val dec = DecimalType(38, 0)
-      val cells = t(s, d, "embeddings")
-        .select(col("vec_id"),
-          posexplode(Dedup.qvec(col("embedding"))).as(Seq("dim", "qv")))
-        .localCheckpoint()
-      val nn = cells.select(col("vec_id")).distinct().count()
-      val pairs = cells
-        .select(col("vec_id"), col("dim").as("d1"), col("qv").as("q1"))
-        .join(cells.select(col("vec_id"), col("dim").as("d2"),
-          col("qv").as("q2")), Seq("vec_id"))
-        .groupBy(col("d1"), col("d2"))
-        .agg(sum((col("q1") * col("q2")).cast(dec)).as("s12"))
-      val stats = cells.groupBy(col("dim"))
-        .agg(sum(col("qv").cast(dec)).as("sv"))
-      val cNum = pairs
-        .join(broadcast(stats.select(col("dim").as("d1"),
-          col("sv").as("sv1"))), Seq("d1"))
-        .join(broadcast(stats.select(col("dim").as("d2"),
-          col("sv").as("sv2"))), Seq("d2"))
-        .select(col("d1"), col("d2"),
-          (lit(nn).cast(dec) * col("s12") - col("sv1") * col("sv2"))
-            .cast(dec).as("cnum"))
-      // reduce C to ≤1e6 magnitude longs (direction-preserving): the
-      // iteration only needs the direction, and bounded operands keep
-      // every later product exact
-      val g = cNum.agg((expr("max(abs(cnum)) DIV 1000000") + 1L).as("g"))
-      val cRed = cNum.crossJoin(broadcast(g))
-        .select(col("d1"), col("d2"),
-          (when(col("cnum") < 0, -1L).otherwise(1L) *
-            expr("abs(cnum) DIV g")).as("cred"))
-        .localCheckpoint()
-      var x = stats.select(col("dim"), lit(1000000L).as("xv"))
-      for (_ <- 1 to 3) {
-        val y = cRed
-          .join(x.select(col("dim").as("d2"), col("xv").as("x2")),
-            Seq("d2"))
-          .groupBy(col("d1"))
-          .agg(sum((col("cred") * col("x2")).cast(dec)).as("y"))
-        val mx = y.agg(greatest(max(abs(col("y"))).cast(dec),
-          lit(1L).cast(dec)).as("mx"))
-        x = y.crossJoin(broadcast(mx))
-          .select(col("d1").as("dim"),
-            (when(col("y") < 0, -1L).otherwise(1L) *
-              expr("(abs(y) * CAST(1000000 AS DECIMAL(38,0))) DIV mx"))
-              .as("xv"))
-      }
+      val (_, x) = pcaParts(s, d)
       x.select(col("dim").cast(LongType).as("dim"),
           col("xv").as("loading_micro"))
         .orderBy(col("dim"))
+    }),
+
+    // PCA CALIBRATION — the number that says whether the direction
+    // matters: the Rayleigh quotient λ = x'Cx / x'x over the SAME
+    // exact integers, as a share of trace(C) (= total variance mass).
+    // Every product stays in the DECIMAL(38)/HUGEINT domain (x'Cx ≤
+    // ~1e34 — inside both) with ONE double conversion per factor at
+    // the end in a fixed expression order, so the r6 values
+    // hash-compare. A share near 1/64 means no dominant direction
+    // (isotropic corpus); near 1 means the space has collapsed — the
+    // same monitor emb_covariance's corr gives pairwise, summarized in
+    // one scalar.
+    "emb_pca_explained" -> ((s: SparkSession, d: String) => {
+      val dec = DecimalType(38, 0)
+      val (cNum, x) = pcaParts(s, d)
+      val xc = x.select(col("dim"), col("xv"))
+      val num = cNum
+        .join(xc.select(col("dim").as("d1"), col("xv").as("x1")), Seq("d1"))
+        .join(xc.select(col("dim").as("d2"), col("xv").as("x2")), Seq("d2"))
+        .agg(sum((col("cnum") * col("x1").cast(dec) * col("x2").cast(dec))
+          .cast(dec)).as("num"))
+      val denX = xc.agg(sum((col("xv") * col("xv")).cast(dec)).as("den_x"))
+      val trace = cNum.filter(col("d1") === col("d2"))
+        .agg(sum(col("cnum")).as("trace"))
+      num.crossJoin(broadcast(denX)).crossJoin(broadcast(trace))
+        .select(
+          graft.functions.XF.r6(col("num").cast(DoubleType) /
+            (col("den_x").cast(DoubleType) * col("trace").cast(DoubleType)))
+            .as("explained_share"))
     }),
 
     // pairwise similarity matrix for a tiny id range — the exhaustive
@@ -764,44 +854,25 @@ object Similarity {
          |ORDER BY d1, d2""".stripMargin
     },
 
-    "emb_pca_power" -> {
-      // HUGEINT mirrors Spark's DECIMAL(38,0); every division is
-      // magnitude-only (sign · (|v| // m)) so DuckDB's floor `//` and
-      // Spark's truncating DIV agree — operands are never negative
-      def iter(k: Int): String =
-        s"""y$k AS (SELECT d1 AS dim, CAST(SUM(cred * x.xv) AS HUGEINT) AS y
-           |  FROM cr JOIN x${k - 1} x ON x.dim = cr.d2 GROUP BY 1),
-           |m$k AS (SELECT GREATEST(MAX(ABS(y)), 1) AS mx FROM y$k),
-           |x$k AS (SELECT dim,
-           |    (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
-           |      ((ABS(y) * 1000000) // mx) AS xv
-           |  FROM y$k CROSS JOIN m$k)""".stripMargin
-      s"""WITH $qEmbSql,
-         |cells AS (SELECT vec_id, i - 1 AS dim, q[i] AS qv
-         |          FROM qn, unnest(range(1, len(q) + 1)) t(i)),
-         |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n
-         |       FROM cells),
-         |p AS (SELECT a.dim AS d1, b.dim AS d2,
-         |        CAST(SUM(CAST(a.qv AS HUGEINT) * b.qv) AS HUGEINT) AS s12
-         |      FROM cells a JOIN cells b ON a.vec_id = b.vec_id
-         |      GROUP BY 1, 2),
-         |st AS (SELECT dim, CAST(SUM(CAST(qv AS HUGEINT)) AS HUGEINT) AS sv
-         |       FROM cells GROUP BY 1),
-         |c AS (SELECT d1, d2, nn.n * s12 - a.sv * b.sv AS cnum
-         |      FROM p JOIN st a ON a.dim = p.d1
-         |      JOIN st b ON b.dim = p.d2 CROSS JOIN nn),
-         |g AS (SELECT MAX(ABS(cnum)) // 1000000 + 1 AS g FROM c),
-         |cr AS (SELECT d1, d2,
-         |         (CASE WHEN cnum < 0 THEN -1 ELSE 1 END) *
-         |           (ABS(cnum) // g.g) AS cred
-         |       FROM c CROSS JOIN g),
-         |x0 AS (SELECT dim, CAST(1000000 AS HUGEINT) AS xv FROM st),
-         |${iter(1)},
-         |${iter(2)},
-         |${iter(3)}
+    "emb_pca_power" ->
+      s"""WITH $pcaSqlCtes
          |SELECT CAST(dim AS BIGINT) AS dim, CAST(xv AS BIGINT) AS loading_micro
-         |FROM x3 ORDER BY dim""".stripMargin
-    },
+         |FROM x3 ORDER BY dim""".stripMargin,
+
+    // Rayleigh share from the SAME CTE chain — one double conversion
+    // per factor, same expression order as the Spark side
+    "emb_pca_explained" ->
+      s"""WITH $pcaSqlCtes,
+         |num AS (SELECT CAST(SUM(cnum * x1.xv * x2.xv) AS HUGEINT) AS num
+         |        FROM c JOIN x3 x1 ON x1.dim = c.d1
+         |        JOIN x3 x2 ON x2.dim = c.d2),
+         |dx AS (SELECT CAST(SUM(xv * xv) AS HUGEINT) AS den_x FROM x3),
+         |tr AS (SELECT CAST(SUM(cnum) AS HUGEINT) AS trace
+         |       FROM c WHERE d1 = d2)
+         |SELECT ROUND(CAST(num AS DOUBLE) /
+         |    (CAST(den_x AS DOUBLE) * CAST(trace AS DOUBLE)), 6)
+         |  AS explained_share
+         |FROM num CROSS JOIN dx CROSS JOIN tr""".stripMargin,
 
     "sim_cell_stats" ->
       s"""WITH $qEmbSql,
