@@ -365,6 +365,55 @@ object Curation {
         .select(col("lang"), col("source"), col("n_raw"), col("n_gated"),
           col("n_deduped"), col("sample_weight"), col("n_sampled"))
         .orderBy(col("lang"), col("source"))
+    }),
+
+    // DSIR — data selection via importance resampling (Xie et al.,
+    // NeurIPS'23): score every raw document by how much more likely its
+    // hashed-unigram profile is under a TARGET distribution (the 'en'
+    // slice, standing in for a trusted high-quality corpus) than under
+    // the RAW corpus distribution. Features are the hashing trick's 64
+    // dims (text_hash_features' device), so both distributions are
+    // 64-row Laplace-smoothed tables; the per-doc log importance weight
+    // is Σ_tokens [ln p_t(dim) − ln p_r(dim)]. Each ln is transcendental
+    // → rounded at 1e-6 per dim (XF contract); the difference of two
+    // rounded doubles is one IEEE subtraction, and the per-doc sum
+    // accumulates as exact DECIMAL — engine- and order-stable. Scale
+    // shape: the token frame is materialized ONCE (three consumers:
+    // both count tables and the scoring join); the distributions
+    // aggregate map-side to 64 cells and BROADCAST back, so scoring is
+    // one explode + one broadcast join + one doc-keyed shuffle — no
+    // corpus-sized state. At 100 TB the target table comes from a
+    // sample of the trusted corpus (same 64 rows either way); the keep
+    // flag (logw > 0) is the resampling gate — real DSIR samples
+    // ∝ exp(logw), identical plan with the gate swapped for the
+    // deterministic-hash sampler above.
+    "curate_dsir" -> ((s: SparkSession, d: String) => {
+      val w64 = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(Text.toks(col("text"))).as("token"))
+        .select(col("doc_id"), col("lang"),
+          (XF.h32(col("token")) % 64).as("dim"))
+        .localCheckpoint()
+      val raw = tk.groupBy(col("dim")).agg(count(lit(1)).as("nr"))
+      val tgt = tk.filter(col("lang") === "en")
+        .groupBy(col("dim")).agg(count(lit(1)).as("nt"))
+      val lw = raw.join(tgt, Seq("dim"), "left")
+        .na.fill(0L, Seq("nt"))
+        .withColumn("tr", sum(col("nr")).over(w64))
+        .withColumn("tt", sum(col("nt")).over(w64))
+        .select(col("dim"),
+          (XF.r6(log((col("nt") + 1).cast(DoubleType) /
+              (col("tt") + 64).cast(DoubleType))) -
+            XF.r6(log((col("nr") + 1).cast(DoubleType) /
+              (col("tr") + 64).cast(DoubleType)))).as("lw"))
+      tk.join(broadcast(lw), Seq("dim"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          XF.r6(XF.dsum(col("lw"))).as("logw"))
+        .select(col("doc_id"), col("n_tokens"), col("logw"),
+          (col("logw") > 0.0).as("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -564,6 +613,33 @@ object Curation {
          |SELECT w4.lang, w4.source, n_raw, n_gated, n_deduped,
          |  sample_weight, COALESCE(sm.n_sampled, 0) AS n_sampled
          |FROM w4 LEFT JOIN sm ON w4.lang = sm.lang AND w4.source = sm.source
-         |ORDER BY w4.lang, w4.source""".stripMargin
+         |ORDER BY w4.lang, w4.source""".stripMargin,
+
+    // same 64-dim hashed-unigram distributions, same per-dim 1e-6 ln
+    // rounding, exact-decimal per-doc sum
+    "curate_dsir" -> {
+      val logw = s"ROUND(CAST(SUM(CAST(lw AS DECIMAL(28,6))) AS DOUBLE), 6)"
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, ${XF.h32Sql("token")} % 64 AS dim
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
+         |        FROM documents)),
+         |raw AS (SELECT dim, COUNT(*) AS nr FROM tk GROUP BY 1),
+         |tgt AS (SELECT dim, COUNT(*) AS nt
+         |        FROM tk WHERE lang = 'en' GROUP BY 1),
+         |dims AS (
+         |  SELECT dim, nr, COALESCE(nt, 0) AS nt,
+         |    SUM(nr) OVER () AS tr, SUM(COALESCE(nt, 0)) OVER () AS tt
+         |  FROM raw LEFT JOIN tgt USING (dim)),
+         |lwt AS (
+         |  SELECT dim,
+         |    ROUND(ln(CAST(nt + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE)), 6) -
+         |    ROUND(ln(CAST(nr + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE)), 6)
+         |      AS lw
+         |  FROM dims)
+         |SELECT doc_id, COUNT(*) AS n_tokens, $logw AS logw,
+         |  $logw > CAST(0 AS DOUBLE) AS keep
+         |FROM tk JOIN lwt USING (dim)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -32,18 +32,20 @@ object Events {
     * projection or key columns.
     */
   private def asOfCustom(s: SparkSession, d: String,
-      toleranceUs: Option[Long]): DataFrame = {
+      toleranceUs: Option[Long],
+      direction: String = "backward"): DataFrame = {
     val us = XF.epochUs(col("ts"))
     val ev = t(s, d, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), us.as("us"))
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id"), col("user_id"), us.as("us"))
+    val gap = if (direction == "forward") col("v_us") - col("us")
+      else col("us") - col("v_us")
     graft.plans.AsOf.asOfJoin(purchases, views, "user_id", "us", "v_",
-        toleranceUs = toleranceUs)
+        toleranceUs = toleranceUs, direction = direction)
       .select(col("event_id"), col("user_id"),
-        col("v_event_id").as("view_event"),
-        (col("us") - col("v_us")).as("gap_us"))
+        col("v_event_id").as("view_event"), gap.as("gap_us"))
       .orderBy(col("event_id"))
   }
 
@@ -228,6 +230,16 @@ object Events {
     "events_asof_tolerance" -> ((s: SparkSession, d: String) =>
       asOfCustom(s, d, toleranceUs = Some(30L * 60 * 1000000))),
 
+    // FORWARD as-of (pandas direction='forward'): each purchase matched
+    // to the NEXT view at-or-after it — the "what did the user do next"
+    // enrichment. Same single merge pass as backward but with NO held
+    // row at all: ascending (key, time) on both sides means the right
+    // cursor, after discarding the past, IS the match, and it is not
+    // consumed on emit (one future row can serve several left rows).
+    // Oracle is DuckDB's native ASOF with the inequality flipped.
+    "events_asof_forward" -> ((s: SparkSession, d: String) =>
+      asOfCustom(s, d, toleranceUs = None, direction = "forward")),
+
     // range join: clicks within ±30 min of each error, same user. The
     // scalable form buckets time at the range width and equi-joins on
     // (user_id, bucket) with the error side exploded to its 3 covering
@@ -323,6 +335,39 @@ object Events {
           col("event_id").as("last_event_id"), col("us").as("last_us"),
           col("value").as("last_value"))
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // INCREMENTAL AGGREGATE MAINTENANCE — the ADDITIVE twin of
+    // events_cdc_upsert's latest-row merge: a per-(event_type, day)
+    // metric rollup (count + exact-decimal value sum) maintained as
+    // base + delta instead of recomputed from history. Both sides
+    // aggregate independently (map-side partials collapse each to the
+    // key space before its shuffle), then merge by keywise ADDITION —
+    // legal exactly because count and DECIMAL-sum are commutative
+    // monoids, the algebraic fact every incremental materialized view
+    // (Delta/Iceberg MERGE rollups, streaming update sinks) rests on.
+    // The oracle is the full-history recompute, so incremental-equals-
+    // full is hash-checked. At 100 TB the base is a |keys|-row stored
+    // table and each refresh moves only the delta plus one row per
+    // touched key — never the event history; non-additive metrics
+    // (distinct users) swap in their mergeable sketch (HLL,
+    // agg_sketch_reagg's device) under the identical merge shape.
+    "events_incremental_rollup" -> ((s: SparkSession, d: String) => {
+      val cutoff = lit("2024-01-20 00:00:00").cast(TimestampType)
+      def rollup(df: DataFrame): DataFrame = df
+        .groupBy(col("event_type"), XF.dateS(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(28, 6))).as("sum_v"))
+      val ev = t(s, d, "events")
+      val base = rollup(ev.filter(col("ts") < cutoff))   // stored rollup
+      val delta = rollup(ev.filter(col("ts") >= cutoff)) // incoming batch
+      base.unionByName(delta)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("sum_v")).as("sum_v"))                 // keywise addition
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("sum_v").cast(DoubleType).as("sum_value"))
+        .orderBy(col("event_type"), col("day"))
     }),
 
     // BOT DETECTION — the behavioral-data curation gate: per user, the
@@ -778,6 +823,16 @@ object Events {
          |  ON p.user_id = v.user_id AND p.ts >= v.ts
          |ORDER BY p.event_id""".stripMargin,
 
+    // native ASOF with the inequality flipped — smallest view ts >= the
+    // purchase ts per user.
+    "events_asof_forward" ->
+      s"""SELECT p.event_id, p.user_id, v.event_id AS view_event,
+         |  epoch_us(v.ts) - epoch_us(p.ts) AS gap_us
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         |  ON p.user_id = v.user_id AND p.ts <= v.ts
+         |ORDER BY p.event_id""".stripMargin,
+
     // native ASOF with the out-of-window matches nulled — DuckDB has no
     // tolerance parameter, so the window applies as a post-join CASE.
     "events_asof_tolerance" ->
@@ -841,6 +896,16 @@ object Events {
          |  FROM events)
          |WHERE rn = 1
          |ORDER BY user_id, event_type""".stripMargin,
+
+    // oracle: the FULL recompute — one aggregation over all history.
+    // Matching it proves the base+delta keywise addition is exact.
+    "events_incremental_rollup" ->
+      s"""SELECT event_type, ${XF.dateSSql("ts")} AS day,
+         |  COUNT(*) AS n_events,
+         |  ${XF.dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY event_type, day
+         |ORDER BY event_type, day""".stripMargin,
 
     "events_bot_detection" ->
       s"""WITH g AS (

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops.Dedup.{idot, idotSql, qcos, qcosSql, qEmb, qEmbSql}
+import graft.functions.XF
 import graft.sources.Tables.t
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.8):
@@ -701,6 +702,48 @@ object Similarity {
             .as("explained_share"))
     }),
 
+    // ALL-BUT-THE-TOP residual audit (Mu & Viswanath, ICLR'18): how
+    // much of each vector's energy sits on the corpus' top principal
+    // direction — the post-processing decision table for removing the
+    // common component before cosine retrieval (a large top-1 share
+    // means raw cosine mostly measures the shared offset, not
+    // content). Per vector: projection t = ⟨q, x⟩ onto the power-
+    // iteration loading (exact DECIMAL sum over the SAME micro-unit
+    // artifact emb_pca_power reports), share = t² / (|q|²·|x|²) —
+    // every factor an exact integer, ONE double conversion per factor
+    // in fixed order, rounded at 1e-6. Rolled up per label (mean via
+    // exact-decimal sum, max) so the output is |labels| rows. Scale
+    // shape: x is a broadcast 64-row table; the projection is one
+    // explode + broadcast join collapsing map-side to one row per
+    // vector, then a |labels|-key aggregate — the corpus never
+    // shuffles.
+    "emb_top1_residual" -> ((s: SparkSession, d: String) => {
+      val dec = DecimalType(38, 0)
+      val (_, x) = pcaParts(s, d)
+      val xx = x.agg(sum((col("xv") * col("xv")).cast(dec)).as("xx"))
+      val proj = qEmb(s, d)
+        .select(col("vec_id"), col("n2"),
+          posexplode(col("q")).as(Seq("dim", "qv")))
+        .join(broadcast(x.select(col("dim"), col("xv"))), Seq("dim"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("n2")).as("n2"),
+          sum((col("qv").cast(dec) * col("xv").cast(dec)).cast(dec))
+            .as("tp"))
+      val share = proj.crossJoin(broadcast(xx))
+        .select(col("vec_id"),
+          XF.r6((col("tp") * col("tp")).cast(dec).cast(DoubleType) /
+            (col("n2").cast(DoubleType) * col("xx").cast(DoubleType)))
+            .as("share"))
+      t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        .join(share, Seq("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          XF.r6(XF.dsum(col("share")) / count(lit(1)))
+            .as("avg_top1_share"),
+          max(col("share")).as("max_top1_share"))
+        .orderBy(col("label"))
+    }),
+
     // pairwise similarity matrix for a tiny id range — the exhaustive
     // debugging view (bounded output: 20×20).
     "sim_pair_matrix" -> ((s: SparkSession, d: String) => {
@@ -873,6 +916,25 @@ object Similarity {
          |    (CAST(den_x AS DOUBLE) * CAST(trace AS DOUBLE)), 6)
          |  AS explained_share
          |FROM num CROSS JOIN dx CROSS JOIN tr""".stripMargin,
+
+    // projection/share from the same CTE chain; HUGEINT products, one
+    // double conversion per factor in the Spark side's fixed order
+    "emb_top1_residual" ->
+      s"""WITH $pcaSqlCtes,
+         |xx AS (SELECT CAST(SUM(xv * xv) AS HUGEINT) AS xx FROM x3),
+         |pr AS (SELECT c.vec_id,
+         |         CAST(SUM(CAST(c.qv AS HUGEINT) * x.xv) AS HUGEINT) AS tp
+         |       FROM cells c JOIN x3 x ON x.dim = c.dim GROUP BY 1),
+         |sh AS (SELECT pr.vec_id,
+         |         ROUND(CAST(tp * tp AS DOUBLE) /
+         |           (CAST(n2 AS DOUBLE) * CAST(xx AS DOUBLE)), 6) AS share
+         |       FROM pr JOIN qn ON qn.vec_id = pr.vec_id CROSS JOIN xx)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  ROUND(CAST(SUM(CAST(share AS DECIMAL(28,6))) AS DOUBLE) /
+         |    COUNT(*), 6) AS avg_top1_share,
+         |  MAX(share) AS max_top1_share
+         |FROM sh JOIN embeddings e ON e.vec_id = sh.vec_id
+         |GROUP BY label ORDER BY label""".stripMargin,
 
     "sim_cell_stats" ->
       s"""WITH $qEmbSql,

@@ -172,4 +172,45 @@ class CurationSpec extends SparkSpec {
     // something survives sampling somewhere
     assert(rows.map(_._7).sum > 0L)
   }
+
+  test("dsir weights replay brute-force and separate target from raw") {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val dims = rows.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).map(tok => (id, lang, h32(tok) % 64))
+    }
+    val nr = dims.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nt = dims.filter(_._2 == "en").groupBy(_._3).view
+      .mapValues(_.size.toLong).toMap
+    val (tr, tt) = (dims.size.toLong, dims.count(_._2 == "en").toLong)
+    val lw = nr.map { case (dim, r) =>
+      dim -> (r6(math.log((nt.getOrElse(dim, 0L) + 1).toDouble /
+        (tt + 64).toDouble)) -
+        r6(math.log((r + 1).toDouble / (tr + 64).toDouble)))
+    }
+    val want = dims.groupBy(_._1).map { case (id, ds) =>
+      val logw = r6(ds.map(d => BigDecimal(lw(d._3)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      id -> ((ds.size.toLong, logw, logw > 0.0))
+    }
+    val got = graft.SparkEntry.queries("curate_dsir")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got === want)
+    // the importance weight is discriminative: target-language docs
+    // score higher on average than the rest of the corpus
+    val byLang = rows.map(r => r._2 -> got(r._1)._2).groupBy(_._1).view
+      .mapValues(v => v.map(_._2).sum / v.size).toMap
+    assert(byLang("en") > (byLang - "en").values.max)
+  }
 }

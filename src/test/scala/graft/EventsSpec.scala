@@ -315,4 +315,26 @@ class EventsSpec extends SparkSpec {
       .toMap
     assert(got === want)
   }
+
+  test("incremental rollup equals the full-history recompute") {
+    // brute-force full aggregation with the same exact-decimal contract
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+        col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val want = evs.groupBy(e => (e._1, e._2)).map { case (k, rows) =>
+      k -> ((rows.length.toLong,
+        rows.map(e => BigDecimal(e._3).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+    }
+    val got = SparkEntry.queries("events_incremental_rollup")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === want)
+    // the merge actually exercised both sides of the cutoff
+    assert(got.keys.exists(_._2 < "2024-01-20"))
+    assert(got.keys.exists(_._2 >= "2024-01-20"))
+  }
 }

@@ -234,17 +234,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size < vs.size)
   }
 
-  test("pca power iteration: max-norm invariant and a JVM-side replay") {
-    val got = graft.SparkEntry.queries("emb_pca_power")(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size === 64)
-    // after max-norm rescaling the dominant component is exactly ±1e6
-    assert(got.values.map(math.abs).max === 1000000L)
-    // JVM replay of the identical integer trajectory over the same
-    // quantized cells (BigInt = the DECIMAL(38,0)/HUGEINT domain)
-    val cells = graft.ops.Dedup.qEmb(spark, sf)
+  /** Quantized cells loaded once for the PCA-family replays. */
+  private lazy val pcaCells: Array[(Long, Seq[Long])] =
+    graft.ops.Dedup.qEmb(spark, sf)
       .select(col("vec_id"), col("q")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1))
+
+  /** JVM replay of the identical integer power-iteration trajectory over
+    * the quantized cells (BigInt = the DECIMAL(38,0)/HUGEINT domain).
+    */
+  private lazy val pcaLoadings: Array[BigInt] = {
+    val cells = pcaCells
     val nn = BigInt(cells.length)
     val dims = cells.head._2.length
     val s12 = Array.ofDim[BigInt](dims, dims)
@@ -266,7 +266,50 @@ class SimilaritySpec extends SparkSpec {
       val mx = y.map(_.abs).max.max(BigInt(1))
       x = y.map(v => (if (v < 0) -1 else 1) * (v.abs * 1000000 / mx))
     }
-    val want = (0 until dims).map(i => i.toLong -> x(i).toLong).toMap
+    x
+  }
+
+  test("pca power iteration: max-norm invariant and a JVM-side replay") {
+    val got = graft.SparkEntry.queries("emb_pca_power")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 64)
+    // after max-norm rescaling the dominant component is exactly ±1e6
+    assert(got.values.map(math.abs).max === 1000000L)
+    val want =
+      pcaLoadings.indices.map(i => i.toLong -> pcaLoadings(i).toLong).toMap
     assert(got === want)
+  }
+
+  test("top-1 residual shares replay exactly and sit in [0, 1]") {
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val x = pcaLoadings
+    val xx = x.map(v => v * v).sum
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // per-vector share with the query's exact arithmetic: integer
+    // tp/n2/xx, one double conversion per factor, round at 1e-6
+    val shares = pcaCells.map { case (vid, q) =>
+      val tp = q.indices.map(i => BigInt(q(i)) * x(i)).sum
+      val n2 = q.map(v => BigInt(v) * v).sum
+      labels(vid) -> r6((tp * tp).toDouble / (n2.toDouble * xx.toDouble))
+    }
+    val want = shares.groupBy(_._1).map { case (lab, vs) =>
+      val ss = vs.map(_._2)
+      val avg = r6(ss.map(BigDecimal(_).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / ss.length)
+      lab -> ((ss.length.toLong, avg, ss.max))
+    }
+    val got = graft.SparkEntry.queries("emb_top1_residual")(spark, sf)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got === want)
+    got.values.foreach { case (_, avg, mx) =>
+      assert(avg >= 0.0 && avg <= 1.0 && mx >= avg && mx <= 1.0)
+    }
+    // every corpus vector is accounted for in exactly one label row
+    assert(got.values.map(_._1).sum === pcaCells.length.toLong)
   }
 }
