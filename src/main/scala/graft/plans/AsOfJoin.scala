@@ -45,6 +45,16 @@ import org.apache.spark.sql.functions.col
   * latest right row <= t is the only possible in-window match, so the
   * check is one subtraction at emit time (requires a time column whose
   * internal form is Long: epoch longs or timestamps).
+  *
+  * Optional FORWARD direction (pandas merge_asof `direction='forward'`,
+  * DuckDB `ASOF ... ON l.ts <= r.ts`): each left row matches the single
+  * right row with the same key and the SMALLEST right time >= the left
+  * time. Forward needs NO held row at all: with both sides ascending on
+  * (key, time), once a right row's time falls below the current left
+  * time it can never match any later left row, so the match is simply
+  * the right cursor after discarding the past — and the cursor is NOT
+  * consumed on emit, because the same next-future row can serve several
+  * left rows. Tolerance flips to `rightTime − leftTime <= w`.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -53,7 +63,8 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    toleranceUs: Option[Long] = None) extends BinaryNode {
+    toleranceUs: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
 
   // left as-of LEFT join: right side becomes nullable.
   override def output: Seq[Attribute] =
@@ -71,7 +82,8 @@ case class AsOfJoinExec(
     rightTime: Expression,
     left: SparkPlan,
     right: SparkPlan,
-    toleranceUs: Option[Long] = None) extends BinaryExecNode {
+    toleranceUs: Option[Long] = None,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -106,6 +118,7 @@ case class AsOfJoinExec(
     val lOutput = left.output
     val rOutput = right.output
     val tol = toleranceUs
+    val fwd = forward
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
 
@@ -156,6 +169,22 @@ case class AsOfJoinExec(
           // likewise (without this guard a null t would unbox to 0L in
           // the tolerance check below and could fabricate a match)
           resultProj(joined(l, nullRight))
+        } else if (fwd) {
+          // drop right rows for keys before k
+          while (rNext != null &&
+            (rNextKey == null || keyOrd.compare(rNextKey, k) < 0)) advanceRight()
+          // drop same-key right rows strictly in the past (a NULL right
+          // time sorts first in its key group and matches nothing —
+          // consumed here so it never blocks the group)
+          while (rNext != null && keyOrd.compare(rNextKey, k) == 0 &&
+            (rNextTime == null || timeOrd.compare(rNextTime, t) < 0))
+            advanceRight()
+          // the cursor (first same-key row with time >= t) is the match;
+          // NOT consumed — it may serve later left rows too
+          val m = rNext != null && keyOrd.compare(rNextKey, k) == 0 &&
+            (tol.isEmpty ||
+              rNextTime.asInstanceOf[Long] - t.asInstanceOf[Long] <= tol.get)
+          resultProj(joined(l, if (m) rNext else nullRight))
         } else {
           // drop right rows for keys before k
           while (rNext != null &&
@@ -195,8 +224,9 @@ case class AsOfJoinExec(
 /** Planner rule: AsOfJoin logical node -> AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol,
+        fwd) :: Nil
     case _ => Nil
   }
 }
@@ -220,7 +250,10 @@ object AsOf {
       key: String,
       time: String,
       rightPrefix: String = "r_",
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asOfJoin: direction must be backward|forward, got $direction")
     val spark = left.sparkSession
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .experimental
@@ -250,6 +283,7 @@ object AsOf {
     bridge.ofRows(spark, AsOfJoin(
       lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, rightPrefix + key),
-      lt, attr(rPlan, rightPrefix + time), toleranceUs))
+      lt, attr(rPlan, rightPrefix + time), toleranceUs,
+      forward = direction == "forward"))
   }
 }

@@ -121,6 +121,72 @@ class AsOfJoinSpec extends SparkSpec {
     assert(tol === Map("p1" -> null, "tnull" -> null))
   }
 
+  test("forward direction matches the next right row at-or-after") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "p1"), (1L, 150L, "p2"), (1L, 200L, "p3"),
+      (2L, 50L, "p4")).toDF("k", "t", "tag")
+    val r = Seq((1L, 150L, "v1"), (1L, 180L, "v2"), (3L, 10L, "v3"))
+      .toDF("k", "t", "tag")
+    val got = AsOf.asOfJoin(l, r, "k", "t", direction = "forward")
+      .select(col("tag"), col("r_tag"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    // p1: next is v1 (150 >= 100); p2: v1 matches EQUAL time and is
+    // shared with p1 (cursor not consumed); p3: only v2 remains ahead;
+    // p4: key 2 has no right rows.
+    assert(got === Map("p1" -> "v1", "p2" -> "v1", "p3" -> null,
+      "p4" -> null))
+  }
+
+  test("forward tolerance bounds the future window") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "p1"), (1L, 160L, "p2")).toDF("k", "t", "tag")
+    val r = Seq((1L, 180L, "v1")).toDF("k", "t", "tag")
+    val got = AsOf.asOfJoin(l, r, "k", "t", toleranceUs = Some(50L),
+        direction = "forward")
+      .select(col("tag"), col("r_tag"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    // p1: gap 80 > 50 → null; p2: gap 20 → match
+    assert(got === Map("p1" -> null, "p2" -> "v1"))
+  }
+
+  test("forward: null times and keys never match, null right time skipped") {
+    import spark.implicits._
+    val l = Seq((Option(5L), Option(100L), "p1"),
+      (Option(5L), Option.empty[Long], "tnull"),
+      (Option.empty[Long], Option(100L), "knull")).toDF("k", "t", "tag")
+    val r = Seq((Option(5L), Option.empty[Long], "vnull"),
+      (Option(5L), Option(120L), "v1")).toDF("k", "t", "tag")
+    val got = AsOf.asOfJoin(l, r, "k", "t", direction = "forward")
+      .select(col("tag"), col("r_tag"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(got === Map("p1" -> "v1", "tnull" -> null, "knull" -> null))
+  }
+
+  test("forward equals a brute-force scan on the events slice") {
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = evs.filter(_._3 == "view")
+    val want = evs.filter(_._3 == "purchase").map { p =>
+      val nxt = views.filter(v => v._2 == p._2 && v._4 >= p._4)
+        .sortBy(_._4).headOption
+      p._1 -> nxt.map(v => (v._1, v._4 - p._4))
+    }.toMap
+    val got = SparkEntry.queries("events_asof_forward")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
+      .toMap
+    assert(got === want)
+    // the forward query actually matches something at this scale
+    assert(got.values.exists(_.isDefined))
+  }
+
   test("null right TIME rows are skipped, not group-blocking") {
     import spark.implicits._
     // the null-time right row sorts FIRST in its key group (asc
