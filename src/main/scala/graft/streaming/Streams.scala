@@ -374,6 +374,44 @@ object Streams {
       }
   }
 
+  case class DaySketch(day: String, users: Seq[Long], counts: Seq[Long])
+
+  /** Counter budget for the streaming heavy-hitter sketch. */
+  val HittersK = 256
+
+  /** STREAMING HEAVY HITTERS — the mergeable-sketch-as-stream-state
+    * pattern: keyed by event day, state is ONE Misra-Gries counter set
+    * ([[graft.functions.MisraGriesAgg]] — the same reduce/merge the
+    * batch Aggregator runs), folded over the day's user_ids; each
+    * micro-batch folds its rows into a fresh partial and MERGES it into
+    * the held sketch, emitting the day's updated summary (Update-mode
+    * changelog). State is k counters per day key REGARDLESS of traffic
+    * — the reason a sketch, not a per-user count map, is the right
+    * state shape for an unbounded key space. While the day's distinct
+    * users fit k the sketch is in its exact regime (no decrement ever
+    * fires), so the final emission per day equals the batch
+    * `stream_heavy_hitters` counts bit for bit — what StreamsSpec pins;
+    * past k the PODS'12 two-sided bound takes over, exactly as
+    * `agg_heavy_hitters` demonstrates at k=8.
+    */
+  def heavyHittersStream(events: Dataset[Ev], k: Int = HittersK)
+      : Dataset[DaySketch] = {
+    import events.sparkSession.implicits._
+    val agg = new graft.functions.MisraGriesAgg(k)
+    events
+      .groupByKey(e => java.time.Instant.ofEpochMilli(e.ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+      .flatMapGroupsWithState[graft.functions.MgBuf, DaySketch](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (day: String, evs: Iterator[Ev],
+         state: GroupState[graft.functions.MgBuf]) =>
+          val batch = evs.foldLeft(agg.zero)((b, e) => agg.reduce(b, e.user_id))
+          val merged = agg.merge(state.getOption.getOrElse(agg.zero), batch)
+          state.update(merged)
+          Iterator(DaySketch(day, merged.keys.toSeq, merged.counts.toSeq))
+      }
+  }
+
   // ---- driver-contract batch-runnable queries -------------------------
 
   /** `session_window` also runs in batch mode — the same operator the
@@ -406,6 +444,33 @@ object Streams {
         ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "purchase"))
         .orderBy(col("purchase_id"), col("view_id"))
+    }),
+
+    // the heavy-hitter sketch in its batch form: per-day MG summaries
+    // (one |days|-key shuffle, O(k) partials), unpacked and ranked to
+    // the top-5 users per day. The per-day window runs over <= k
+    // sketch rows, never the corpus. Oracle-checkable BECAUSE the
+    // day's distinct users fit the k=256 counter budget (exact
+    // regime: estimates are true counts, merge-order independent);
+    // the stressed regime's bound is agg_heavy_hitters' row.
+    "stream_heavy_hitters" -> ((s: SparkSession, d: String) => {
+      val mg = udaf(new graft.functions.MisraGriesAgg(HittersK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day"))
+        .orderBy(col("n_events").desc, col("user_id"))
+      t(s, d, "events")
+        .select(XF.dateS(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day")).agg(mg(col("user_id")).as("sk"))
+        .select(col("day"),
+          explode(arrays_zip(col("sk.keys"), col("sk.counts")))
+            .as("kc"))
+        .select(col("day"), col("kc.keys").as("user_id"),
+          col("kc.counts").as("n_events"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("day"), col("rank"), col("user_id"), col("n_events"))
+        .orderBy(col("day"), col("rank"))
     })
   )
 
@@ -454,6 +519,20 @@ object Streams {
          |  ON p.user_id = v.user_id
          | AND v.ts <= p.ts
          | AND v.ts >= p.ts - INTERVAL 30 MINUTE
-         |ORDER BY purchase_id, view_id""".stripMargin
+         |ORDER BY purchase_id, view_id""".stripMargin,
+
+    // exact per-day top-5 — matches the sketch because the day's key
+    // universe fits the counter budget (exact regime).
+    "stream_heavy_hitters" ->
+      s"""WITH c AS (
+         |  SELECT ${XF.dateSSql("ts")} AS day, user_id, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT day, user_id, n, row_number() OVER (
+         |    PARTITION BY day ORDER BY n DESC, user_id) AS rank
+         |  FROM c)
+         |SELECT day, CAST(rank AS INTEGER) AS rank, user_id,
+         |  n AS n_events
+         |FROM r WHERE rank <= 5 ORDER BY day, rank""".stripMargin
   )
 }

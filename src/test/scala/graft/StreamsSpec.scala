@@ -379,4 +379,50 @@ class StreamsSpec extends SparkSpec {
         (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
     assert(got === Map(2L -> -1L, 3L -> 1L))
   }
+
+  test("streaming heavy-hitter sketch converges to exact day counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // out-of-order batches: MG merge is commutative in the exact
+    // regime, so arrival order must not matter
+    val evs = sampleEvents()
+    val (odd, even) = evs.partition(_.event_id % 2 == 1)
+    val mem = MemoryStream[Ev]
+    val query = Streams.heavyHittersStream(mem.toDS()).writeStream
+      .format("memory").queryName("hitters").outputMode("update").start()
+    try {
+      mem.addData(even); query.processAllAvailable()
+      mem.addData(odd); query.processAllAvailable()
+    } finally query.stop()
+    // the FINAL emission per day is the one with the largest surviving
+    // mass (counts only grow in the exact regime — no decrement fires)
+    val rows = spark.table("hitters").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    val finalPerDay = rows.groupBy(_._1).map { case (day, v) =>
+      val last = v.maxBy(_._3.sum)
+      day -> last._2.zip(last._3).toMap
+    }
+    // exact regime (distinct users per day << 256): the sketch IS the
+    // exact per-day per-user count table
+    val want = evs.groupBy(e => java.time.Instant.ofEpochMilli(e.ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
+      .map { case (day, es) =>
+        day -> es.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+      }
+    assert(finalPerDay === want)
+    // and the batch driver query (FULL corpus) reports the same top-5
+    // as a direct exact ranking of per-day per-user counts
+    val full = graft.sources.Tables.t(spark, sf, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val gotTop = SparkEntry.queries("stream_heavy_hitters")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val wantTop = full.groupBy(_._1).toSeq.flatMap { case (day, es) =>
+      es.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (u, n) => (-n, u) }.take(5).zipWithIndex
+        .map { case ((u, n), i) => (day, i + 1, u, n) }
+    }.sortBy(t => (t._1, t._2))
+    assert(gotTop.toSeq === wantTop)
+  }
 }
