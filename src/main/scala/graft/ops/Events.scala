@@ -723,6 +723,48 @@ object Events {
           count(col("p_us")).as("n_view_click_purchase"))
         .select(col("n_view"), col("n_view_click"),
           col("n_view_click_purchase"))
+    }),
+
+    // CALENDAR RESAMPLE + EWMA — the two standard time-series hygiene
+    // passes a metrics pipeline runs on irregular event data: (1) fill
+    // the per-(type, day) counts onto the COMPLETE calendar spine
+    // (distinct types × every day in the corpus span — a missing day
+    // is a 0, not an absent row; lag() over the raw frame would
+    // silently skip gaps and blend different look-back horizons), then
+    // (2) smooth with a 7-day half-life-weighted moving average whose
+    // weights are exact powers of two (64,32,…,1) — numerator and
+    // denominator are exact longs, one IEEE division at the end, so no
+    // pow() and no float-order hazard anywhere. The day-one boundary
+    // uses only the weights actually present. Scale shape: the daily
+    // aggregate is the only corpus pass; spine, fill, and the EWMA
+    // window all run over the |types|×|days| aggregate frame, and the
+    // per-type window partitions are |days|-bounded.
+    "events_daily_ewma" -> ((s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val daily = ev
+        .groupBy(col("event_type"), XF.dateS(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val days = ev
+        .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("dt"))
+        .select(date_format(col("dt"), "yyyy-MM-dd").as("day"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(days))
+      val filled = spine.join(daily, Seq("event_type", "day"), "left")
+        .na.fill(0L, Seq("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val terms = (0 to 6).map { i =>
+        val wt = 1L << (6 - i)
+        val lg = if (i == 0) col("n") else lag(col("n"), i).over(w)
+        (when(lg.isNotNull, lg * wt).otherwise(lit(0L)),
+          when(lg.isNotNull, lit(wt)).otherwise(lit(0L)))
+      }
+      filled
+        .withColumn("ewma", XF.r6(
+          terms.map(_._1).reduce(_ + _).cast(DoubleType) /
+            terms.map(_._2).reduce(_ + _).cast(DoubleType)))
+        .select(col("event_type"), col("day"), col("n"), col("ewma"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -1162,6 +1204,40 @@ object Events {
         |  GROUP BY e.user_id)
         |SELECT (SELECT COUNT(*) FROM v) AS n_view,
         |       (SELECT COUNT(*) FROM c) AS n_view_click,
-        |       (SELECT COUNT(*) FROM p) AS n_view_click_purchase""".stripMargin
+        |       (SELECT COUNT(*) FROM p) AS n_view_click_purchase""".stripMargin,
+
+    // same spine, same power-of-two weights, same one-division contract
+    "events_daily_ewma" -> {
+      val lags = (1 to 6).map(i =>
+        s"lag(n, $i) OVER (PARTITION BY event_type ORDER BY day) AS n$i")
+        .mkString(",\n        |        ")
+      val num = "n * 64 + " + (1 to 6).map(i =>
+        s"COALESCE(n$i * ${1L << (6 - i)}, 0)").mkString(" + ")
+      val den = "64 + " + (1 to 6).map(i =>
+        s"CASE WHEN n$i IS NULL THEN 0 ELSE ${1L << (6 - i)} END")
+        .mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT event_type, ${XF.dateSSql("ts")} AS day, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |span AS (
+         |  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+         |  FROM events),
+         |days AS (
+         |  SELECT strftime(dt, '%Y-%m-%d') AS day
+         |  FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) t(dt)),
+         |filled AS (
+         |  SELECT ty.event_type, days.day, COALESCE(daily.n, 0) AS n
+         |  FROM (SELECT DISTINCT event_type FROM events) ty
+         |  CROSS JOIN days
+         |  LEFT JOIN daily ON daily.event_type = ty.event_type
+         |    AND daily.day = days.day),
+         |l AS (
+         |  SELECT event_type, day, n,
+         |        $lags
+         |  FROM filled)
+         |SELECT event_type, day, n,
+         |  ROUND(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) AS ewma
+         |FROM l ORDER BY event_type, day""".stripMargin
+    }
   )
 }

@@ -201,7 +201,68 @@ object Sql {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, rn""".stripMargin
 
+  // SQL-DEFINED FUNCTIONS (Spark 4 SQL UDFs, SPARK-46246): business
+  // logic declared IN SQL — `CREATE FUNCTION … RETURN <expr|query>` —
+  // which the analyzer INLINES into the calling plan
+  // (ResolveSQLFunctions), so unlike a JVM/Python UDF the body stays
+  // inside whole-stage codegen, pushdown-able and costable: zero
+  // black-box penalty, the right default for shareable derived-metric
+  // definitions at 100 TB. The scalar UDF is a net-price formula used
+  // inside an aggregate; the TABLE UDF is a parameterized view invoked
+  // in FROM position. DuckDB has macros for the same idea, but the
+  // oracle inlines the bodies by hand — proving the inlining is
+  // semantics-preserving is exactly the point of the check.
+  private val udfScalarCreate =
+    """CREATE OR REPLACE TEMPORARY FUNCTION net_price(
+      |  price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+      |RETURN price * (CAST(1 AS DOUBLE) - disc) *
+      |  (CAST(1 AS DOUBLE) + tax)""".stripMargin
+
+  private val udfScalarQuery =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${dsumSql("net_price(l_extendedprice, l_discount, l_tax)")}
+       |    AS net_revenue
+       |FROM lineitem
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val udfScalarOracle =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${dsumSql("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax)")}
+       |    AS net_revenue
+       |FROM lineitem
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val udfTableCreate =
+    """CREATE OR REPLACE TEMPORARY FUNCTION orders_above(min_total DOUBLE)
+      |RETURNS TABLE (o_orderkey BIGINT, o_custkey BIGINT,
+      |               o_totalprice DOUBLE)
+      |RETURN SELECT o_orderkey, o_custkey, o_totalprice
+      |       FROM orders WHERE o_totalprice > min_total""".stripMargin
+
+  private val udfTableQuery =
+    """SELECT o_custkey, COUNT(*) AS n_big,
+      |  MAX(o_totalprice) AS top_price
+      |FROM orders_above(CAST(400000 AS DOUBLE))
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) >= 2
+      |ORDER BY o_custkey""".stripMargin
+
+  private val udfTableOracle =
+    """SELECT o_custkey, COUNT(*) AS n_big,
+      |  MAX(o_totalprice) AS top_price
+      |FROM (SELECT o_orderkey, o_custkey, o_totalprice
+      |      FROM orders WHERE o_totalprice > CAST(400000 AS DOUBLE))
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) >= 2
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sql_udf_scalar" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "lineitem"); s.sql(udfScalarCreate); s.sql(udfScalarQuery)
+    }),
+    "sql_udf_table" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "orders"); s.sql(udfTableCreate); s.sql(udfTableQuery)
+    }),
     "sql_named_window" -> ((s: SparkSession, d: String) => {
       reg(s, d, "orders"); s.sql(namedWindow)
     }),
@@ -241,6 +302,8 @@ object Sql {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_udf_scalar" -> udfScalarOracle,
+    "sql_udf_table" -> udfTableOracle,
     "sql_named_window" -> namedWindow,
     "sql_unpivot" -> unpivotSql,
     "sql_recursive_tree" -> recursiveTree("//"),

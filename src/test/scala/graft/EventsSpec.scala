@@ -337,4 +337,38 @@ class EventsSpec extends SparkSpec {
     assert(got.keys.exists(_._2 < "2024-01-20"))
     assert(got.keys.exists(_._2 >= "2024-01-20"))
   }
+
+  test("daily ewma fills the calendar spine and replays brute-force") {
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val counts = evs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val allDays = {
+      val ds = evs.map(_._2)
+      val d0 = java.time.LocalDate.parse(ds.min)
+      val d1 = java.time.LocalDate.parse(ds.max)
+      Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(_.toString).toSeq
+    }
+    val types = evs.map(_._1).distinct
+    val want = types.flatMap { ty =>
+      val series = allDays.map(day => (day, counts.getOrElse((ty, day), 0L)))
+      series.indices.map { i =>
+        val lags = (0 to 6).flatMap(j =>
+          if (i - j >= 0) Some((1L << (6 - j)) * series(i - j)._2 ->
+            (1L << (6 - j))) else None)
+        val ewma = r6(lags.map(_._1).sum.toDouble / lags.map(_._2).sum.toDouble)
+        (ty, series(i)._1) -> ((series(i)._2, ewma))
+      }
+    }.toMap
+    val got = SparkEntry.queries("events_daily_ewma")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === want)
+    // the spine is complete: |types| × |days| rows, gaps included
+    assert(got.size === types.length * allDays.length)
+  }
 }

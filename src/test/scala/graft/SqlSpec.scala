@@ -61,4 +61,40 @@ class SqlSpec extends SparkSpec {
     assert(viaSql === viaColumn)
     assert(viaSql.nonEmpty)
   }
+
+  test("SQL-defined scalar UDF inlines into codegen, equals DataFrame math") {
+    val df = SparkEntry.queries("sql_udf_scalar")(spark, sf)
+    val rows = df.collect() // executes THIS plan → AQE finalizes it
+    val plan = df.queryExecution.executedPlan.toString
+    // the analyzer must INLINE the function body — a surviving black-box
+    // UDF node would break pushdown/codegen, the reason SQL UDFs exist
+    assert(!plan.contains("ScalaUDF") && !plan.contains("SQLFunction"), plan)
+    // `*(n)` markers = whole-stage codegen stages in the final plan
+    assert(plan.contains("*("), plan)
+    val got = rows
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = graft.sources.Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)),
+        graft.functions.XF.dsum(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want)
+  }
+
+  test("SQL-defined table UDF behaves as the parameterized view it names") {
+    val got = SparkEntry.queries("sql_udf_table")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = graft.sources.Tables.t(spark, sf, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), max(col("o_totalprice")))
+      .filter(col("n") >= 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
