@@ -223,6 +223,36 @@ object Multimodal {
           min(col("mime")).as("mime"))
         .select(col("kept_doc_id"), col("n_copies"), col("mime"))
         .orderBy(col("kept_doc_id")))
+  ) ++ Seq(
+
+    // TRAINING-SHARD MANIFEST (the WebDataset/tar-shard layout op): pack
+    // assets in one global id order into byte-budgeted shards and emit
+    // each asset's (shard, byte offset) — the manifest a dataloader
+    // seeks by. Assignment rule is the distributed-friendly START-BYTE
+    // form: shard = floor(bytes_before / target) on the global running
+    // byte total — an asset straddling a boundary belongs wholly to its
+    // start shard (shards overflow by at most one asset, the documented
+    // trade that makes packing a PREFIX SUM instead of a sequential
+    // first-fit loop). The running total is `Scan.runningOver` — the
+    // round-7 two-level scan, so no data-sized global window; the
+    // offset-within-shard window partitions by shard (assets-per-shard
+    // bounded by target/min-asset-size). One artifact consumer chain,
+    // corpus scanned once.
+    "mm_shard_manifest" -> ((s: SparkSession, d: String) => {
+      val target = 4096L
+      val assets = media(s, d).select(col("doc_id"),
+        length(col("payload")).cast(LongType).as("n_bytes"))
+      val run = graft.ops.Scan.runningOver(assets, col("doc_id"),
+        desc = false, Seq(col("doc_id")), Seq(("cum", col("n_bytes"))))
+      val wShard = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard_id"))
+      run.withColumn("cb", col("cum") - col("n_bytes"))
+        .withColumn("shard_id", expr(s"cb DIV $target"))
+        .withColumn("offset_bytes", col("cb") - min(col("cb")).over(wShard))
+        .select(col("doc_id"), col("shard_id"), col("offset_bytes"),
+          col("n_bytes"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -310,6 +340,26 @@ object Multimodal {
          |  MIN(mime) AS mime
          |FROM (SELECT doc_id, md5(text) AS pm, $mimeSql AS mime
          |      FROM documents)
-         |GROUP BY pm ORDER BY kept_doc_id""".stripMargin
+         |GROUP BY pm ORDER BY kept_doc_id""".stripMargin,
+
+    // oracle: the plain global running sum (fine at oracle scale); the
+    // Spark side's two-level scan must place every byte identically
+    "mm_shard_manifest" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+         |    AS n_bytes
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_bytes,
+         |    CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cb
+         |  FROM a),
+         |sh AS (SELECT *, CAST(cb // 4096 AS BIGINT) AS shard_id FROM c)
+         |SELECT doc_id, shard_id,
+         |  CAST(cb - MIN(cb) OVER (PARTITION BY shard_id) AS BIGINT)
+         |    AS offset_bytes,
+         |  n_bytes
+         |FROM sh ORDER BY doc_id""".stripMargin
   )
 }

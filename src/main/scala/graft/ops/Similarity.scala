@@ -248,6 +248,32 @@ object Similarity {
       .agg(min_by(col("cvid"), col("d2") * 4096 + denseRank).as("code"))
   }
 
+  /** Corpus IVF assignment (vec_id, cell): nearest coarse centroid by
+    * quantized cosine, ties to the smallest centroid id — the
+    * inverted-file cell every IVF probe keys on. Memoized +
+    * localCheckpoint per (session, dir) like the PQ artifact: the
+    * corpus×16 broadcast fan-in runs once, and `sim_ivf_topk` (both
+    * sides) and `sim_ivfpq_topk` read the materialized frame — the
+    * cell-assignment table a production index stores next to the codes.
+    */
+  private val ivfMemo =
+    new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
+
+  private[graft] def ivfCells(s: SparkSession, d: String): DataFrame =
+    ivfMemo.getOrCompute((s, d)) {
+      val cents = qEmb(s, d).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cvid"), col("q").as("cq"),
+          col("n2").as("ccn2"))
+      qEmb(s, d)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          qcos(idot(col("q"), col("cq")), col("n2"), col("ccn2")).as("ccos"),
+          col("cvid"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cvid"), struct(col("ccos"), -col("cvid"))).as("cell"))
+        .localCheckpoint()
+    }
+
   /** Query subset: every 50th vector. Stays tiny relative to the corpus
     * (the realistic ANN shape: few queries, huge candidate side).
     */
@@ -352,23 +378,12 @@ object Similarity {
     // the query and candidate sides derived from it, it ran TWICE. The
     // query side now assigns only the query subset (1/50th the work).
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => {
-      val cents = qEmb(s, d).filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cvid"), col("q").as("cq"), col("n2").as("ccn2"))
-      // ord = (ccos, -cvid): max picks highest cosine, smallest cvid on
-      // ties — same order as the previous window (ccos DESC, cvid ASC).
-      def assign(vecs: DataFrame): DataFrame = vecs
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          qcos(idot(col("q"), col("cq")), col("n2"), col("ccn2")).as("ccos"),
-          col("cvid"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cvid"), struct(col("ccos"), -col("cvid"))).as("cell"))
       val corpus = qEmb(s, d)
       val qs = corpus.filter(col("vec_id") % 50 === 0)
-        .join(assign(corpus.filter(col("vec_id") % 50 === 0)), Seq("vec_id"))
+        .join(ivfCells(s, d), Seq("vec_id"))
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("n2").as("qn2"), col("cell"))
-      val cand = corpus.join(assign(corpus), Seq("vec_id"))
+      val cand = corpus.join(ivfCells(s, d), Seq("vec_id"))
         .select(col("vec_id").as("cid"), col("q").as("cv"),
           col("n2").as("cn2"), col("cell"))
       val wRank = Window.partitionBy(col("qid"))
@@ -410,6 +425,47 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("m"), col("cvid"), col("d2"))
       val adc = codes.join(broadcast(qdist),
           codes("m") === qdist("m") && codes("code") === qdist("cvid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id").as("cid"))
+        .agg(sum(col("d2")).as("adc_d2"))
+      val top = adc.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("cid"))))
+        .filter(col("rnk") <= TopK)
+      val e = qEmb(s, d)
+      top
+        .join(e.select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("n2").as("qn2")), Seq("qid"))
+        .join(e.select(col("vec_id").as("cid"), col("q").as("cq"),
+          col("n2").as("cn2")), Seq("cid"))
+        .select(col("qid"), col("cid"), col("adc_d2"),
+          (col("qn2") + col("cn2") - lit(2L) * idot(col("qq"), col("cq")))
+            .as("exact_d2"),
+          col("rnk").cast(LongType).as("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // IVF-PQ — the COMPOSED index every production ANN system ships
+    // (FAISS IVFPQ; Jégou'11 §V): IVF bounds the SEARCH (only the
+    // query's coarse cell is scanned) and PQ bounds the BYTES (cell
+    // members are 4 codes, not vectors); the composition is one extra
+    // equi-key on the ADC join — query cell == candidate cell — over
+    // the SAME memoized artifacts (ivfCells, pqDist/pqCodes), which is
+    // the whole point: the two halves were built to compose by
+    // construction, and this query proves it end-to-end with exact
+    // integer ADC and an exact-distance re-rank column. Scale shape:
+    // candidate volume per query drops from N to |cell|, the broadcast
+    // side stays queries × 4 × 16 lookup rows, and everything else
+    // rides the pq artifacts' one-time build.
+    "sim_ivfpq_topk" -> ((s: SparkSession, d: String) => {
+      val cells = ivfCells(s, d)
+      val codes = pqCodes(s, d).join(cells, Seq("vec_id"))
+      val qdist = pqDist(s, d).filter(col("vec_id") % 50 === 0)
+        .join(cells, Seq("vec_id"))
+        .select(col("vec_id").as("qid"), col("cell").as("qcell"),
+          col("m"), col("cvid"), col("d2"))
+      val adc = codes.join(broadcast(qdist),
+          codes("cell") === qdist("qcell") && codes("m") === qdist("m") &&
+            codes("code") === qdist("cvid"))
         .filter(col("qid") =!= col("vec_id"))
         .groupBy(col("qid"), col("vec_id").as("cid"))
         .agg(sum(col("d2")).as("adc_d2"))
@@ -983,6 +1039,44 @@ object Similarity {
          |FROM ranked r JOIN qn a ON a.vec_id = r.qid
          |  JOIN qn b ON b.vec_id = r.cid
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+
+    // same PQ CTEs + the IVF assignment; the composition is the extra
+    // cell equi-predicate on the ADC join
+    "sim_ivfpq_topk" -> {
+      val cosVC = qcosSql(idotSql("v.q", "c.cq"), "v.n2", "c.cn2")
+      s"""WITH $pqCtesSql,
+         |fcents AS (SELECT vec_id AS cvid, q AS cq, n2 AS cn2
+         |           FROM qn WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT vec_id, cvid AS cell FROM (
+         |    SELECT v.vec_id, c.cvid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY $cosVC DESC, c.cvid) AS arn
+         |    FROM qn v CROSS JOIN fcents c)
+         |  WHERE arn = 1),
+         |adc AS (SELECT qd.vec_id AS qid, co.vec_id AS cid,
+         |          CAST(SUM(qd.d2) AS BIGINT) AS adc_d2
+         |        FROM codes co
+         |        JOIN assigned ac ON ac.vec_id = co.vec_id
+         |        JOIN (SELECT d.vec_id, d.m, d.cvid, d.d2, aq.cell
+         |              FROM dist d JOIN assigned aq ON aq.vec_id = d.vec_id
+         |              WHERE d.vec_id % 50 = 0) qd
+         |          ON co.m = qd.m AND co.code = qd.cvid
+         |         AND ac.cell = qd.cell
+         |        WHERE qd.vec_id <> co.vec_id
+         |        GROUP BY 1, 2),
+         |ranked AS (SELECT qid, cid, adc_d2,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY adc_d2, cid) AS rnk
+         |           FROM adc)
+         |SELECT r.qid, r.cid, r.adc_d2,
+         |  CAST(a.n2 + b.n2 - 2 * ${idotSql("a.q", "b.q")} AS BIGINT)
+         |    AS exact_d2,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked r JOIN qn a ON a.vec_id = r.qid
+         |  JOIN qn b ON b.vec_id = r.cid
+         |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
+    },
 
     "sim_topk_bruteforce" ->
       s"""WITH $qEmbSql,

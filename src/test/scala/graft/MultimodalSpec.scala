@@ -104,4 +104,36 @@ class MultimodalSpec extends SparkSpec {
     assert(got === want.toMap)
     assert(got.nonEmpty)
   }
+
+  test("shard manifest replays the sequential packing fold exactly") {
+    val sizes = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length.toLong)
+      .sortBy(_._1)
+    // the sequential reference: running byte total in doc order,
+    // shard = start byte / target, offset = start byte - shard start
+    var cum = 0L
+    val want = sizes.map { case (id, n) =>
+      val shard = cum / 4096L
+      val row = (id, shard, cum, n)
+      cum += n
+      row
+    }
+    // rebase offsets to each shard's first asset
+    val base = want.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    val wantRows = want.map { case (id, sh, cb, n) => (id, sh, cb - base(sh), n) }
+    val got = graft.SparkEntry.queries("mm_shard_manifest")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === wantRows.toSeq)
+    // shards are contiguous byte ranges: within a shard each offset is
+    // the previous offset + previous size
+    got.groupBy(_._2).values.foreach { rows =>
+      rows.sortBy(_._1).sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4)
+        case _ =>
+      }
+    }
+    assert(got.map(_._2).distinct.length > 1, "packing produced one shard")
+  }
 }

@@ -280,6 +280,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("ivf-pq composes the two indexes: same cell, JVM-replayed ADC top-k") {
+    val cells = graft.ops.Similarity.ivfCells(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = pcaCells.toMap // (vec_id -> quantized components)
+    val centIds = vecs.keys.filter(_ % 100 == 0).toSeq.sorted
+    // subspace squared distance of v's m-th 16-dim block to centroid c's
+    def subD2(v: Seq[Long], c: Seq[Long], m: Int): Long =
+      (m * 16 until (m + 1) * 16).map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+    val queries = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
+    val want = queries.flatMap { q =>
+      val cand = vecs.keys.filter(c => c != q && cells(c) == cells(q))
+      val adc = cand.map { c =>
+        c -> (0 until 4).map(m => subD2(vecs(q), vecs(centIds.minBy(cv =>
+          subD2(vecs(c), vecs(cv), m) * 4096 + cv / 100)), m)).sum
+      }.toSeq
+      adc.sortBy { case (c, d) => (d, c) }.take(5).zipWithIndex
+        .map { case ((c, d), i) => (q, c, d, (i + 1).toLong) }
+    }
+    val got = graft.SparkEntry.queries("sim_ivfpq_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq === want)
+    // the composition actually pruned: every match shares the query cell
+    got.foreach { case (q, c, _, _) => assert(cells(q) === cells(c)) }
+    assert(got.nonEmpty)
+  }
+
   test("top-1 residual shares replay exactly and sit in [0, 1]") {
     def r6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
