@@ -240,6 +240,17 @@ object Events {
     "events_asof_forward" -> ((s: SparkSession, d: String) =>
       asOfCustom(s, d, toleranceUs = None, direction = "forward")),
 
+    // NEAREST as-of (pandas direction='nearest'): the closer of the
+    // last view before and the first view after each purchase, ties to
+    // the backward side — "which exposure is this purchase closest
+    // to". Same single merge pass as backward (held row + cursor are
+    // both in hand), one extra comparison at emit. The oracle composes
+    // DuckDB's native backward and forward ASOF and picks per-row with
+    // the identical tie rule; gap_us is SIGNED (negative = the matched
+    // view is in the future).
+    "events_asof_nearest" -> ((s: SparkSession, d: String) =>
+      asOfCustom(s, d, toleranceUs = None, direction = "nearest")),
+
     // range join: clicks within ±30 min of each error, same user. The
     // scalable form buckets time at the range width and equi-joins on
     // (user_id, bucket) with the error side exploded to its 3 covering
@@ -873,6 +884,27 @@ object Events {
          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
          |  ON p.user_id = v.user_id AND p.ts <= v.ts
+         |ORDER BY p.event_id""".stripMargin,
+
+    // both native ASOF directions composed, picked per row with the
+    // tie-to-backward rule the exec implements
+    "events_asof_nearest" ->
+      s"""SELECT p.event_id, p.user_id,
+         |  CASE WHEN b.event_id IS NOT NULL AND (f.event_id IS NULL OR
+         |         epoch_us(p.ts) - epoch_us(b.ts) <=
+         |         epoch_us(f.ts) - epoch_us(p.ts))
+         |       THEN b.event_id ELSE f.event_id END AS view_event,
+         |  CASE WHEN b.event_id IS NOT NULL AND (f.event_id IS NULL OR
+         |         epoch_us(p.ts) - epoch_us(b.ts) <=
+         |         epoch_us(f.ts) - epoch_us(p.ts))
+         |       THEN epoch_us(p.ts) - epoch_us(b.ts)
+         |       WHEN f.event_id IS NOT NULL
+         |       THEN epoch_us(p.ts) - epoch_us(f.ts) END AS gap_us
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+         |  ON p.user_id = b.user_id AND p.ts >= b.ts
+         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') f
+         |  ON p.user_id = f.user_id AND p.ts <= f.ts
          |ORDER BY p.event_id""".stripMargin,
 
     // native ASOF with the out-of-window matches nulled — DuckDB has no

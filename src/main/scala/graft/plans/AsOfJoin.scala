@@ -55,6 +55,15 @@ import org.apache.spark.sql.functions.col
   * the right cursor after discarding the past — and the cursor is NOT
   * consumed on emit, because the same next-future row can serve several
   * left rows. Tolerance flips to `rightTime − leftTime <= w`.
+  *
+  * NEAREST direction (pandas `direction='nearest'`): the closer of the
+  * backward held row and the forward cursor by absolute time gap, ties
+  * to the BACKWARD row (so an equal-time right row always wins at gap
+  * 0). The merge pass is the backward pass — the held row and the
+  * cursor are both already in hand when a left row emits, so nearest
+  * costs one extra comparison. Gap arithmetic needs a Long-internal
+  * time type (timestamps / epoch longs), enforced at the API layer
+  * like tolerance; tolerance bounds the CHOSEN side's absolute gap.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -64,7 +73,7 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     toleranceUs: Option[Long] = None,
-    forward: Boolean = false) extends BinaryNode {
+    direction: String = "backward") extends BinaryNode {
 
   // left as-of LEFT join: right side becomes nullable.
   override def output: Seq[Attribute] =
@@ -83,7 +92,7 @@ case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     toleranceUs: Option[Long] = None,
-    forward: Boolean = false) extends BinaryExecNode {
+    direction: String = "backward") extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -118,7 +127,8 @@ case class AsOfJoinExec(
     val lOutput = left.output
     val rOutput = right.output
     val tol = toleranceUs
-    val fwd = forward
+    val fwd = direction == "forward"
+    val near = direction == "nearest"
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
 
@@ -204,13 +214,33 @@ case class AsOfJoinExec(
             }
             advanceRight()
           }
-          // tolerance: the latest right row <= t is the only candidate;
-          // if even it is older than the window, the match is null.
-          // Time types with a Long internal form (timestamp micros /
-          // epoch longs) are enforced at the API layer.
-          val inWindow = held != null && (tol.isEmpty ||
-            t.asInstanceOf[Long] - heldTime.asInstanceOf[Long] <= tol.get)
-          resultProj(joined(l, if (inWindow) held else nullRight))
+          if (near) {
+            // nearest: the held row (latest <= t) and the cursor (first
+            // > t for this key; equal-time rows were consumed into held,
+            // so a 0 gap always sits on the backward side) are both in
+            // hand — pick the smaller absolute gap, ties backward.
+            // Long-internal time is enforced at the API layer.
+            val tL = t.asInstanceOf[Long]
+            val bGap = if (held != null)
+              tL - heldTime.asInstanceOf[Long] else Long.MaxValue
+            val fOk = rNext != null && keyOrd.compare(rNextKey, k) == 0 &&
+              rNextTime != null
+            val fGap = if (fOk)
+              rNextTime.asInstanceOf[Long] - tL else Long.MaxValue
+            val m = if (held != null && bGap <= fGap) held
+              else if (fOk) rNext else null
+            val ok = m != null &&
+              (tol.isEmpty || math.min(bGap, fGap) <= tol.get)
+            resultProj(joined(l, if (ok) m else nullRight))
+          } else {
+            // tolerance: the latest right row <= t is the only candidate;
+            // if even it is older than the window, the match is null.
+            // Time types with a Long internal form (timestamp micros /
+            // epoch longs) are enforced at the API layer.
+            val inWindow = held != null && (tol.isEmpty ||
+              t.asInstanceOf[Long] - heldTime.asInstanceOf[Long] <= tol.get)
+            resultProj(joined(l, if (inWindow) held else nullRight))
+          }
         }
       }
     }
@@ -224,9 +254,9 @@ case class AsOfJoinExec(
 /** Planner rule: AsOfJoin logical node -> AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd) =>
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
       AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol,
-        fwd) :: Nil
+        dir) :: Nil
     case _ => Nil
   }
 }
@@ -252,8 +282,8 @@ object AsOf {
       rightPrefix: String = "r_",
       toleranceUs: Option[Long] = None,
       direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asOfJoin: direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asOfJoin: direction must be backward|forward|nearest, got $direction")
     val spark = left.sparkSession
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .experimental
@@ -269,21 +299,22 @@ object AsOf {
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
     val lt = attr(lPlan, time)
-    if (toleranceUs.isDefined) {
-      require(toleranceUs.get >= 0, "asOfJoin: tolerance must be >= 0")
+    if (toleranceUs.isDefined || direction == "nearest") {
+      toleranceUs.foreach(w =>
+        require(w >= 0, "asOfJoin: tolerance must be >= 0"))
+      // both tolerance and nearest do Long gap arithmetic on the time
       val ok = lt.dataType match {
         case _: org.apache.spark.sql.types.LongType |
              _: org.apache.spark.sql.types.TimestampType |
              _: org.apache.spark.sql.types.TimestampNTZType => true
         case _ => false
       }
-      require(ok, s"asOfJoin: tolerance needs a long/timestamp time " +
-        s"column, got ${lt.dataType}")
+      require(ok, s"asOfJoin: tolerance/nearest needs a long/timestamp " +
+        s"time column, got ${lt.dataType}")
     }
     bridge.ofRows(spark, AsOfJoin(
       lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, rightPrefix + key),
-      lt, attr(rPlan, rightPrefix + time), toleranceUs,
-      forward = direction == "forward"))
+      lt, attr(rPlan, rightPrefix + time), toleranceUs, direction))
   }
 }
