@@ -381,6 +381,40 @@ object Events {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // SNAPSHOT DIFF (the change-data-feed readout, Delta CDF shape):
+    // compare the latest-state table AS OF two times and emit one row
+    // per key whose state differs — `insert` (key born after T1) or
+    // `update` (newer version), with old/new versions side by side.
+    // Computed as ONE pass over the history: the T2 state is the
+    // overall latest row, the T1 state the latest among ts < T1 —
+    // both from a single per-key aggregation with conditional max_by,
+    // no second scan and no full-outer join. Append-only changelogs
+    // cannot produce deletes (a key never leaves the state table), so
+    // insert/update is the complete case split here; a delete-bearing
+    // source adds that case to the same plan via a tombstone flag on
+    // max_by. At 100 TB this is |keys|-sized output from one
+    // key-shuffled aggregate — the audit a downstream consumer runs
+    // before trusting an incremental sync.
+    "events_snapshot_diff" -> ((s: SparkSession, d: String) => {
+      val cutoff = lit("2024-01-20 00:00:00").cast(TimestampType)
+      val us = XF.epochUs(col("ts"))
+      val ver = struct(col("us"), col("event_id"))
+      val st = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          us.as("us"), (col("ts") < cutoff).as("old_side"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max_by(col("event_id"), ver).as("new_event_id"),
+          max_by(col("event_id"), when(col("old_side"), ver))
+            .as("old_event_id"))
+      st.filter(col("old_event_id").isNull ||
+          col("old_event_id") =!= col("new_event_id"))
+        .select(col("user_id"), col("event_type"),
+          when(col("old_event_id").isNull, "insert").otherwise("update")
+            .as("change"),
+          col("old_event_id"), col("new_event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // BOT DETECTION — the behavioral-data curation gate: per user, the
     // event rate and the coefficient of variation of inter-arrival
     // gaps (machine traffic is fast AND metronomically regular; humans
@@ -970,6 +1004,29 @@ object Events {
          |  FROM events)
          |WHERE rn = 1
          |ORDER BY user_id, event_type""".stripMargin,
+
+    // oracle: the two as-of states via windowed latest-row, outer-joined
+    // — must equal the Spark side's one-pass conditional max_by form.
+    "events_snapshot_diff" ->
+      s"""WITH nv AS (
+         |  SELECT user_id, event_type, event_id,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events),
+         |ov AS (
+         |  SELECT user_id, event_type, event_id,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+         |SELECT n.user_id, n.event_type,
+         |  CASE WHEN o.event_id IS NULL THEN 'insert' ELSE 'update' END
+         |    AS change,
+         |  o.event_id AS old_event_id, n.event_id AS new_event_id
+         |FROM (SELECT * FROM nv WHERE rn = 1) n
+         |LEFT JOIN (SELECT * FROM ov WHERE rn = 1) o
+         |  ON n.user_id = o.user_id AND n.event_type = o.event_type
+         |WHERE o.event_id IS NULL OR o.event_id <> n.event_id
+         |ORDER BY n.user_id, n.event_type""".stripMargin,
 
     // oracle: the FULL recompute — one aggregation over all history.
     // Matching it proves the base+delta keywise addition is exact.

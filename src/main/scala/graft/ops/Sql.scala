@@ -256,7 +256,33 @@ object Sql {
       |HAVING COUNT(*) >= 2
       |ORDER BY o_custkey""".stripMargin
 
+  // PARAMETERIZED SQL (named parameter markers, SPARK-44066): the text
+  // carries `:name` placeholders and values bind at plan time through
+  // `spark.sql(text, args)` — the injection-safe templating path (the
+  // binding is a literal in the parsed plan, never string splicing), and
+  // bound literals still constant-fold and push down like inline ones.
+  private val paramQuery =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${dsumSql("l_extendedprice * l_discount")} AS discount_revenue
+       |FROM lineitem
+       |WHERE l_quantity >= :minqty AND l_discount BETWEEN :dlo AND :dhi
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val paramOracle =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${dsumSql("l_extendedprice * l_discount")} AS discount_revenue
+       |FROM lineitem
+       |WHERE l_quantity >= CAST(30 AS DOUBLE)
+       |  AND l_discount BETWEEN CAST(0.02 AS DOUBLE)
+       |                     AND CAST(0.08 AS DOUBLE)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sql_param_markers" -> ((s: SparkSession, d: String) => {
+      reg(s, d, "lineitem")
+      s.sql(paramQuery,
+        Map("minqty" -> 30.0, "dlo" -> 0.02, "dhi" -> 0.08))
+    }),
     "sql_udf_scalar" -> ((s: SparkSession, d: String) => {
       reg(s, d, "lineitem"); s.sql(udfScalarCreate); s.sql(udfScalarQuery)
     }),
@@ -302,6 +328,7 @@ object Sql {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_param_markers" -> paramOracle,
     "sql_udf_scalar" -> udfScalarOracle,
     "sql_udf_table" -> udfTableOracle,
     "sql_named_window" -> namedWindow,

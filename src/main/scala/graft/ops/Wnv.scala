@@ -227,6 +227,47 @@ object Wnv {
         .select(col("c_custkey"), col("lon").as("x"), col("lat").as("y"), col("addr_type"))
         .orderBy(col("c_custkey"))),
 
+    // HEX-GRID DENSITY — the H3/hex-bin aggregation every geospatial
+    // heat map runs at scale: each point maps to its pointy-top hexagon
+    // (size 10 000 ft) on the planar state-plane grid via axial
+    // fractional coordinates + cube rounding (round each cube axis,
+    // then repair the axis with the largest rounding error so
+    // x+y+z = 0 holds — the standard algorithm, e.g. Red Blob Games'
+    // hexagon reference; H3 swaps in a geodesic grid, same plan). The
+    // binning is pure narrow math (map-side, codegen'd), the count is
+    // one groupBy on the (q, r) key with map-side partials — the
+    // canonical density plan at 100 TB: no join, no window, key space
+    // = occupied hexes. Every float step is a fixed IEEE chain with
+    // literal constants, mirrored verbatim in the oracle; rounding
+    // (HALF away from zero) agrees between engines.
+    "wnv_hex_density" -> ((s: SparkSession, d: String) => {
+      val size = 10000.0
+      val qf = (lit(0.5773502691896257) * col("x_ft") -
+        lit(0.3333333333333333) * col("y_ft")) / size
+      val rf = (lit(0.6666666666666666) * col("y_ft")) / size
+      val hex = points(s, d)
+        .withColumn("xc", qf).withColumn("zc", rf)
+        .withColumn("yc", -col("xc") - col("zc"))
+        .withColumn("rx", round(col("xc")))
+        .withColumn("ry", round(col("yc")))
+        .withColumn("rz", round(col("zc")))
+        .withColumn("dx", abs(col("rx") - col("xc")))
+        .withColumn("dy", abs(col("ry") - col("yc")))
+        .withColumn("dz", abs(col("rz") - col("zc")))
+        .withColumn("hexq",
+          when(col("dx") > col("dy") && col("dx") > col("dz"),
+            -(col("ry") + col("rz"))).otherwise(col("rx"))
+            .cast(LongType))
+        .withColumn("hexr",
+          when(!(col("dx") > col("dy") && col("dx") > col("dz")) &&
+              !(col("dy") > col("dz")),
+            -(col("rx") + col("ry"))).otherwise(col("rz"))
+            .cast(LongType))
+      hex.groupBy(col("hexq"), col("hexr"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy(col("hexq"), col("hexr"))
+    }),
+
     "wnv_clean_cast" -> ((s: SparkSession, d: String) => {
       // P3: strip quotes/whitespace, try_cast, drop failures (ANSI-safe).
       val dirty = when(col("c_custkey") % 7 === 0, lit(" N/A "))
@@ -383,6 +424,30 @@ object Wnv {
       s"""WITH pts AS ($pointsSql)
          |SELECT c_custkey, lon AS x, lat AS y, addr_type
          |FROM pts ORDER BY c_custkey""".stripMargin,
+
+    // identical IEEE chain and cube-round repair rule
+    "wnv_hex_density" ->
+      s"""WITH pts AS ($pointsSql),
+         |frac AS (
+         |  SELECT (0.5773502691896257 * x_ft - 0.3333333333333333 * y_ft)
+         |           / CAST(10000 AS DOUBLE) AS xc,
+         |         (0.6666666666666666 * y_ft) / CAST(10000 AS DOUBLE) AS zc
+         |  FROM pts),
+         |cube AS (
+         |  SELECT xc, zc, -xc - zc AS yc,
+         |    ROUND(xc) AS rx, ROUND(-xc - zc) AS ry, ROUND(zc) AS rz
+         |  FROM frac),
+         |fix AS (
+         |  SELECT *,
+         |    ABS(rx - xc) AS dx, ABS(ry - yc) AS dy, ABS(rz - zc) AS dz
+         |  FROM cube)
+         |SELECT
+         |  CAST(CASE WHEN dx > dy AND dx > dz THEN -(ry + rz) ELSE rx END
+         |    AS BIGINT) AS hexq,
+         |  CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+         |       THEN -(rx + ry) ELSE rz END AS BIGINT) AS hexr,
+         |  COUNT(*) AS n_points
+         |FROM fix GROUP BY 1, 2 ORDER BY hexq, hexr""".stripMargin,
 
     "wnv_clean_cast" ->
       s"""SELECT c_custkey,

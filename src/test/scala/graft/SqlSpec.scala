@@ -83,6 +83,28 @@ class SqlSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("named parameter markers bind as literals and push down") {
+    val df = SparkEntry.queries("sql_param_markers")(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the bound values behave as plan literals: the quantity/discount
+    // predicates reach the parquet scan as pushed filters
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(l_quantity,30.0)"), plan)
+    val want = graft.sources.Tables.t(spark, sf, "lineitem")
+      .filter(col("l_quantity") >= 30.0 &&
+        col("l_discount").between(0.02, 0.08))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)),
+        graft.functions.XF.dsum(col("l_extendedprice") * col("l_discount")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = rows
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("SQL-defined table UDF behaves as the parameterized view it names") {
     val got = SparkEntry.queries("sql_udf_table")(spark, sf)
       .collect()

@@ -80,4 +80,31 @@ class WnvSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     assert(got === expected)
   }
+
+  test("hex density replays JVM cube rounding; bins partition the points") {
+    val pts = Wnv.points(spark, sf)
+      .select(col("x_ft"), col("y_ft")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    def round0(v: Double): Double = // HALF_UP like Spark's round()
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = pts.map { case (x, y) =>
+      val xc = (0.5773502691896257 * x - 0.3333333333333333 * y) / 10000.0
+      val zc = (0.6666666666666666 * y) / 10000.0
+      val yc = -xc - zc
+      val (rx, ry, rz) = (round0(xc), round0(yc), round0(zc))
+      val (dx, dy, dz) = (math.abs(rx - xc), math.abs(ry - yc), math.abs(rz - zc))
+      if (dx > dy && dx > dz) ((-(ry + rz)).toLong, rz.toLong)
+      else if (dy > dz) (rx.toLong, rz.toLong)
+      else (rx.toLong, (-(rx + ry)).toLong)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("wnv_hex_density")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    // the binning is a partition of the point set
+    assert(got.values.sum === pts.length.toLong)
+    // repaired coordinates satisfy the cube constraint by construction:
+    // q + r + s = 0 with s = -q - r, so just sanity-check spread
+    assert(got.size > 1, "all points in one hex — size too large")
+  }
 }
