@@ -19,7 +19,9 @@ class PlanShapeSpec extends SparkSpec {
     "dedup_containment",      // prefix-vs-index shingle equi-join
     "dedup_minhash_estimate", // band-bucket candidates
     "curate_pipeline_e2e",    // hash-partition dedup + broadcast strata
-    "events_attribution")     // user_id equi-join, time residual
+    "events_attribution",     // user_id equi-join, time residual
+    "sim_ivfpq_topk",         // cell+code equi-keys on the ADC join
+    "curate_dsir")            // broadcast 64-row weights, doc-keyed agg
 
   mustBeEquiJoined.foreach { q =>
     test(s"$q plans without cartesian or nested-loop joins") {
@@ -198,7 +200,8 @@ class PlanShapeSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  Seq("events_concurrency_curve", "parts_abc_pareto", "orders_rfm")
+  Seq("events_concurrency_curve", "parts_abc_pareto", "orders_rfm",
+      "mm_shard_manifest")
     .foreach { q =>
       test(s"$q: global windows only over bucket-count-bounded frames") {
         import org.apache.spark.sql.execution.window.WindowExec
@@ -242,7 +245,13 @@ class PlanShapeSpec extends SparkSpec {
     // round-7 bench reordering (full-scan warmup removed cold-read
     // noise): the queries that entered the top 10 get ceilings too
     "text_cooc_lift" -> 4, "agg_ddsketch_calibration" -> 2,
-    "agg_approx_calibration" -> 3, "curate_boilerplate" -> 4)
+    "agg_approx_calibration" -> 3, "curate_boilerplate" -> 4,
+    // round-7 additions (ceilings off ExchangeCount at sf0.001/4 cores,
+    // +1 headroom where a borderline broadcast could flip)
+    "curate_dsir" -> 5, "sim_ivfpq_topk" -> 8, "mm_shard_manifest" -> 5,
+    "wnv_hex_density" -> 2, "events_snapshot_diff" -> 3,
+    "stream_heavy_hitters" -> 3, "events_incremental_rollup" -> 4,
+    "events_daily_ewma" -> 4, "emb_top1_residual" -> 4)
 
   shuffleCeilings.foreach { case (q, ceiling) =>
     test(s"$q: at most $ceiling shuffle exchanges") {
