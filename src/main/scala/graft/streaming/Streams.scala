@@ -374,6 +374,54 @@ object Streams {
       }
   }
 
+  case class UserSpend(user_id: Long, n: Long, total_cents: Long)
+
+  /** TRANSFORM-WITH-STATE (Spark 4's arbitrary-state v2 API,
+    * SPARK-46815): the successor to flatMapGroupsWithState — typed
+    * state HANDLES (value/list/map) acquired by name in `init`, each
+    * independently TTL-able and schema-evolvable, running only on the
+    * RocksDB state-store provider (state lives off-heap/on-disk — the
+    * 100 TB posture; StreamsSpec runs this under
+    * RocksDBStateStoreProvider, which also pins that the bundled
+    * RocksDB store actually works in this build). The processor keeps
+    * one ValueState of exact (count, cents) per user and emits the
+    * updated pair per batch — `runningTotals`' semantics on the new
+    * API, with exact integer cents instead of float accumulation.
+    */
+  class SpendProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, UserSpend] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("spend",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSpend] = {
+      val prev = if (st.exists()) st.get() else (0L, 0L)
+      var n = prev._1
+      var cents = prev._2
+      rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+      st.update((n, cents))
+      Iterator(UserSpend(key, n, cents))
+    }
+  }
+
+  def spendTotals(events: Dataset[Ev]): Dataset[UserSpend] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   case class DaySketch(day: String, users: Seq[Long], counts: Seq[Long])
 
   /** Counter budget for the streaming heavy-hitter sketch. */

@@ -380,6 +380,46 @@ class StreamsSpec extends SparkSpec {
     assert(got === Map(2L -> -1L, 3L -> 1L))
   }
 
+  test("transformWithState spend totals run on RocksDB and match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB provider — running it here
+    // also pins that the bundled off-heap store works in this build
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val evs = sampleEvents()
+      val mem = MemoryStream[Ev]
+      val query = Streams.spendTotals(mem.toDS()).writeStream
+        .format("memory").queryName("spend").outputMode("update").start()
+      try {
+        val (b1, b2) = evs.splitAt(evs.length / 2)
+        mem.addData(b1); query.processAllAvailable()
+        mem.addData(b2); query.processAllAvailable()
+      } finally query.stop()
+      // final emission per user = max n (counts only grow)
+      val got = spark.table("spend")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("total_cents"))).as("s"))
+        .select(col("user_id"), col("s.n"), col("s.total_cents"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = evs.groupBy(_.user_id).map { case (u, es) =>
+        u -> ((es.size.toLong, es.map(e => math.round(e.value * 100)).sum))
+      }
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming heavy-hitter sketch converges to exact day counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
