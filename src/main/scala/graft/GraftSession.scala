@@ -45,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // optimizer tier: band-join theta→equi rewrite (see plans.BandJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
+    // and its 2-D twin: distance theta-join → 3×3 grid-cell equi-join
+    ext.injectOptimizerRule(_ => graft.plans.DistJoinRule)
   }
 }
 

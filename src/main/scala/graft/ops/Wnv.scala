@@ -268,6 +268,33 @@ object Wnv {
         .orderBy(col("hexq"), col("hexr"))
     }),
 
+    // SPATIAL PROXIMITY SELF-JOIN, RULE-PLANNED: point pairs within the
+    // reference's 1500 ft buffer radius (GSheetsETL_Lab2.py:129),
+    // written as the PLAIN theta join — no hand bucketing. Catalyst
+    // alone would plan a CartesianProduct (no equi key);
+    // [[graft.plans.DistJoinRule]] — the 2-D twin of the band-join
+    // rule — rewrites it to the 3×3 grid-cell equi-join with the exact
+    // squared-distance predicate as residual (cell size = the radius,
+    // one ulp up). The oracle stays the naive theta join: the rewrite
+    // must be lossless pair for pair. This is the automated form of
+    // the hand-written WNV erase grid — the operator a user writes
+    // naively and the planner fixes.
+    "wnv_point_pairs_auto" -> ((s: SparkSession, d: String) => {
+      graft.plans.DistJoinRule.register(s)
+      val a = points(s, d)
+        .select(col("c_custkey").as("i"), col("x_ft").as("axf"),
+          col("y_ft").as("ayf"))
+      val b = points(s, d)
+        .select(col("c_custkey").as("j"), col("x_ft").as("bxf"),
+          col("y_ft").as("byf"))
+      val d2 = (col("axf") - col("bxf")) * (col("axf") - col("bxf")) +
+        (col("ayf") - col("byf")) * (col("ayf") - col("byf"))
+      a.join(b, col("i") < col("j") && d2 <= lit(1500.0 * 1500.0))
+        .select(col("i"), col("j"),
+          graft.functions.XF.r6(sqrt(d2)).as("dist_ft"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     "wnv_clean_cast" -> ((s: SparkSession, d: String) => {
       // P3: strip quotes/whitespace, try_cast, drop failures (ANSI-safe).
       val dirty = when(col("c_custkey") % 7 === 0, lit(" N/A "))
@@ -424,6 +451,19 @@ object Wnv {
       s"""WITH pts AS ($pointsSql)
          |SELECT c_custkey, lon AS x, lat AS y, addr_type
          |FROM pts ORDER BY c_custkey""".stripMargin,
+
+    // the naive theta join — the rewrite must be lossless pair for pair
+    "wnv_point_pairs_auto" -> {
+      val d2 = "(a.x_ft - b.x_ft) * (a.x_ft - b.x_ft) + " +
+        "(a.y_ft - b.y_ft) * (a.y_ft - b.y_ft)"
+      s"""WITH pts AS ($pointsSql)
+         |SELECT a.c_custkey AS i, b.c_custkey AS j,
+         |  ROUND(sqrt($d2), 6) AS dist_ft
+         |FROM pts a JOIN pts b
+         |  ON a.c_custkey < b.c_custkey
+         | AND $d2 <= CAST(2250000 AS DOUBLE)
+         |ORDER BY i, j""".stripMargin
+    },
 
     // identical IEEE chain and cube-round repair rule
     "wnv_hex_density" ->
