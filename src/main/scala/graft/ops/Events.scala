@@ -810,6 +810,56 @@ object Events {
             terms.map(_._2).reduce(_ + _).cast(DoubleType)))
         .select(col("event_type"), col("day"), col("n"), col("ewma"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // GAP FILL WITH LINEAR INTERPOLATION — the other half of time-series
+    // resampling (events_daily_ewma zero-fills COUNTS; a sampled
+    // MEASUREMENT needs interpolation): the sparse high-value slice
+    // (value > 300, a low-rate severity signal) is laid on the full
+    // calendar spine, and each missing day takes
+    // prev + (next − prev)·(d − d_prev)/(d_next − d_prev) between its
+    // nearest observations (LOCF past the last one, backfill before the
+    // first — pandas interpolate + ffill/bfill semantics). The
+    // neighbor search is two IGNORE-NULLS window passes per type
+    // (frames over the |days|-bounded spine, never the corpus); daily
+    // means are exact-decimal sums with one division, and the
+    // interpolation is a fixed IEEE chain on 1e-6-rounded operands —
+    // engine-stable. Scale shape identical to the ewma: one corpus
+    // aggregate, everything after runs on |types|×|days| rows.
+    "events_gap_fill_interp" -> ((s: SparkSession, d: String) => {
+      val ev = t(s, d, "events").filter(col("value") > 300.0)
+      val daily = ev
+        .groupBy(col("event_type"), XF.dateS(col("ts")).as("day"))
+        .agg(XF.r6(XF.dsum(col("value")) / count(lit(1))).as("v"))
+      val days = ev
+        .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("dt"))
+        .select(date_format(col("dt"), "yyyy-MM-dd").as("day"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(days))
+      val filled = spine.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("dn", datediff(to_date(col("day")),
+          lit("1970-01-01").cast(DateType)))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+      val obsDn = when(col("v").isNotNull, col("dn"))
+      filled
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(obsDn, ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(obsDn, ignoreNulls = true).over(wNext))
+        .withColumn("value",
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull, XF.r6(
+              col("pv") + (col("nv") - col("pv")) *
+                (col("dn") - col("pd")).cast(DoubleType) /
+                (col("nd") - col("pd")).cast(DoubleType)))
+            .when(col("pv").isNotNull, col("pv"))
+            .otherwise(col("nv")))
+        .select(col("event_type"), col("day"),
+          col("v").isNotNull.as("observed"), col("value"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -1327,6 +1377,52 @@ object Events {
          |SELECT event_type, day, n,
          |  ROUND(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) AS ewma
          |FROM l ORDER BY event_type, day""".stripMargin
-    }
+    },
+
+    // same spine, same IGNORE-NULLS neighbor windows, same IEEE chain
+    "events_gap_fill_interp" ->
+      s"""WITH ev AS (
+         |  SELECT * FROM events WHERE value > CAST(300 AS DOUBLE)),
+         |daily AS (
+         |  SELECT event_type, ${XF.dateSSql("ts")} AS day,
+         |    ROUND(${XF.dsumSql("value")} / COUNT(*), 6) AS v
+         |  FROM ev GROUP BY 1, 2),
+         |span AS (
+         |  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+         |  FROM ev),
+         |days AS (
+         |  SELECT strftime(dt, '%Y-%m-%d') AS day
+         |  FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) t(dt)),
+         |filled AS (
+         |  SELECT ty.event_type, days.day, daily.v,
+         |    date_diff('day', DATE '1970-01-01', CAST(days.day AS DATE))
+         |      AS dn
+         |  FROM (SELECT DISTINCT event_type FROM ev) ty
+         |  CROSS JOIN days
+         |  LEFT JOIN daily ON daily.event_type = ty.event_type
+         |    AND daily.day = days.day),
+         |nb AS (
+         |  SELECT *,
+         |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+         |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+         |      PRECEDING) AS pv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+         |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+         |      ORDER BY day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED
+         |      FOLLOWING) AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+         |  FROM filled)
+         |SELECT event_type, day, v IS NOT NULL AS observed,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |         ROUND(pv + (nv - pv) * CAST(dn - pd AS DOUBLE)
+         |           / CAST(nd - pd AS DOUBLE), 6)
+         |       WHEN pv IS NOT NULL THEN pv
+         |       ELSE nv END AS value
+         |FROM nb ORDER BY event_type, day""".stripMargin
   )
 }

@@ -800,6 +800,42 @@ object Similarity {
         .orderBy(col("label"))
     }),
 
+    // HARD-NEGATIVE MINING — the contrastive-training data op (DPR /
+    // ANCE shape): for each query vector, the most cosine-similar
+    // vectors with a DIFFERENT label — semantically-close,
+    // differently-labeled examples are exactly the negatives that make
+    // an embedding model learn. Candidate generation is the SAME IVF
+    // cell equi-join as the ANN family (the production pattern: mine
+    // negatives from the live index, not a fresh scan), labels ride a
+    // broadcast dim join, ranking is the exact quantized cosine, top-3
+    // per query via the per-query window. Scale shape: per-query cost
+    // is |cell|, the label table broadcasts, and widening recall is
+    // the same nprobe knob the ANN rows measure.
+    "sim_hard_negatives" -> ((s: SparkSession, d: String) => {
+      val labels = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val cells = ivfCells(s, d)
+      val qs = qEmb(s, d).filter(col("vec_id") % 50 === 0)
+        .join(cells, Seq("vec_id")).join(broadcast(labels), Seq("vec_id"))
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          col("n2").as("qn2"), col("cell"), col("label").as("qlabel"))
+      val cand = qEmb(s, d)
+        .join(cells, Seq("vec_id")).join(broadcast(labels), Seq("vec_id"))
+        .select(col("vec_id").as("cid"), col("q").as("cv"),
+          col("n2").as("cn2"), col("cell"), col("label").as("clabel"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      broadcast(qs).join(cand, Seq("cell"))
+        .filter(col("qlabel") =!= col("clabel"))
+        .withColumn("cos",
+          qcos(idot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("qlabel"), col("cid"),
+          col("clabel"), col("cos"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // pairwise similarity matrix for a tiny id range — the exhaustive
     // debugging view (bounded output: 20×20).
     "sim_pair_matrix" -> ((s: SparkSession, d: String) => {
@@ -1076,6 +1112,38 @@ object Similarity {
          |FROM ranked r JOIN qn a ON a.vec_id = r.qid
          |  JOIN qn b ON b.vec_id = r.cid
          |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
+    },
+
+    // same IVF assignment; negatives = same-cell, different-label,
+    // ranked by the exact quantized cosine
+    "sim_hard_negatives" -> {
+      val cosVC = qcosSql(idotSql("v.q", "c.cq"), "v.n2", "c.cn2")
+      val cosQC = qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")
+      s"""WITH $qEmbSql,
+         |fcents AS (SELECT vec_id AS cvid, q AS cq, n2 AS cn2
+         |           FROM qn WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT vec_id, cvid AS cell FROM (
+         |    SELECT v.vec_id, c.cvid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY $cosVC DESC, c.cvid) AS arn
+         |    FROM qn v CROSS JOIN fcents c)
+         |  WHERE arn = 1),
+         |scored AS (
+         |  SELECT a.vec_id AS qid, ea.label AS qlabel, b.vec_id AS cid,
+         |    eb.label AS clabel, $cosQC AS cos
+         |  FROM qn a JOIN assigned aa ON aa.vec_id = a.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN assigned ab ON ab.cell = aa.cell
+         |  JOIN qn b ON b.vec_id = ab.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE a.vec_id % 50 = 0 AND ea.label <> eb.label),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, cid) AS rnk
+         |  FROM scored)
+         |SELECT qid, qlabel, cid, clabel, cos, CAST(rnk AS INTEGER) AS rnk
+         |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
     },
 
     "sim_topk_bruteforce" ->

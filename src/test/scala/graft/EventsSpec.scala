@@ -370,6 +370,52 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("gap-fill interpolation replays brute-force with both edge rules") {
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = graft.sources.Tables.t(spark, sf, "events")
+      .filter(col("value") > 300.0)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assume(evs.nonEmpty, "no high-value events in this slice")
+    val daily = evs.groupBy(e => (e._1, e._2)).map { case (k, rows) =>
+      k -> r6(rows.map(e => BigDecimal(e._3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / rows.length)
+    }
+    val allDays = {
+      val ds = evs.map(_._2)
+      val d0 = java.time.LocalDate.parse(ds.min)
+      val d1 = java.time.LocalDate.parse(ds.max)
+      Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+        .map(_.toString).toSeq
+    }
+    val want = evs.map(_._1).distinct.flatMap { ty =>
+      val series = allDays.zipWithIndex.map { case (day, i) =>
+        (day, i, daily.get((ty, day)))
+      }
+      series.map { case (day, i, v) =>
+        val filled = v.getOrElse {
+          val prev = series.take(i).reverse.find(_._3.isDefined)
+          val next = series.drop(i + 1).find(_._3.isDefined)
+          (prev, next) match {
+            case (Some(p), Some(n)) => r6(p._3.get +
+              (n._3.get - p._3.get) * (i - p._2).toDouble / (n._2 - p._2))
+            case (Some(p), None) => p._3.get
+            case (None, Some(n)) => n._3.get
+            case _ => Double.NaN
+          }
+        }
+        (ty, day) -> ((v.isDefined, filled))
+      }
+    }.toMap
+    val got = SparkEntry.queries("events_gap_fill_interp")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getBoolean(2), r.getDouble(3)))).toMap
+    assert(got === want)
+  }
+
   test("daily ewma fills the calendar spine and replays brute-force") {
     def r6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -307,6 +307,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("hard negatives: same cell, different label, exact top-3 order") {
+    val cells = graft.ops.Similarity.ivfCells(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = pcaCells.toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(v => v * v).sum.toDouble)
+      val nb = math.sqrt(b.map(v => v * v).sum.toDouble)
+      dot.toDouble / (na * nb)
+    }
+    val want = vecs.keys.filter(_ % 50 == 0).toSeq.sorted.flatMap { q =>
+      vecs.keys
+        .filter(c => cells(c) == cells(q) && labels(c) != labels(q))
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .toSeq.sortBy { case (c, s) => (-s, c) }.take(3).zipWithIndex
+        .map { case ((c, _), i) => (q, c, i + 1) }
+    }
+    val got = graft.SparkEntry.queries("sim_hard_negatives")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(5)))
+    assert(got.toSeq === want)
+    // every mined negative really is differently labeled, same cell
+    graft.SparkEntry.queries("sim_hard_negatives")(spark, sf)
+      .collect().foreach { r =>
+        assert(r.getInt(1) !== r.getInt(3))
+        assert(cells(r.getLong(0)) === cells(r.getLong(2)))
+      }
+  }
+
   test("top-1 residual shares replay exactly and sit in [0, 1]") {
     def r6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
