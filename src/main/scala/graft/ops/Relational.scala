@@ -1261,6 +1261,42 @@ object Relational {
         .orderBy(col("n_tri").desc, col("part")).limit(30)
     }),
 
+    // LINK PREDICTION (common-neighbors / Jaccard) — the third classic
+    // graph readout next to PageRank (importance) and triangles
+    // (cohesion): propose part pairs NOT currently co-purchased whose
+    // neighborhoods overlap — wedge pairs through a shared neighbor,
+    // counted per (u, w), anti-joined against the existing edge set,
+    // scored cn / (deg_u + deg_w − cn) (exact integers, one IEEE
+    // division, r6). Reads the same memoized co-purchase edge artifact
+    // as the rest of the family. Scale: wedge volume is Σ deg(v)² —
+    // the hub hazard; at 100 TB cap per-node adjacency at k before the
+    // wedge join (top-k by support) or swap neighborhoods for MinHash
+    // signatures (dedup_minhash's machinery verbatim) — ranking, anti
+    // join and output contract unchanged.
+    "graph_link_prediction" -> ((s: SparkSession, d: String) => {
+      val e = copurchasePairs(s, d).select(col("pa"), col("pb"))
+      val adj = e.unionByName(
+        e.select(col("pb").as("pa"), col("pa").as("pb")))
+        .select(col("pa").as("v"), col("pb").as("nb"))
+      val cand = adj.select(col("v"), col("nb").as("u"))
+        .join(adj.select(col("v"), col("nb").as("w")), Seq("v"))
+        .filter(col("u") < col("w"))
+        .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 2)
+      val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      cand
+        .join(e.select(col("pa").as("u"), col("pb").as("w")),
+          Seq("u", "w"), "left_anti")
+        .join(deg.select(col("v").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("v").as("w"), col("deg").as("dw")), Seq("w"))
+        .select(col("u"), col("w"), col("cn"),
+          r6(col("cn").cast(DoubleType) /
+            (col("du") + col("dw") - col("cn")).cast(DoubleType))
+            .as("jaccard"))
+        .orderBy(col("cn").desc, col("jaccard").desc, col("u"), col("w"))
+        .limit(30)
+    }),
+
     // TPC-H Q13 shape — customer order-count distribution: LEFT join so
     // zero-order customers land in the c_count = 0 bucket, then a
     // histogram over the per-customer counts. Two aggregations whose
@@ -2326,6 +2362,29 @@ object Relational {
         |SELECT CAST(part AS BIGINT) AS part, COUNT(*) AS n_tri
         |FROM nodes GROUP BY 1
         |ORDER BY n_tri DESC, part LIMIT 30""".stripMargin,
+
+    "graph_link_prediction" ->
+      """WITH bk AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS pa, b.pk AS pb
+        |  FROM bk a JOIN bk b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (
+        |  SELECT pa AS v, pb AS nb FROM e
+        |  UNION ALL SELECT pb, pa FROM e),
+        |cand AS (
+        |  SELECT x.nb AS u, y.nb AS w, COUNT(*) AS cn
+        |  FROM adj x JOIN adj y ON x.v = y.v AND x.nb < y.nb
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY 1)
+        |SELECT u, w, cn,
+        |  ROUND(CAST(cn AS DOUBLE) / CAST(a.deg + b.deg - cn AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM cand
+        |JOIN deg a ON a.v = u JOIN deg b ON b.v = w
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE pa = u AND pb = w)
+        |ORDER BY cn DESC, jaccard DESC, u, w LIMIT 30""".stripMargin,
 
     "q13_order_dist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (

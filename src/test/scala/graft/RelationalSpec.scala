@@ -363,6 +363,35 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("link prediction replays brute-force and proposes only non-edges") {
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = baskets.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cand = adj.groupBy(_._1).values.flatMap { nbrs =>
+      val ns = nbrs.map(_._2).toSeq.sorted
+      for (i <- ns.indices; j <- i + 1 until ns.length) yield (ns(i), ns(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (p, cn) => cn >= 2 && !pairs.contains(p) }
+    val want = cand.toSeq.map { case ((u, w), cn) =>
+      (u, w, cn, r6(cn.toDouble / (deg(u) + deg(w) - cn).toDouble))
+    }.sortBy { case (u, w, cn, j) => (-cn, -j, u, w) }.take(30)
+    val got = SparkEntry.queries("graph_link_prediction")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    got.foreach { case (u, w, _, _) => assert(!pairs.contains((u, w))) }
+  }
+
   test("q13 histogram masses add up to the customer count") {
     val rows = SparkEntry.queries("q13_order_dist")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
