@@ -21,7 +21,9 @@ class PlanShapeSpec extends SparkSpec {
     "curate_pipeline_e2e",    // hash-partition dedup + broadcast strata
     "events_attribution",     // user_id equi-join, time residual
     "sim_ivfpq_topk",         // cell+code equi-keys on the ADC join
-    "curate_dsir")            // broadcast 64-row weights, doc-keyed agg
+    "curate_dsir",            // broadcast 64-row weights, doc-keyed agg
+    "sim_hard_negatives",     // cell equi-join candidates
+    "graph_link_prediction")  // wedge + anti joins, all keyed
 
   mustBeEquiJoined.foreach { q =>
     test(s"$q plans without cartesian or nested-loop joins") {
@@ -251,7 +253,10 @@ class PlanShapeSpec extends SparkSpec {
     "curate_dsir" -> 5, "sim_ivfpq_topk" -> 8, "mm_shard_manifest" -> 5,
     "wnv_hex_density" -> 2, "events_snapshot_diff" -> 3,
     "stream_heavy_hitters" -> 3, "events_incremental_rollup" -> 4,
-    "events_daily_ewma" -> 4, "emb_top1_residual" -> 4)
+    "events_daily_ewma" -> 4, "emb_top1_residual" -> 4,
+    "wnv_point_pairs_auto" -> 2, "events_gap_fill_interp" -> 4,
+    "sim_hard_negatives" -> 3, "graph_link_prediction" -> 9,
+    "events_asof_nearest" -> 3)
 
   shuffleCeilings.foreach { case (q, ceiling) =>
     test(s"$q: at most $ceiling shuffle exchanges") {
