@@ -1278,11 +1278,13 @@ object Relational {
       val adj = e.unionByName(
         e.select(col("pb").as("pa"), col("pa").as("pb")))
         .select(col("pa").as("v"), col("pb").as("nb"))
+      // every wedge pair is a candidate (no cn floor: the support-≥2
+      // edge graph thins as the catalog grows — at sf0.1 no non-edge
+      // pair reaches 2 shared neighbors, found by the 10× scale check)
       val cand = adj.select(col("v"), col("nb").as("u"))
         .join(adj.select(col("v"), col("nb").as("w")), Seq("v"))
         .filter(col("u") < col("w"))
         .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
-        .filter(col("cn") >= 2)
       val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
       cand
         .join(e.select(col("pa").as("u"), col("pb").as("w")),
@@ -2376,7 +2378,7 @@ object Relational {
         |cand AS (
         |  SELECT x.nb AS u, y.nb AS w, COUNT(*) AS cn
         |  FROM adj x JOIN adj y ON x.v = y.v AND x.nb < y.nb
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |  GROUP BY 1, 2),
         |deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY 1)
         |SELECT u, w, cn,
         |  ROUND(CAST(cn AS DOUBLE) / CAST(a.deg + b.deg - cn AS DOUBLE), 6)

@@ -424,8 +424,14 @@ object Streams {
 
   case class DaySketch(day: String, users: Seq[Long], counts: Seq[Long])
 
-  /** Counter budget for the streaming heavy-hitter sketch. */
-  val HittersK = 256
+  /** Counter budget for the streaming heavy-hitter sketch. Sized so the
+    * per-day key universe of EVERY testdata scale fits (sf0.1 peaks at
+    * 1 356 distinct users/day — found the hard way: k=256 was exact at
+    * sf0.01 and silently stressed at 10×), keeping the oracle in the
+    * exact regime across the scale sweep; past k the PODS'12 bound is
+    * the contract, as `agg_heavy_hitters` demonstrates at k=8.
+    */
+  val HittersK = 2048
 
   /** STREAMING HEAVY HITTERS — the mergeable-sketch-as-stream-state
     * pattern: keyed by event day, state is ONE Misra-Gries counter set
@@ -498,9 +504,9 @@ object Streams {
     // (one |days|-key shuffle, O(k) partials), unpacked and ranked to
     // the top-5 users per day. The per-day window runs over <= k
     // sketch rows, never the corpus. Oracle-checkable BECAUSE the
-    // day's distinct users fit the k=256 counter budget (exact
-    // regime: estimates are true counts, merge-order independent);
-    // the stressed regime's bound is agg_heavy_hitters' row.
+    // day's distinct users fit the counter budget (exact regime:
+    // estimates are true counts, merge-order independent); the
+    // stressed regime's bound is agg_heavy_hitters' row.
     "stream_heavy_hitters" -> ((s: SparkSession, d: String) => {
       val mg = udaf(new graft.functions.MisraGriesAgg(HittersK),
         org.apache.spark.sql.Encoders.scalaLong)

@@ -379,7 +379,7 @@ class RelationalSpec extends SparkSpec {
       val ns = nbrs.map(_._2).toSeq.sorted
       for (i <- ns.indices; j <- i + 1 until ns.length) yield (ns(i), ns(j))
     }.groupBy(identity).view.mapValues(_.size.toLong)
-      .filter { case (p, cn) => cn >= 2 && !pairs.contains(p) }
+      .filter { case (p, _) => !pairs.contains(p) }
     val want = cand.toSeq.map { case ((u, w), cn) =>
       (u, w, cn, r6(cn.toDouble / (deg(u) + deg(w) - cn).toDouble))
     }.sortBy { case (u, w, cn, j) => (-cn, -j, u, w) }.take(30)
