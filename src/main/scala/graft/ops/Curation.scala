@@ -238,6 +238,47 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // WEIGHTED SYSTEMATIC (PPS) SAMPLE — probability-proportional-to-
+    // size selection with INTEGER-EXACT arithmetic end to end: orders
+    // weighted by exact long cents, laid on a deterministic
+    // hash-shuffled global order (reproducible "randomness" — the same
+    // no-rand() discipline as every sampler here), cumulative weight by
+    // the DISTRIBUTED two-level scan (Scan.runningOver — never a global
+    // single-task window), and a row is selected exactly when its
+    // cumulative interval crosses a multiple of step = ⌊total/n⌋ (the
+    // classic systematic PPS rule: inclusion probability w/step, the
+    // Horvitz-Thompson readout ships as ht_weight). Every comparison is
+    // long-integer floor division — no float, no transcendental, no
+    // cross-engine tie hazard. The textbook alternative (Efraimidis-
+    // Spirakis u^(1/w) keys) needs pow(); this form is the one that
+    // hash-compares bit-for-bit across engines AND parallelism.
+    "sample_weighted" -> ((s: SparkSession, d: String) => {
+      def idiv(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        ((a - pmod(a, b)) / b).cast(LongType)
+      val ob = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast(LongType).as("w"),
+          XF.h32(concat(lit("pps:"), col("o_orderkey").cast(StringType)))
+            .as("hv"))
+        .localCheckpoint() // runningOver reads it three times
+      val step = ob.agg(sum(col("w")).as("tw"))
+        .select(((col("tw") - pmod(col("tw"), lit(1000L))) / 1000L)
+          .cast(LongType).as("s"))
+      val cum = Scan.runningOver(ob, v = col("hv"), desc = false,
+        order = Seq(col("hv"), col("o_orderkey")),
+        outs = Seq(("cum", col("w"))))
+      cum.crossJoin(broadcast(step))
+        .filter(idiv(col("cum"), col("s")) >
+          idiv(col("cum") - col("w"), col("s")))
+        .select(col("o_orderkey"), col("w").as("weight_cents"),
+          col("cum").as("cum_cents"),
+          idiv(col("cum"), col("s")).as("grid_cell"),
+          XF.r6(col("s").cast(DoubleType) / col("w").cast(DoubleType))
+            .as("ht_weight"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // composite curation GATE: the single-scan keep/drop decision with
     // per-reason flags (length floor, token-diversity floor) — the final
     // filter step of a quality pipeline, kept embarrassingly parallel:
@@ -418,6 +459,26 @@ object Curation {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // the oracle's window runs the same (hv, key) global order; DuckDB's
+    // // is floor division on positive longs = the Spark idiv form.
+    "sample_weighted" ->
+      s"""WITH ob AS (
+         |  SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS w,
+         |    ${XF.h32Sql("'pps:' || CAST(o_orderkey AS VARCHAR)")} AS hv
+         |  FROM orders),
+         |cw AS (SELECT o_orderkey, w,
+         |         CAST(SUM(w) OVER (ORDER BY hv, o_orderkey) AS BIGINT)
+         |           AS cum
+         |       FROM ob),
+         |tt AS (SELECT CAST(SUM(w) AS BIGINT) // 1000 AS s FROM ob)
+         |SELECT o_orderkey, w AS weight_cents, cum AS cum_cents,
+         |  cum // s AS grid_cell,
+         |  ROUND(CAST(s AS DOUBLE) / CAST(w AS DOUBLE), 6) AS ht_weight
+         |FROM cw, tt
+         |WHERE cum // s > (cum - w) // s
+         |ORDER BY o_orderkey""".stripMargin,
+
     "text_contamination" ->
       s"""WITH sh AS (${shinglesSql(ContamK)}),
          |bench AS (SELECT DISTINCT s FROM sh WHERE source = '$BenchSource'),

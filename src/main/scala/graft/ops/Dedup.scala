@@ -837,8 +837,146 @@ object Dedup {
               col("r.n_true").cast(DoubleType)))
             .otherwise(lit(0.0)).as("pair_recall"))
         .orderBy(col("cos_min"), col("probe_hamming"))
+    }),
+
+    // DUPLICATE-SUBSTRING SPANS — the exact-substring complement to the
+    // document-level near-dup family (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better", ACL'22: remove any
+    // substring of ≥ K tokens that occurs twice anywhere in the corpus).
+    // The suffix-array of the paper is a single-machine structure; the
+    // distributed equivalent used here is POSITIONAL K-GRAMS: a
+    // duplicated span of length ≥ K contains a duplicated K-gram at
+    // every start offset, so (1) hash every K-token window (one
+    // per-row array pass over the token array — no self-join, no
+    // window function), (2) one hash-groupBy finds K-grams with
+    // global occurrence ≥ 2 (map-side partials collapse the unique
+    // mass — the overwhelming majority — before the shuffle), (3) an
+    // equi-join marks the duplicated start positions, and (4) a
+    // PER-DOCUMENT gaps-and-islands window (partitioned by doc_id —
+    // bounded by document length, never corpus-sized) merges starts
+    // within K of each other into maximal duplicated spans. At 100 TB
+    // every stage is a narrow scan or a keyed shuffle; the dup-hash
+    // table is duplicate-density-sized and Bloom/AQE-prunable on the
+    // join back.
+    "dedup_dup_spans" -> ((s: SparkSession, d: String) => {
+      val dp = dupKgramStarts(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      dp
+        .withColumn("prev", lag(col("pos"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("pos") - col("prev") > SpanK, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + (SpanK - 1)).as("span_end"),
+          count(lit(1)).as("n_dup_kgrams"))
+        .withColumn("span_tokens",
+          col("span_end") - col("span_start") + 1)
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_tokens"), col("n_dup_kgrams"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // DUPLICATE-SUBSTRING REMOVAL — the apply step of the span finder:
+    // every token covered by ANY duplicated K-gram window is cut, the
+    // survivors re-concatenate in order, and the readout is the
+    // per-document removal accounting plus the md5 fingerprint of the
+    // cleaned text (the value a downstream exact-dedup pass would key
+    // on). Coverage positions come from exploding each duplicated
+    // start to its K offsets + distinct (≤ K× the duplicated-start
+    // frame, far below token count); the surviving-token concat is a
+    // per-document sort of a bounded (document-length) collected
+    // array — the same per-doc-bounded shape as the span window.
+    "dedup_span_removal" -> ((s: SparkSession, d: String) => {
+      val cover = dupKgramStarts(s, d)
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (SpanK - 1)))
+            .as("cpos"))
+        .distinct()
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("cpos"),
+          col("w"))
+      val clean = toks
+        .join(cover, Seq("doc_id", "cpos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("cpos"), col("w")))),
+          x => x.getField("w"))).as("clean_text"))
+      val dupN = cover.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dup_tokens"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .join(dupN, Seq("doc_id"), "left")
+        .join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          XF.r6(coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)).as("dup_fraction"),
+          md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  // ---- duplicate-substring machinery ----------------------------------
+
+  /** Span window width in tokens (the Lee et al. paper uses 50 BPE
+    * tokens at web scale; 8 keeps the testdata's duplicate structure
+    * visible — the plan is width-independent).
+    */
+  private val SpanK = 8
+
+  /** 60-bit md5-prefix hash both engines compute identically (the
+    * [[shingleSql]] device widened to 15 hex digits: birthday-safe for
+    * corpus-scale K-gram counts, still inside signed-long range for
+    * DuckDB's hex cast).
+    */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  private def h60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Start positions (1-based, long) of every K-gram whose hash occurs
+    * ≥ 2 times corpus-wide — the shared frame behind both
+    * duplicate-substring queries. One narrow pass builds the positional
+    * K-gram hashes from each row's token array (`transform` over the
+    * valid start indices + `posexplode` — no join, no window); one
+    * hash-groupBy isolates the duplicated hashes; one equi-join marks
+    * the positions.
+    */
+  private def dupKgramStarts(s: SparkSession, d: String): DataFrame = {
+    val kg = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= SpanK)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ws")) - SpanK),
+        i => h60(concat_ws(" ", slice(col("ws"), i + 1, lit(SpanK))))))
+        .as(Seq("p0", "kh")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
+        col("kh"))
+    val dup = kg.groupBy(col("kh")).agg(count(lit(1)).as("nocc"))
+      .filter(col("nocc") >= 2L)
+      .select(col("kh"))
+    kg.join(dup, Seq("kh")).select(col("doc_id"), col("pos"))
+  }
+
+  /** DuckDB twin of [[dupKgramStarts]] as CTE bodies ending in
+    * `dp(doc_id, pos)`.
+    */
+  private val dupStartsCteSql: String =
+    s"""tkk AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       |kg AS (SELECT doc_id, i AS pos,
+       |         ${h60Sql(s"array_to_string(ws[i:i+${SpanK - 1}], ' ')")} AS kh
+       |       FROM tkk, unnest(range(1, len(ws) - ${SpanK - 2})) t(i)
+       |       WHERE len(ws) >= $SpanK),
+       |dup AS (SELECT kh FROM kg GROUP BY kh HAVING COUNT(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM kg JOIN dup USING (kh))""".stripMargin
 
   /** Candidate pairs (i < j) whose 4-bit sign cells differ in ≤
     * `probeHamming` bits, with the exact quantized cosine attached —
@@ -1086,6 +1224,51 @@ object Dedup {
          |  ${qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")} AS cos
          |FROM probes a JOIN cells b ON a.cell = b.home AND a.vec_id < b.vec_id
          |WHERE ${qcosSql(idotSql("a.q", "b.q"), "a.n2", "b.n2")} >= CAST(0.45 AS DOUBLE)
-         |ORDER BY i, j""".stripMargin
+         |ORDER BY i, j""".stripMargin,
+
+    // gaps-and-islands over the duplicated K-gram starts — DuckDB's
+    // window form of the Spark per-doc island merge.
+    "dedup_dup_spans" ->
+      s"""WITH $dupStartsCteSql,
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    SUM(CASE WHEN prev IS NULL OR pos - prev > $SpanK
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM (SELECT doc_id, pos,
+         |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |        FROM dp))
+         |SELECT doc_id, MIN(pos) AS span_start,
+         |  MAX(pos) + ${SpanK - 1} AS span_end,
+         |  MAX(pos) + $SpanK - MIN(pos) AS span_tokens,
+         |  COUNT(*) AS n_dup_kgrams
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_span_removal" ->
+      s"""WITH $dupStartsCteSql,
+         |cov AS (SELECT DISTINCT doc_id, pos + i AS cpos
+         |        FROM dp, unnest(range(0, $SpanK)) t(i)),
+         |tok AS (SELECT doc_id, i AS cpos, ws[i] AS w
+         |        FROM tkk, unnest(range(1, len(ws) + 1)) t(i)),
+         |clean AS (
+         |  SELECT t.doc_id,
+         |    array_to_string(list(t.w ORDER BY t.cpos), ' ') AS clean_text
+         |  FROM tok t LEFT JOIN cov c
+         |    ON c.doc_id = t.doc_id AND c.cpos = t.cpos
+         |  WHERE c.doc_id IS NULL GROUP BY t.doc_id),
+         |dupn AS (SELECT doc_id, COUNT(*) AS dup_tokens
+         |         FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT)
+         |    AS n_tokens,
+         |  COALESCE(dup_tokens, 0) AS dup_tokens,
+         |  ROUND(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) /
+         |    CAST(len(string_split(d.text, ' ')) AS DOUBLE), 6)
+         |    AS dup_fraction,
+         |  md5(COALESCE(clean_text, '')) AS clean_md5
+         |FROM documents d
+         |LEFT JOIN dupn ON dupn.doc_id = d.doc_id
+         |LEFT JOIN clean ON clean.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -790,6 +790,46 @@ object Relational {
         .orderBy(col("digits"))
     }),
 
+    // DISTRIBUTION-DRIFT MONITOR — the data-quality gate a standing
+    // ingest runs between a reference window and the current window:
+    // per-dimension bucket distributions (categorical event_type;
+    // fixed-width value bins) for the two halves of the month, with
+    // each bucket's share and two drift statistics — total-variation
+    // contribution |p_a − p_b| and the χ² term (p_a−p_b)²/((p_a+p_b)/2).
+    // DELIBERATELY ln-free (the textbook PSI multiplies by ln(p/q)):
+    // rational arithmetic only, so both engines agree bit-for-bit —
+    // the same cross-libm discipline as the lift queries. Plan: ONE
+    // fact scan (the dimension pairs explode per row — no second
+    // scan), one (dim, bucket) hash agg with map-side partials onto a
+    // bucket-space-sized frame, per-dim totals re-aggregated from that
+    // tiny frame and broadcast back. At 100 TB the shuffle carries
+    // |dims × buckets| partial rows per task, nothing corpus-sized.
+    "profile_drift" -> ((s: SparkSession, d: String) => {
+      val boundary = to_timestamp(lit("2024-01-16 00:00:00"))
+      val counts = t(s, d, "events")
+        .select(explode(array(
+            struct(lit("event_type").as("dim"),
+              col("event_type").as("bucket")),
+            struct(lit("value_bin").as("dim"),
+              concat(lit("v"), floor(col("value") / 50)
+                .cast(LongType).cast(StringType)).as("bucket"))))
+          .as("db"),
+          (col("ts") < boundary).as("isa"))
+        .groupBy(col("db.dim").as("dim"), col("db.bucket").as("bucket"))
+        .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("isa"), 0L).otherwise(1L)).as("n_b"))
+      val tots = counts.groupBy(col("dim"))
+        .agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      val pa = col("n_a").cast(DoubleType) / col("ta").cast(DoubleType)
+      val pb = col("n_b").cast(DoubleType) / col("tb").cast(DoubleType)
+      counts.join(broadcast(tots), Seq("dim"))
+        .select(col("dim"), col("bucket"), col("n_a"), col("n_b"),
+          r6(pa).as("share_a"), r6(pb).as("share_b"),
+          r6(abs(pa - pb)).as("tv_drift"),
+          r6(((pa - pb) * (pa - pb)) / ((pa + pb) / 2)).as("chi2_drift"))
+        .orderBy(col("dim"), col("bucket"))
+    }),
+
     // Z-ORDER layout key — the multi-dimensional data-skipping clustering
     // step (Delta/Iceberg OPTIMIZE ZORDER shape): interleave the bits of
     // two bounded coordinates (quantity: 6 bits; ship-epoch-fortnight:
@@ -1297,6 +1337,45 @@ object Relational {
             .as("jaccard"))
         .orderBy(col("cn").desc, col("jaccard").desc, col("u"), col("w"))
         .limit(30)
+    }),
+
+    // LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007, made
+    // deterministic): three SYNCHRONOUS rounds over the co-purchase
+    // graph — every node adopts the most frequent label among its
+    // neighbors, ties broken by smallest label (the deterministic
+    // variant; classic LPA's random visit order can't be
+    // oracle-checked). Per round: one labels⋈edges equi-join, one
+    // (node, label) count agg, and a per-NODE window to pick the modal
+    // label — partitioned by node, bounded by degree, never global.
+    // Labels localCheckpoint per round (same flat-lineage discipline
+    // as dedup_clusters / emb_kmeans); fixed round count keeps the
+    // DuckDB oracle an exact unrolled twin. The readout is the
+    // community summary (label, size, member span) — the granularity
+    // a catalog team actually reads.
+    "graph_label_propagation" -> ((s: SparkSession, d: String) => {
+      val e = copurchasePairs(s, d).select(col("pa"), col("pb"))
+      val sym = e.unionByName(
+        e.select(col("pb").as("pa"), col("pa").as("pb")))
+        .select(col("pa").as("src"), col("pb").as("dst"))
+        .localCheckpoint() // feeds all three rounds
+      var lbl = sym.select(col("src").as("v")).distinct()
+        .withColumn("lbl", col("v"))
+      val wMode = Window.partitionBy(col("v"))
+        .orderBy(col("cnt").desc, col("lbl"))
+      for (_ <- 1 to 3) {
+        lbl = sym
+          .join(lbl.select(col("v").as("src"), col("lbl")), Seq("src"))
+          .groupBy(col("dst").as("v"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(wMode))
+          .filter(col("rk") === 1)
+          .select(col("v"), col("lbl"))
+          .localCheckpoint()
+      }
+      lbl.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("v")).as("min_member"), max(col("v")).as("max_member"))
+        .orderBy(col("n_members").desc, col("community"))
     }),
 
     // TPC-H Q13 shape — customer order-count distribution: LEFT join so
@@ -2171,6 +2250,36 @@ object Relational {
         |  ROUND(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS row_share
         |FROM b, t ORDER BY digits""".stripMargin,
 
+    "profile_drift" ->
+      """WITH b AS (
+        |  SELECT 'event_type' AS dim, event_type AS bucket,
+        |    ts < TIMESTAMP '2024-01-16 00:00:00' AS isa FROM events
+        |  UNION ALL
+        |  SELECT 'value_bin',
+        |    'v' || CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR),
+        |    ts < TIMESTAMP '2024-01-16 00:00:00' FROM events),
+        |c AS (SELECT dim, bucket,
+        |        CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |      FROM b GROUP BY 1, 2),
+        |t AS (SELECT dim, CAST(SUM(n_a) AS BIGINT) AS ta,
+        |        CAST(SUM(n_b) AS BIGINT) AS tb
+        |      FROM c GROUP BY 1)
+        |SELECT c.dim, bucket, n_a, n_b,
+        |  ROUND(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS share_a,
+        |  ROUND(CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS share_b,
+        |  ROUND(abs(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+        |    - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)), 6) AS tv_drift,
+        |  ROUND(((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+        |      - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+        |    * (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+        |      - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)))
+        |   / ((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+        |      + CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) / 2), 6)
+        |    AS chi2_drift
+        |FROM c JOIN t ON t.dim = c.dim
+        |ORDER BY c.dim, bucket""".stripMargin,
+
     "q18_top_buyers" ->
       s"""SELECT c_custkey, c_name, o_orderkey,
          |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
@@ -2341,6 +2450,35 @@ object Relational {
          |${iter(3)}
          |SELECT node, CAST(ru AS BIGINT) AS rank_micro FROM r3
          |ORDER BY rank_micro DESC, node LIMIT 50""".stripMargin
+    },
+
+    // three unrolled synchronous rounds — the exact twin of the Spark
+    // loop (deterministic modal label, min-label tie-break)
+    "graph_label_propagation" -> {
+      def round(k: Int): String =
+        s"""l$k AS (SELECT v, lbl FROM (
+           |  SELECT v, lbl,
+           |    row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl)
+           |      AS rk
+           |  FROM (SELECT e.dst AS v, l.lbl, COUNT(*) AS cnt
+           |        FROM e JOIN l${k - 1} l ON l.v = e.src
+           |        GROUP BY 1, 2)) WHERE rk = 1)""".stripMargin
+      s"""WITH bk AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |pc AS (
+         |  SELECT a.pk AS pa, b.pk AS pb
+         |  FROM bk a JOIN bk b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT pa AS src, pb AS dst FROM pc
+         |      UNION ALL SELECT pb, pa FROM pc),
+         |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT lbl AS community, COUNT(*) AS n_members,
+         |  MIN(v) AS min_member, MAX(v) AS max_member
+         |FROM l3 GROUP BY lbl
+         |ORDER BY n_members DESC, community""".stripMargin
     },
 
     // id-ordered triangle enumeration — orientation-invariant, so it

@@ -213,4 +213,40 @@ class CurationSpec extends SparkSpec {
       .mapValues(v => v.map(_._2).sum / v.size).toMap
     assert(byLang("en") > (byLang - "en").values.max)
   }
+
+  test("weighted systematic sample matches the brute-force PPS selection") {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0),
+        math.round(r.getDouble(1) * 100)))
+      .map { case (k, w) => (k, w, h32(s"pps:$k")) }
+      .sortBy(t => (t._3, t._1))
+    val total = ord.map(_._2).sum
+    val step = total / 1000L
+    // brute-force systematic scan: selected iff the row's cumulative
+    // interval crosses a grid multiple
+    var cum = 0L
+    val expected = ord.flatMap { case (k, w, _) =>
+      val before = cum; cum += w
+      if (cum / step > before / step)
+        Some((k, w, cum, cum / step,
+          BigDecimal(step.toDouble / w).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }.sortBy(_._1)
+    val got = graft.SparkEntry.queries("sample_weighted")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected.toSeq)
+    // PPS mass property: the sample hits every occupied grid cell once
+    assert(got.map(_._4).distinct.size === got.size)
+    assert(got.nonEmpty && got.size <= (total / step).toInt)
+  }
 }

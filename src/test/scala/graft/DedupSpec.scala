@@ -243,4 +243,83 @@ class DedupSpec extends SparkSpec {
       .head().getDouble(2)
     assert(math.abs(fl - q) < 1e-4, s"float $fl vs quantized $q")
   }
+
+  // ---- duplicate-substring spans --------------------------------------
+
+  private val SpanK = 8
+
+  /** Brute-force duplicated K-gram start positions per doc (1-based),
+    * counting occurrences of the raw K-gram STRINGS — hash-free, so a
+    * divergence would also expose an h60 collision.
+    */
+  private def bruteDupStarts: Map[Long, Seq[Long]] = {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val kgrams = toks.toSeq.flatMap { case (id, ws) =>
+      (0 to ws.length - SpanK).map(i =>
+        (id, (i + 1).toLong, ws.slice(i, i + SpanK).mkString(" ")))
+    }
+    val occ = kgrams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+    kgrams.filter(t => occ(t._3) >= 2)
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sorted }
+  }
+
+  test("dup spans match a brute-force island merge of duplicated 8-grams") {
+    val expected = bruteDupStarts.toSeq.flatMap { case (id, ps) =>
+      // islands: split where the gap between duplicated starts exceeds K
+      val islands = ps.tail.foldLeft(List(List(ps.head))) { (acc, p) =>
+        if (p - acc.head.head <= SpanK) (p :: acc.head) :: acc.tail
+        else List(p) :: acc
+      }.map(_.reverse).reverse
+      islands.map(is =>
+        (id, is.head, is.last + SpanK - 1, is.last + SpanK - is.head,
+          is.size.toLong))
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.SparkEntry.queries("dedup_dup_spans")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "sf0.001 contains duplicated passages by construction")
+  }
+
+  test("span removal accounting and cleaned-text fingerprints are exact") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val cover = bruteDupStarts.map { case (id, ps) =>
+      id -> ps.flatMap(p => p until p + SpanK).toSet
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = graft.SparkEntry.queries("dedup_span_removal")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(got.keySet === toks.keySet) // every doc reported, dup or not
+    toks.foreach { case (id, ws) =>
+      val cov = cover.getOrElse(id, Set.empty[Long])
+      val clean = ws.zipWithIndex
+        .collect { case (w, i) if !cov.contains(i + 1L) => w }
+        .mkString(" ")
+      val (nTok, dupTok, frac, fp) = got(id)
+      assert(nTok === ws.length.toLong, s"doc $id n_tokens")
+      assert(dupTok === cov.size.toLong, s"doc $id dup_tokens")
+      assert(math.abs(frac - cov.size.toDouble / ws.length) < 1e-6)
+      assert(fp === md5hex(clean), s"doc $id cleaned fingerprint")
+    }
+  }
+
+  test("dup-span plan: no self-join of the corpus, no cartesian") {
+    val p = graft.SparkEntry.queries("dedup_dup_spans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the only window is the per-doc island merge — partitioned by doc_id
+    assert(!p.contains("Window [") ||
+      p.contains("partitionBy") || p.contains("doc_id"), p.take(1500))
+  }
 }

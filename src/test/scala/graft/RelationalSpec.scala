@@ -425,4 +425,72 @@ class RelationalSpec extends SparkSpec {
         AND year(l_shipdate) = $yr""").head().getLong(0)
     assert(li === rev)
   }
+
+  test("profile_drift matches a brute-force two-window recount") {
+    val boundary = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("ts", "event_type", "value").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getString(1),
+        r.getDouble(2)))
+    val binned = ev.flatMap { case (ts, et, v) =>
+      val isA = ts.isBefore(boundary)
+      Seq(("event_type", et, isA),
+        ("value_bin", "v" + math.floor(v / 50).toLong, isA))
+    }
+    val counts = binned.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      k -> ((xs.count(_._3).toLong, xs.count(!_._3).toLong))
+    }
+    val tots = counts.toSeq.groupBy(_._1._1).map { case (dim, xs) =>
+      dim -> ((xs.map(_._2._1).sum, xs.map(_._2._2).sum))
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("profile_drift")(spark, sf).collect()
+    assert(got.length === counts.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val (na, nb) = counts(k)
+      val (ta, tb) = tots(k._1)
+      assert(r.getLong(2) === na, s"$k n_a")
+      assert(r.getLong(3) === nb, s"$k n_b")
+      val (pa, pb) = (na.toDouble / ta, nb.toDouble / tb)
+      assert(r.getDouble(4) === r6(pa), s"$k share_a")
+      assert(r.getDouble(6) === r6(math.abs(pa - pb)), s"$k tv_drift")
+      assert(r.getDouble(7) === r6((pa - pb) * (pa - pb) / ((pa + pb) / 2)),
+        s"$k chi2_drift")
+    }
+    // both windows saw every dimension: totals cover the full event count
+    assert(tots("event_type")._1 + tots("event_type")._2 === ev.length.toLong)
+  }
+
+  test("label propagation replays a brute-force 3-round modal update") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = li.groupBy(_._1).values.toSeq.flatMap { b =>
+      val ps = b.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val adj = sym.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (v, nbs) =>
+        val cnt = nbs.map(lbl).groupBy(identity)
+          .map { case (l, xs) => l -> xs.size }
+        v -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val want = lbl.groupBy(_._2).map { case (c, m) =>
+      c -> ((m.size.toLong, m.keys.min, m.keys.max))
+    }
+    val got = SparkEntry.queries("graph_label_propagation")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    // communities found: propagation coarsens the initial id labels
+    assert(got.size < adj.size)
+  }
 }
