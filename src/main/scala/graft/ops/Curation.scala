@@ -256,18 +256,23 @@ object Curation {
       def idiv(a: org.apache.spark.sql.Column,
           b: org.apache.spark.sql.Column) =
         ((a - pmod(a, b)) / b).cast(LongType)
+      // no checkpoint on the input: its lineage is a 2-column pushed
+      // scan + one md5 — cheaper to recompute for the scan's three
+      // reads than to materialize
       val ob = t(s, d, "orders")
         .select(col("o_orderkey"),
           round(col("o_totalprice") * 100).cast(LongType).as("w"),
           XF.h32(concat(lit("pps:"), col("o_orderkey").cast(StringType)))
             .as("hv"))
-        .localCheckpoint() // runningOver reads it three times
-      val step = ob.agg(sum(col("w")).as("tw"))
-        .select(((col("tw") - pmod(col("tw"), lit(1000L))) / 1000L)
-          .cast(LongType).as("s"))
       val cum = Scan.runningOver(ob, v = col("hv"), desc = false,
         order = Seq(col("hv"), col("o_orderkey")),
         outs = Seq(("cum", col("w"))))
+        .localCheckpoint() // feeds the step derivation AND the filter
+      // the prefix sum's maximum IS the grand total — no separate
+      // total-weight pass over the input
+      val step = cum.agg(max(col("cum")).as("tw"))
+        .select(((col("tw") - pmod(col("tw"), lit(1000L))) / 1000L)
+          .cast(LongType).as("s"))
       cum.crossJoin(broadcast(step))
         .filter(idiv(col("cum"), col("s")) >
           idiv(col("cum") - col("w"), col("s")))

@@ -950,21 +950,33 @@ object Dedup {
     * hash-groupBy isolates the duplicated hashes; one equi-join marks
     * the positions.
     */
-  private def dupKgramStarts(s: SparkSession, d: String): DataFrame = {
-    val kg = t(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= SpanK)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("ws")) - SpanK),
-        i => h60(concat_ws(" ", slice(col("ws"), i + 1, lit(SpanK))))))
-        .as(Seq("p0", "kh")))
-      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
-        col("kh"))
-    val dup = kg.groupBy(col("kh")).agg(count(lit(1)).as("nocc"))
-      .filter(col("nocc") >= 2L)
-      .select(col("kh"))
-    kg.join(dup, Seq("kh")).select(col("doc_id"), col("pos"))
-  }
+  private val dupStartsMemo =
+    new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
+
+  private def dupKgramStarts(s: SparkSession, d: String): DataFrame =
+    dupStartsMemo.getOrCompute((s, d)) {
+      // the positional K-gram frame feeds TWO consumers (the dup-hash
+      // groupBy and the join back) — materialize it once, exactly like
+      // the shingle index; at 100 TB this is the written K-gram table
+      // every substring-dedup pass probes.
+      val kg = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= SpanK)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("ws")) - SpanK),
+          i => h60(concat_ws(" ", slice(col("ws"), i + 1, lit(SpanK))))))
+          .as(Seq("p0", "kh")))
+        .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
+          col("kh"))
+        .localCheckpoint()
+      val dup = kg.groupBy(col("kh")).agg(count(lit(1)).as("nocc"))
+        .filter(col("nocc") >= 2L)
+        .select(col("kh"))
+      // the duplicated-starts frame itself is duplicate-density-sized
+      // and feeds both span queries — memoized + checkpointed
+      kg.join(dup, Seq("kh")).select(col("doc_id"), col("pos"))
+        .localCheckpoint()
+    }
 
   /** DuckDB twin of [[dupKgramStarts]] as CTE bodies ending in
     * `dp(doc_id, pos)`.

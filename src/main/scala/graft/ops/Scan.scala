@@ -72,8 +72,17 @@ object Scan {
         "bucketing has no null placement; filter or coalesce first")))
       .otherwise(v).cast("double")
     val probs = array((1 until nB).map(i => lit(i.toDouble / nB)): _*)
+    // accuracy 1000 ⇒ boundary mass error ≤ 0.1% — bucket sizes stay
+    // balanced within a few percent, and the boundaries only steer row
+    // placement (every downstream running value is exact regardless).
+    // The 1-row bounds frame is MATERIALIZED: the bucket expression is
+    // referenced by both the local-window branch and the totals branch
+    // of prefixSums, and Catalyst does not reuse an aggregate subplan
+    // across branches — without this the percentile pass runs twice
+    // per scan (measured 2 × 1.9 s at sf0.1 with accuracy 10000).
     val bounds = df.agg(
-      percentile_approx(vd, probs, lit(10000)).as("__scan_bounds"))
+      percentile_approx(vd, probs, lit(1000)).as("__scan_bounds"))
+      .localCheckpoint()
     // bucket = #boundaries strictly on the ALREADY-ORDERED side of v:
     // asc → |{b : v > b}| (non-decreasing in v), desc → |{b : v < b}|
     // (non-decreasing as v falls). ≤ nB-element array filter, codegen'd.

@@ -23,7 +23,9 @@ class PlanShapeSpec extends SparkSpec {
     "sim_ivfpq_topk",         // cell+code equi-keys on the ADC join
     "curate_dsir",            // broadcast 64-row weights, doc-keyed agg
     "sim_hard_negatives",     // cell equi-join candidates
-    "graph_link_prediction")  // wedge + anti joins, all keyed
+    "graph_link_prediction",  // wedge + anti joins, all keyed
+    "dedup_span_removal",     // cover anti-join + per-doc reassembly
+    "graph_label_propagation") // labels x edges per round, all keyed
 
   mustBeEquiJoined.foreach { q =>
     test(s"$q plans without cartesian or nested-loop joins") {
@@ -256,7 +258,11 @@ class PlanShapeSpec extends SparkSpec {
     "events_daily_ewma" -> 4, "emb_top1_residual" -> 4,
     "wnv_point_pairs_auto" -> 2, "events_gap_fill_interp" -> 4,
     "sim_hard_negatives" -> 3, "graph_link_prediction" -> 9,
-    "events_asof_nearest" -> 3)
+    "events_asof_nearest" -> 3,
+    // round-7 second batch (substring dedup / PPS sample / drift / LPA)
+    "dedup_dup_spans" -> 4, "dedup_span_removal" -> 8,
+    "profile_drift" -> 5, "sample_weighted" -> 4,
+    "graph_label_propagation" -> 3)
 
   shuffleCeilings.foreach { case (q, ceiling) =>
     test(s"$q: at most $ceiling shuffle exchanges") {
