@@ -921,6 +921,41 @@ object Dedup {
             col("n_tokens").cast(DoubleType)).as("dup_fraction"),
           md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // INCREMENTAL SUBSTRING DEDUP — the continuous-crawl form of the
+    // span finder (same batch convention as `dedup_incremental`:
+    // doc_id % 5 == 4 is the new batch): the new batch's K-gram
+    // positions probe the CORPUS K-gram index with one left-semi
+    // equi-join — a corpus k-gram occurring ONCE already makes a batch
+    // span a duplicate of existing content, so the index is the
+    // distinct corpus hash set, and the corpus is never rescanned per
+    // batch (at 100 TB: a stored index the nightly batch joins,
+    // Bloom-prunable). The readout is per-new-doc coverage accounting
+    // plus the ≥50% flag a crawl pipeline gates on.
+    "dedup_span_incremental" -> ((s: SparkSession, d: String) => {
+      val kg = posKgrams(s, d)
+      val isNew = pmod(col("doc_id"), lit(5)) === 4
+      val corpusIdx = kg.filter(!isNew).select(col("kh")).distinct()
+      val covered = kg.filter(isNew)
+        .join(corpusIdx, Seq("kh"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (SpanK - 1)))
+            .as("cpos"))
+        .distinct()
+      val dupN = covered.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dup"))
+      val frac = coalesce(col("dup"), lit(0L)).cast(DoubleType) /
+        col("n_tokens").cast(DoubleType)
+      t(s, d, "documents").filter(isNew)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .join(dupN, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup"), lit(0L)).as("corpus_dup_tokens"),
+          XF.r6(frac).as("dup_fraction"),
+          (frac >= 0.5).as("flag_near_dup"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -950,16 +985,18 @@ object Dedup {
     * hash-groupBy isolates the duplicated hashes; one equi-join marks
     * the positions.
     */
-  private val dupStartsMemo =
+  /** Positional K-gram hashes (doc_id, pos, kh) — THE written K-gram
+    * table of the substring-dedup family: the dup-hash groupBy, the
+    * position join back, and the incremental new-batch probe all read
+    * this one materialized frame (at 100 TB a stored table, like the
+    * shingle index).
+    */
+  private val kgramMemo =
     new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
 
-  private def dupKgramStarts(s: SparkSession, d: String): DataFrame =
-    dupStartsMemo.getOrCompute((s, d)) {
-      // the positional K-gram frame feeds TWO consumers (the dup-hash
-      // groupBy and the join back) — materialize it once, exactly like
-      // the shingle index; at 100 TB this is the written K-gram table
-      // every substring-dedup pass probes.
-      val kg = t(s, d, "documents")
+  private def posKgrams(s: SparkSession, d: String): DataFrame =
+    kgramMemo.getOrCompute((s, d)) {
+      t(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= SpanK)
         .select(col("doc_id"), posexplode(transform(
@@ -969,6 +1006,14 @@ object Dedup {
         .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
           col("kh"))
         .localCheckpoint()
+    }
+
+  private val dupStartsMemo =
+    new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
+
+  private def dupKgramStarts(s: SparkSession, d: String): DataFrame =
+    dupStartsMemo.getOrCompute((s, d)) {
+      val kg = posKgrams(s, d)
       val dup = kg.groupBy(col("kh")).agg(count(lit(1)).as("nocc"))
         .filter(col("nocc") >= 2L)
         .select(col("kh"))
@@ -1281,6 +1326,29 @@ object Dedup {
          |FROM documents d
          |LEFT JOIN dupn ON dupn.doc_id = d.doc_id
          |LEFT JOIN clean ON clean.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_span_incremental" ->
+      s"""WITH $dupStartsCteSql,
+         |corpus AS (SELECT DISTINCT kh FROM kg WHERE doc_id % 5 <> 4),
+         |bst AS (SELECT doc_id, pos FROM kg
+         |        WHERE doc_id % 5 = 4
+         |          AND kh IN (SELECT kh FROM corpus)),
+         |cov AS (SELECT DISTINCT doc_id, pos + i AS cpos
+         |        FROM bst, unnest(range(0, $SpanK)) t(i)),
+         |dupn AS (SELECT doc_id, COUNT(*) AS dup FROM cov GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  COALESCE(dup, 0) AS corpus_dup_tokens,
+         |  ROUND(CAST(COALESCE(dup, 0) AS DOUBLE) /
+         |    CAST(len(string_split(d.text, ' ')) AS DOUBLE), 6)
+         |    AS dup_fraction,
+         |  (CAST(COALESCE(dup, 0) AS DOUBLE) /
+         |    CAST(len(string_split(d.text, ' ')) AS DOUBLE)) >= 0.5
+         |    AS flag_near_dup
+         |FROM documents d
+         |LEFT JOIN dupn ON dupn.doc_id = d.doc_id
+         |WHERE d.doc_id % 5 = 4
          |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -313,6 +313,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental span dedup flags new-batch overlap with the corpus") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    def kgrams(ws: Array[String]): Seq[(Long, String)] =
+      (0 to ws.length - SpanK).map(i =>
+        ((i + 1).toLong, ws.slice(i, i + SpanK).mkString(" ")))
+    val corpusSet = toks.filter(_._1 % 5 != 4).values
+      .flatMap(ws => kgrams(ws).map(_._2)).toSet
+    val got = graft.SparkEntry.queries("dedup_span_incremental")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    val newDocs = toks.filter(_._1 % 5 == 4)
+    assert(got.keySet === newDocs.keySet)
+    newDocs.foreach { case (id, ws) =>
+      val cov = kgrams(ws).filter(t => corpusSet.contains(t._2))
+        .flatMap { case (p, _) => p until p + SpanK }.toSet
+      val (nTok, dupTok, frac, flag) = got(id)
+      assert(nTok === ws.length.toLong, s"doc $id n_tokens")
+      assert(dupTok === cov.size.toLong, s"doc $id corpus_dup_tokens")
+      assert(math.abs(frac - cov.size.toDouble / ws.length) < 1e-6)
+      assert(flag === (cov.size.toDouble / ws.length >= 0.5), s"doc $id flag")
+    }
+    // the testdata's near-dup construction guarantees some overlap
+    assert(got.values.exists(_._2 > 0))
+  }
+
   test("dup-span plan: no self-join of the corpus, no cartesian") {
     val p = graft.SparkEntry.queries("dedup_dup_spans")(spark, sf)
       .queryExecution.executedPlan.toString

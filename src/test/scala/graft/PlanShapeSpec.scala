@@ -25,6 +25,7 @@ class PlanShapeSpec extends SparkSpec {
     "sim_hard_negatives",     // cell equi-join candidates
     "graph_link_prediction",  // wedge + anti joins, all keyed
     "dedup_span_removal",     // cover anti-join + per-doc reassembly
+    "dedup_span_incremental", // batch kgrams semi-join the corpus index
     "graph_label_propagation") // labels x edges per round, all keyed
 
   mustBeEquiJoined.foreach { q =>
@@ -262,7 +263,7 @@ class PlanShapeSpec extends SparkSpec {
     // round-7 second batch (substring dedup / PPS sample / drift / LPA)
     "dedup_dup_spans" -> 4, "dedup_span_removal" -> 8,
     "profile_drift" -> 5, "sample_weighted" -> 4,
-    "graph_label_propagation" -> 3)
+    "graph_label_propagation" -> 3, "dedup_span_incremental" -> 5)
 
   shuffleCeilings.foreach { case (q, ceiling) =>
     test(s"$q: at most $ceiling shuffle exchanges") {
