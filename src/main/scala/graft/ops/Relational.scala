@@ -699,6 +699,35 @@ object Relational {
           round(expr("percentile(o_totalprice, 0.9D)"), 4).as("p90"))
         .orderBy(col("o_orderstatus"))),
 
+    // EXACT GLOBAL QUANTILES BY DISTRIBUTED SELECTION — the exact
+    // p25/p50/p75/p99 of a corpus-sized measure WITHOUT a global sort:
+    // the distributed scan ranks every row (per-bucket windows +
+    // broadcast offsets — rn is a true global 1..N row number), the
+    // 4-row target-rank table (⌈q·N⌉, discrete/lower quantile
+    // definition — no interpolation, so the answer is an actual data
+    // value and integer-exact) broadcasts, and one equi-join on the
+    // rank selects the 4 rows. Tie-safe: rank positions within equal
+    // values are arbitrary, but the VALUE at any given rank is
+    // invariant under tie permutation. This is the exact companion to
+    // the approx_percentile calibration rows — the pattern that
+    // answers "give me the exact p99" at 100 TB with one extra
+    // pass over what the sketch path already scans.
+    "agg_exact_quantiles_global" -> ((s: SparkSession, d: String) => {
+      val v = t(s, d, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast(LongType)
+          .as("cents"))
+      val ranked = Scan.runningOver(v, v = col("cents"), desc = false,
+        order = Seq(col("cents")), outs = Seq(("rn", lit(1L))))
+      val targets = v.agg(count(lit(1)).as("n"))
+        .select(explode(array(lit(0.25), lit(0.50), lit(0.75),
+          lit(0.99))).as("q"), col("n"))
+        .select(col("q"), greatest(lit(1L),
+          ceil(col("q") * col("n")).cast(LongType)).as("rn"))
+      ranked.join(broadcast(targets), Seq("rn"))
+        .select(col("q"), col("cents").as("value_cents"))
+        .orderBy(col("q"))
+    }),
+
     // array function family over a real array column.
     "array_funcs" -> ((s: SparkSession, d: String) =>
       t(s, d, "embeddings")
@@ -2103,6 +2132,24 @@ object Relational {
          |  reverse(p_name) AS rev,
          |  concat_ws('|', p_brand, p_type) AS cat
          |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // discrete (lower) quantile at rank ceil(q*N): both engines join
+    // the same row_number-by-value ordering; the value at a rank is
+    // tie-permutation invariant.
+    "agg_exact_quantiles_global" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+        |      FROM v),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |qs(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.50 AS DOUBLE)),
+        |                 (CAST(0.75 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+        |SELECT q, cents AS value_cents
+        |FROM r JOIN (
+        |  SELECT q, GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS rn
+        |  FROM qs, n) t ON t.rn = r.rn
+        |ORDER BY q""".stripMargin,
 
     "date_funcs" ->
       s"""SELECT o_orderkey,

@@ -75,22 +75,35 @@ object Scan {
     // accuracy 1000 ⇒ boundary mass error ≤ 0.1% — bucket sizes stay
     // balanced within a few percent, and the boundaries only steer row
     // placement (every downstream running value is exact regardless).
-    // The 1-row bounds frame is MATERIALIZED: the bucket expression is
-    // referenced by both the local-window branch and the totals branch
-    // of prefixSums, and Catalyst does not reuse an aggregate subplan
-    // across branches — without this the percentile pass runs twice
-    // per scan (measured 2 × 1.9 s at sf0.1 with accuracy 10000).
-    val bounds = df.agg(
-      percentile_approx(vd, probs, lit(1000)).as("__scan_bounds"))
-      .localCheckpoint()
+    // The boundaries COLLECT TO THE DRIVER (nB-1 doubles — the k-means
+    // centroid pattern; this call is therefore EAGER) and inline as
+    // literals, for two measured reasons at sf0.1 (600 k rows):
+    //   1. the previous array-HOF form (`size(filter(bounds, ...))`)
+    //      interprets its lambda per element — rows × (nB-1) closure
+    //      calls outside codegen; the unrolled literal comparisons
+    //      stay inside whole-stage codegen;
+    //   2. prefixSums evaluates the bucketed frame in TWO branches
+    //      (local windows + totals) and Catalyst shares neither the
+    //      bounds aggregate nor the bucket expression across them —
+    //      driver-side bounds make the recompute 63 codegen'd
+    //      comparisons instead of a second percentile pass.
+    val row = df.agg(
+      percentile_approx(vd, probs, lit(1000)).as("__scan_bounds")).head()
+    val bs: Seq[Double] =
+      if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
     // bucket = #boundaries strictly on the ALREADY-ORDERED side of v:
     // asc → |{b : v > b}| (non-decreasing in v), desc → |{b : v < b}|
-    // (non-decreasing as v falls). ≤ nB-element array filter, codegen'd.
-    val b = size(filter(col("__scan_bounds"),
-      x => if (desc) vd < x else vd > x))
-    df.crossJoin(broadcast(bounds))
-      .withColumn(BucketCol, b)
-      .drop("__scan_bounds")
+    // (non-decreasing as v falls). Empty input ⇒ no bounds ⇒ bucket 0.
+    // Deliberately an array HOF over the literal bounds, NOT nB-1
+    // unrolled comparisons: the unrolled form generates a 63-term
+    // codegen source whose Janino compilation takes ~30 s (measured)
+    // on first execution of every composed plan; the HOF's interpreted
+    // lambda costs ~1 s per 600 k rows and compiles instantly.
+    val b =
+      if (bs.isEmpty) lit(0)
+      else size(filter(lit(bs.toArray),
+        x => if (desc) vd < x else vd > x))
+    df.withColumn(BucketCol, b)
   }
 
   /** Running sums over the global ([[BucketCol]] asc, `order`) ordering.

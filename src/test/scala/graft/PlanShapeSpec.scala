@@ -205,8 +205,11 @@ class PlanShapeSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  // (sample_weighted also runs the distributed scan, but its
+  // localCheckpoint truncates the visible lineage — its scan shape is
+  // covered by ScanSpec and the shuffle ceiling below.)
   Seq("events_concurrency_curve", "parts_abc_pareto", "orders_rfm",
-      "mm_shard_manifest")
+      "mm_shard_manifest", "agg_exact_quantiles_global")
     .foreach { q =>
       test(s"$q: global windows only over bucket-count-bounded frames") {
         import org.apache.spark.sql.execution.window.WindowExec
@@ -263,7 +266,8 @@ class PlanShapeSpec extends SparkSpec {
     // round-7 second batch (substring dedup / PPS sample / drift / LPA)
     "dedup_dup_spans" -> 4, "dedup_span_removal" -> 8,
     "profile_drift" -> 5, "sample_weighted" -> 4,
-    "graph_label_propagation" -> 3, "dedup_span_incremental" -> 5)
+    "graph_label_propagation" -> 3, "dedup_span_incremental" -> 5,
+    "agg_exact_quantiles_global" -> 4)
 
   shuffleCeilings.foreach { case (q, ceiling) =>
     test(s"$q: at most $ceiling shuffle exchanges") {

@@ -463,6 +463,19 @@ class RelationalSpec extends SparkSpec {
     assert(tots("event_type")._1 + tots("event_type")._2 === ev.length.toLong)
   }
 
+  test("exact global quantiles equal the sorted-array selection") {
+    val cents = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_extendedprice").collect()
+      .map(r => math.round(r.getDouble(0) * 100)).sorted
+    val n = cents.length
+    val want = Seq(0.25, 0.50, 0.75, 0.99).map { q =>
+      q -> cents(math.max(1, math.ceil(q * n).toLong).toInt - 1)
+    }
+    val got = SparkEntry.queries("agg_exact_quantiles_global")(spark, sf)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toSeq
+    assert(got === want)
+  }
+
   test("label propagation replays a brute-force 3-round modal update") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey").collect()
