@@ -248,14 +248,18 @@ object Curation {
     // cumulative interval crosses a multiple of step = ⌊total/n⌋ (the
     // classic systematic PPS rule: inclusion probability w/step, the
     // Horvitz-Thompson readout ships as ht_weight). Every comparison is
-    // long-integer floor division — no float, no transcendental, no
-    // cross-engine tie hazard. The textbook alternative (Efraimidis-
-    // Spirakis u^(1/w) keys) needs pow(); this form is the one that
-    // hash-compares bit-for-bit across engines AND parallelism.
+    // TRUE long-integer floor division (Catalyst's IntegralDivide via
+    // the SQL `div` function — not the double-division idiom, which is
+    // only exact for operands ≤ 2^53 and would silently mis-place grid
+    // boundaries once cumulative cents exceed that at corpus scale) —
+    // no float, no transcendental, no cross-engine tie hazard. The
+    // textbook alternative (Efraimidis-Spirakis u^(1/w) keys) needs
+    // pow(); this form is the one that hash-compares bit-for-bit
+    // across engines AND parallelism.
     "sample_weighted" -> ((s: SparkSession, d: String) => {
       def idiv(a: org.apache.spark.sql.Column,
           b: org.apache.spark.sql.Column) =
-        ((a - pmod(a, b)) / b).cast(LongType)
+        call_function("div", a, b)
       // no checkpoint on the input: its lineage is a 2-column pushed
       // scan + one md5 — cheaper to recompute for the scan's three
       // reads than to materialize
@@ -269,17 +273,33 @@ object Curation {
         outs = Seq(("cum", col("w"))))
         .localCheckpoint() // feeds the step derivation AND the filter
       // the prefix sum's maximum IS the grand total — no separate
-      // total-weight pass over the input
+      // total-weight pass over the input. Degenerate-input guard: a
+      // grand total under 1000 cents floors step to 0 — Spark's
+      // comparisons against a null/zero step would silently return
+      // ZERO rows while the DuckDB oracle errors on // 0; fail loudly
+      // instead (the same discipline as Scan.withQuantileBucket's
+      // null-key guard).
       val step = cum.agg(max(col("cum")).as("tw"))
-        .select(((col("tw") - pmod(col("tw"), lit(1000L))) / 1000L)
+        .select(when(col("tw") < 1000L, raise_error(lit(
+            "sample_weighted: grand total weight under 1000 cents — " +
+            "step = total div 1000 would be 0; the PPS grid needs " +
+            "total ≥ target sample size")))
+          .otherwise(idiv(col("tw"), lit(1000L)))
           .cast(LongType).as("s"))
+      // ht_weight clamps at 1: a unit with w > step is a CERTAINTY
+      // unit (inclusion probability 1) — selected once even though its
+      // interval crosses several grid cells, so step/w < 1 would
+      // understate its Horvitz-Thompson mass. (Not reachable in the
+      // testdata, where max order ≪ step; the clamp makes the readout
+      // correct if a heavy unit ever appears.)
       cum.crossJoin(broadcast(step))
         .filter(idiv(col("cum"), col("s")) >
           idiv(col("cum") - col("w"), col("s")))
         .select(col("o_orderkey"), col("w").as("weight_cents"),
           col("cum").as("cum_cents"),
           idiv(col("cum"), col("s")).as("grid_cell"),
-          XF.r6(col("s").cast(DoubleType) / col("w").cast(DoubleType))
+          XF.r6(greatest(lit(1.0),
+            col("s").cast(DoubleType) / col("w").cast(DoubleType)))
             .as("ht_weight"))
         .orderBy(col("o_orderkey"))
     }),
@@ -479,7 +499,8 @@ object Curation {
          |tt AS (SELECT CAST(SUM(w) AS BIGINT) // 1000 AS s FROM ob)
          |SELECT o_orderkey, w AS weight_cents, cum AS cum_cents,
          |  cum // s AS grid_cell,
-         |  ROUND(CAST(s AS DOUBLE) / CAST(w AS DOUBLE), 6) AS ht_weight
+         |  ROUND(GREATEST(1.0, CAST(s AS DOUBLE) / CAST(w AS DOUBLE)), 6)
+         |    AS ht_weight
          |FROM cw, tt
          |WHERE cum // s > (cum - w) // s
          |ORDER BY o_orderkey""".stripMargin,

@@ -888,16 +888,31 @@ object Dedup {
     // cleaned text (the value a downstream exact-dedup pass would key
     // on). Coverage positions come from exploding each duplicated
     // start to its K offsets + distinct (≤ K× the duplicated-start
-    // frame, far below token count); the surviving-token concat is a
-    // per-document sort of a bounded (document-length) collected
-    // array — the same per-doc-bounded shape as the span window.
+    // frame, far below token count). ONLY documents that actually
+    // carry duplicated coverage pay the token explode + collect
+    // shuffle: the token frame is LEFT-SEMI pruned against the
+    // coverage doc set before the posexplode, so at 100 TB the
+    // reconstruction shuffle is duplicate-dense-sized, not
+    // corpus-sized; every untouched document's clean_md5 is emitted
+    // MAP-SIDE from the same split (the fallback rejoins the token
+    // array with single spaces — identical to the survivors'
+    // concat_ws derivation, so the fingerprint matches whatever the
+    // original whitespace was).
     "dedup_span_removal" -> ((s: SparkSession, d: String) => {
+      // read 3× below (doc set, anti-join, per-doc counts) — the
+      // explode+distinct shuffle runs once, not per consumer
       val cover = dupKgramStarts(s, d)
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + (SpanK - 1)))
             .as("cpos"))
         .distinct()
-      val toks = t(s, d, "documents")
+        .localCheckpoint()
+      val coverDocs = cover.select(col("doc_id")).distinct()
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      val toks = docs
+        .join(coverDocs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), posexplode(split(col("text"), " "))
           .as(Seq("p0", "w")))
         .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("cpos"),
@@ -910,16 +925,21 @@ object Dedup {
           x => x.getField("w"))).as("clean_text"))
       val dupN = cover.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("dup_tokens"))
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      // dup_tokens IS NULL ⟺ the doc never entered the pruned token
+      // frame → its clean text is the full token rejoin, computed
+      // map-side here; a covered doc with zero survivors (clean_text
+      // null after the left join) hashes the empty string.
+      docs
         .join(dupN, Seq("doc_id"), "left")
         .join(clean, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
           XF.r6(coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
             col("n_tokens").cast(DoubleType)).as("dup_fraction"),
-          md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+          md5(when(col("dup_tokens").isNull,
+              concat_ws(" ", split(col("text"), " ")))
+            .otherwise(coalesce(col("clean_text"), lit(""))))
+            .as("clean_md5"))
         .orderBy(col("doc_id"))
     }),
 

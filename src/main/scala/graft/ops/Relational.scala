@@ -699,31 +699,79 @@ object Relational {
           round(expr("percentile(o_totalprice, 0.9D)"), 4).as("p90"))
         .orderBy(col("o_orderstatus"))),
 
-    // EXACT GLOBAL QUANTILES BY DISTRIBUTED SELECTION — the exact
-    // p25/p50/p75/p99 of a corpus-sized measure WITHOUT a global sort:
-    // the distributed scan ranks every row (per-bucket windows +
-    // broadcast offsets — rn is a true global 1..N row number), the
-    // 4-row target-rank table (⌈q·N⌉, discrete/lower quantile
-    // definition — no interpolation, so the answer is an actual data
-    // value and integer-exact) broadcasts, and one equi-join on the
-    // rank selects the 4 rows. Tie-safe: rank positions within equal
-    // values are arbitrary, but the VALUE at any given rank is
-    // invariant under tie permutation. This is the exact companion to
-    // the approx_percentile calibration rows — the pattern that
-    // answers "give me the exact p99" at 100 TB with one extra
-    // pass over what the sketch path already scans.
+    // EXACT GLOBAL QUANTILES BY SKETCH-BANDED SELECTION — the exact
+    // p25/p50/p75/p99 of a corpus-sized measure WITHOUT a global sort
+    // AND without ranking every row (the round-7 form shuffled the
+    // whole fact column through Scan.runningOver; the selection only
+    // ever needed the rows NEAR each target). Three narrow passes:
+    //   1. one map-side-combining aggregate: exact N + a GK quantile
+    //      sketch probed at q ± ε for each target (accuracy A ⇒
+    //      deterministic rank error ≤ N/A, so with ε = 2/A the exact
+    //      target value is GUARANTEED inside [lo_q, hi_q] — no
+    //      probabilistic miss to retry);
+    //   2. one more such aggregate: the exact count of rows strictly
+    //      below each band's lower bound (4 conditional sums, bounds
+    //      inlined as literals);
+    //   3. rank ONLY the in-band rows (≈ 2εN ≪ N; the band filter is
+    //      pushed to the scan) with a per-band window and select
+    //      band-rank = ⌈q·N⌉ − below_q.
+    // Discrete/lower quantile definition — the answer is an actual
+    // data value, integer-exact, and tie-safe (rank positions within
+    // equal values are arbitrary but the VALUE at a rank is invariant).
+    // A driver-side guard re-verifies the sketch guarantee (target
+    // rank must land inside its band) and fails loudly rather than
+    // return a wrong row. At 100 TB: two scans that aggregate to
+    // bytes, plus a window over an ε-thin slice — the exact-p99
+    // pattern whose cost tracks the sketch path, not a global rank.
     "agg_exact_quantiles_global" -> ((s: SparkSession, d: String) => {
+      val qs = Seq(0.25, 0.50, 0.75, 0.99)
+      val acc = 10000 // GK accuracy: rank error <= N/acc
+      val eps = 2.0 / acc
       val v = t(s, d, "lineitem")
         .select(round(col("l_extendedprice") * 100).cast(LongType)
           .as("cents"))
-      val ranked = Scan.runningOver(v, v = col("cents"), desc = false,
-        order = Seq(col("cents")), outs = Seq(("rn", lit(1L))))
-      val targets = v.agg(count(lit(1)).as("n"))
-        .select(explode(array(lit(0.25), lit(0.50), lit(0.75),
-          lit(0.99))).as("q"), col("n"))
-        .select(col("q"), greatest(lit(1L),
-          ceil(col("q") * col("n")).cast(LongType)).as("rn"))
-      ranked.join(broadcast(targets), Seq("rn"))
+      val probs = qs.flatMap(q =>
+        Seq(math.max(0.0, q - eps), math.min(1.0, q + eps)))
+      val r0 = v.agg(count(lit(1)).as("n"),
+        percentile_approx(col("cents"),
+          array(probs.map(lit): _*), lit(acc)).as("b")).head()
+      val n = r0.getLong(0)
+      val bnd = r0.getSeq[Long](1)
+      // (band id, q, global target rank, band lo, band hi)
+      val bands = qs.zipWithIndex.map { case (q, i) =>
+        (i, q, math.max(1L, math.ceil(q * n).toLong),
+          bnd(2 * i), bnd(2 * i + 1))
+      }
+      val cAggs = bands.flatMap { case (i, _, _, lo, hi) => Seq(
+        sum(when(col("cents") < lo, 1L).otherwise(0L)).as(s"below_$i"),
+        sum(when(col("cents") >= lo && col("cents") <= hi, 1L)
+          .otherwise(0L)).as(s"in_$i"))
+      }
+      val r1 = v.agg(cAggs.head, cAggs.tail: _*).head()
+      val targets = bands.map { case (i, q, rn, _, _) =>
+        val below = r1.getLong(2 * i)
+        val inBand = r1.getLong(2 * i + 1)
+        val localRank = rn - below
+        // the sketch's deterministic ε-rank guarantee, re-verified
+        if (localRank < 1 || localRank > inBand)
+          throw new IllegalStateException(
+            s"agg_exact_quantiles_global: target rank $rn for q=$q " +
+            s"escaped its sketch band [$below+1, ${below + inBand}] — " +
+            "percentile_approx violated its rank-error contract")
+        (i, q, localRank)
+      }
+      val inAny = bands.map { case (_, _, _, lo, hi) =>
+        col("cents") >= lo && col("cents") <= hi }.reduce(_ || _)
+      val tagged = v.filter(inAny).select(col("cents"),
+        explode(filter(array(bands.map { case (i, _, _, lo, hi) =>
+            when(col("cents") >= lo && col("cents") <= hi, lit(i))
+              .otherwise(lit(-1)) }: _*),
+          x => x >= 0)).as("band"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band")).orderBy(col("cents"))
+      val tdf = { import s.implicits._; targets.toDF("band", "q", "lr") }
+      tagged.withColumn("lr", row_number().over(w).cast(LongType))
+        .join(broadcast(tdf), Seq("band", "lr"))
         .select(col("q"), col("cents").as("value_cents"))
         .orderBy(col("q"))
     }),
@@ -1069,12 +1117,19 @@ object Relational {
     // since last order at the corpus horizon), frequency (order
     // count), monetary (exact long-cents total), each cut into
     // quartiles, concatenated into the segment code. One shuffle
-    // builds the per-customer frame (customer-count-sized, checkpointed
-    // so the three scans below read blocks, not lineage); each quartile
-    // is a DISTRIBUTED rank (Scan.runningOver — per-bucket windows +
-    // broadcast offsets, never a global ntile window) fed through the
-    // exact NTILE formula with the broadcast total count. Three
-    // customer-sized equi-joins reassemble the scores.
+    // builds the per-customer frame (customer-count-sized,
+    // checkpointed); then ONE fused distributed-rank pass scores all
+    // three metrics (round 8 — the previous form ran three separate
+    // Scan.runningOver passes, each paying its own eager bounds job +
+    // window stage over the same frame): explode to (metric, value)
+    // rows — descending metrics negated so every block ranks
+    // ascending — bucket with per-metric quantile bounds from ONE
+    // grouped aggregate, and let a single prefix-sum pass rank the
+    // concatenated blocks. Each metric block holds exactly N rows
+    // (every customer has all three metrics), so the within-metric
+    // rank is the global row number minus m·N — the cross-block
+    // offsets cancel exactly. One pivot-back aggregate + one
+    // customer-sized join reassemble the scores (was three joins).
     "orders_rfm" -> ((s: SparkSession, d: String) => {
       val horizon = to_timestamp(lit("2002-01-01 00:00:00"))
       val perCust = t(s, d, "orders")
@@ -1087,25 +1142,52 @@ object Relational {
             .as("monetary_cents"))
         .localCheckpoint()
       val nCust = perCust.agg(count(lit(1)).as("__n_cust"))
-      def quartile(c: String, asc: Boolean): DataFrame =
-        Scan.runningOver(perCust.select(col("o_custkey"), col(c)),
-            v = col(c), desc = !asc,
-            order = Seq(if (asc) col(c).asc else col(c).desc,
-              col("o_custkey")),
-            outs = Seq(("__rnk", lit(1L))))
-          .crossJoin(broadcast(nCust))
-          .select(col("o_custkey"),
-            Scan.ntileOf(col("__rnk"), 4, col("__n_cust"))
-              .as(s"__score_$c"))
-      perCust
-        .join(quartile("recency_days", asc = true), Seq("o_custkey"))
-        .join(quartile("frequency", asc = false), Seq("o_custkey"))
-        .join(quartile("monetary_cents", asc = false), Seq("o_custkey"))
+      val ex = perCust.select(col("o_custkey"), explode(array(
+          struct(lit(0L).as("m"), col("recency_days").as("mv")),
+          struct(lit(1L).as("m"), (-col("frequency")).as("mv")),
+          struct(lit(2L).as("m"), (-col("monetary_cents")).as("mv"))))
+          .as("e"))
+        .select(col("o_custkey"), col("e.m").as("m"), col("e.mv").as("mv"))
+      // per-metric quantile bounds batched into ONE aggregate (3 rows
+      // collect — the k-means centroid pattern, same contract as
+      // Scan.withQuantileBucket's driver-side bounds)
+      val nB = 22
+      val probs = array((1 until nB).map(i => lit(i.toDouble / nB)): _*)
+      val boundsByM: Map[Long, Seq[Double]] = ex.groupBy(col("m"))
+        .agg(percentile_approx(col("mv").cast(DoubleType), probs,
+          lit(1000)).as("b"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) Seq.empty[Double] else r.getSeq[Double](1)))
+        .toMap
+      def localBucket(m: Long): org.apache.spark.sql.Column = {
+        val bs = boundsByM.getOrElse(m, Seq.empty)
+        if (bs.isEmpty) lit(0)
+        else size(filter(lit(bs.toArray),
+          x => col("mv").cast(DoubleType) > x))
+      }
+      // composite bucket id monotone in the (m asc, mv asc) global
+      // order — ties on (m, mv) share a bucket, as the scan requires
+      val bucketed = ex.withColumn(Scan.BucketCol,
+        col("m") * (nB + 1) +
+          when(col("m") === 0L, localBucket(0))
+            .when(col("m") === 1L, localBucket(1))
+            .otherwise(localBucket(2)))
+      val ranked = Scan.prefixSums(bucketed,
+        order = Seq(col("m"), col("mv"), col("o_custkey")),
+        outs = Seq(("__rn", lit(1L))))
+      val scores = ranked.crossJoin(broadcast(nCust))
+        .withColumn("__score", Scan.ntileOf(
+          col("__rn") - col("m") * col("__n_cust"), 4, col("__n_cust")))
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(when(col("m") === 0L, col("__score"))).as("r_score"),
+          max(when(col("m") === 1L, col("__score"))).as("f_score"),
+          max(when(col("m") === 2L, col("__score"))).as("m_score"))
+      perCust.join(scores, Seq("o_custkey"))
         .select(col("o_custkey"), col("recency_days"), col("frequency"),
-          col("monetary_cents"),
-          col("__score_recency_days").as("r_score"),
-          col("__score_frequency").as("f_score"),
-          col("__score_monetary_cents").as("m_score"))
+          col("monetary_cents"), col("r_score"), col("f_score"),
+          col("m_score"))
         .withColumn("segment", concat(col("r_score"), col("f_score"),
           col("m_score")))
         .orderBy(col("o_custkey"))

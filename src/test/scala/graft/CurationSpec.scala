@@ -234,9 +234,12 @@ class CurationSpec extends SparkSpec {
     var cum = 0L
     val expected = ord.flatMap { case (k, w, _) =>
       val before = cum; cum += w
+      // ht_weight clamps at 1: w > step (common at this tiny SF, where
+      // step ≈ the largest order) is a certainty unit — inclusion
+      // probability 1, never 1/(step/w) < 1
       if (cum / step > before / step)
         Some((k, w, cum, cum / step,
-          BigDecimal(step.toDouble / w).setScale(6,
+          BigDecimal(math.max(1.0, step.toDouble / w)).setScale(6,
             BigDecimal.RoundingMode.HALF_UP).toDouble))
       else None
     }.sortBy(_._1)

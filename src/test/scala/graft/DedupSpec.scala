@@ -342,13 +342,46 @@ class DedupSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0))
   }
 
+  // structural plan walks need AQE off: with it on, executedPlan is an
+  // AdaptiveSparkPlanExec leaf and collect() sees no inner nodes
+  private def noAqePlan(name: String)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("dup-span plan: no self-join of the corpus, no cartesian") {
-    val p = graft.SparkEntry.queries("dedup_dup_spans")(spark, sf)
-      .queryExecution.executedPlan.toString
+    val plan = noAqePlan("dedup_dup_spans")
+    val p = plan.toString
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
-    // the only window is the per-doc island merge — partitioned by doc_id
-    assert(!p.contains("Window [") ||
-      p.contains("partitionBy") || p.contains("doc_id"), p.take(1500))
+    // every window is the per-doc island merge — assert on the
+    // WindowExec NODES' partition specs (a string pin on "doc_id" is
+    // vacuous: the plan always contains that substring somewhere)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the island-merge window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty &&
+        w.partitionSpec.exists(_.references.exists(_.name == "doc_id")),
+        s"window not partitioned by doc_id:\n$w")
+    }
+  }
+
+  test("span-removal plan: token reconstruction is semi-join-pruned") {
+    val plan = noAqePlan("dedup_span_removal")
+    // the posexplode Generate (the full-token blowup) must sit ABOVE a
+    // left-semi join against the coverage doc set — only
+    // duplicate-bearing documents pay the explode + collect shuffle
+    import org.apache.spark.sql.execution.GenerateExec
+    val gens = plan.collect { case g: GenerateExec => g }
+    assert(gens.nonEmpty, "expected the token posexplode")
+    gens.foreach { g =>
+      assert(g.toString.contains("LeftSemi"),
+        s"token explode not semi-join-pruned:\n${g.toString.take(1200)}")
+    }
+    assert(!plan.toString.contains("CartesianProduct"))
   }
 }

@@ -209,7 +209,7 @@ class PlanShapeSpec extends SparkSpec {
   // localCheckpoint truncates the visible lineage — its scan shape is
   // covered by ScanSpec and the shuffle ceiling below.)
   Seq("events_concurrency_curve", "parts_abc_pareto", "orders_rfm",
-      "mm_shard_manifest", "agg_exact_quantiles_global")
+      "mm_shard_manifest")
     .foreach { q =>
       test(s"$q: global windows only over bucket-count-bounded frames") {
         import org.apache.spark.sql.execution.window.WindowExec
@@ -235,6 +235,25 @@ class PlanShapeSpec extends SparkSpec {
       }
     }
 
+  // round 8: agg_exact_quantiles_global left the runningOver family —
+  // the banded selection ranks only the ε-thin sketch bands, so the
+  // ONLY window must be the per-band rank (never a global or
+  // corpus-partitioned window), and the fact column itself is never
+  // shuffled (the band filter reaches the scan; the two driver-side
+  // aggregates run as separate jobs outside this plan).
+  test("agg_exact_quantiles_global: windows only per sketch band") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = noAqePlan("agg_exact_quantiles_global")
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the per-band rank window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty &&
+        w.partitionSpec.exists(_.references.exists(_.name == "band")),
+        s"window not partitioned by band:\n$w")
+    }
+    assert(!p.toString.contains("CartesianProduct"))
+  }
+
   // ---- exchange-count pins for the bench top-10 (round 7) ------------
   // Ceilings read off graft.tools.ExchangeCount at this spec's exact
   // conditions (sf0.001, 4 cores). A future "optimization" that adds a
@@ -249,7 +268,10 @@ class PlanShapeSpec extends SparkSpec {
     "events_session_overlap" -> 4, "dedup_exact" -> 2,
     "dedup_containment" -> 5, "text_surprisal" -> 3,
     "events_concurrency_curve" -> 4, "parts_abc_pareto" -> 3,
-    "orders_rfm" -> 10,
+    // round 8: the fused single-pass RFM (one rank pass + one pivot
+    // agg + one reassembly join) measured 4; +2 headroom for a
+    // borderline BHJ<->SMJ flip on the reassembly join
+    "orders_rfm" -> 6,
     // round-7 bench reordering (full-scan warmup removed cold-read
     // noise): the queries that entered the top 10 get ceilings too
     "text_cooc_lift" -> 4, "agg_ddsketch_calibration" -> 2,
@@ -264,10 +286,12 @@ class PlanShapeSpec extends SparkSpec {
     "sim_hard_negatives" -> 3, "graph_link_prediction" -> 9,
     "events_asof_nearest" -> 3,
     // round-7 second batch (substring dedup / PPS sample / drift / LPA)
-    "dedup_dup_spans" -> 4, "dedup_span_removal" -> 8,
+    // round 8: span_removal semi-join-pruned (measured 4), exact
+    // quantiles banded (measured 2)
+    "dedup_dup_spans" -> 4, "dedup_span_removal" -> 6,
     "profile_drift" -> 5, "sample_weighted" -> 4,
     "graph_label_propagation" -> 3, "dedup_span_incremental" -> 5,
-    "agg_exact_quantiles_global" -> 4)
+    "agg_exact_quantiles_global" -> 3)
 
   shuffleCeilings.foreach { case (q, ceiling) =>
     test(s"$q: at most $ceiling shuffle exchanges") {

@@ -108,6 +108,36 @@ class ScanSpec extends SparkSpec {
     }
   }
 
+  test("pathological tie mass: one key holds half the frame, scan stays exact") {
+    // Scan.scala's documented skew hazard made a property: an
+    // order-respecting partition cannot split a tie group, so a
+    // dominant key's rows are indivisible — they all land in ONE
+    // bucket and serialize within it. Correctness must hold anyway
+    // (ties share a bucket by construction, and the within-bucket
+    // window orders by the full sort); the cost bound is that bucket's
+    // size (here N/2 — the whole tie mass), which is why the
+    // production call sites order by near-continuous keys and the
+    // documented swap is compositing the tiebreak into the bucket key.
+    val n = 400
+    val df = (0 until n).map { i =>
+      val k = if (i % 2 == 0) 100L else (i * 37 % 50).toLong
+      (i.toLong, k, if (i % 5 == 0) -3L else 1L)
+    }.toDF("id", "k", "v")
+    val got = Scan.runningOver(df, v = col("k"), desc = false,
+      order = Seq(col("k"), col("id")), outs = Seq(("run", col("v"))),
+      nB = 8)
+    val want = refRunning(df, Seq(col("k"), col("id")), col("v"))
+    assert(got.join(want.select(col("id"), col("want")), Seq("id"))
+      .filter(col("run") =!= col("want")).count() === 0)
+    // the serialization bound: the ENTIRE tie mass carries one bucket
+    // id (no boundary ever splits it), so the widest sequential step
+    // is exactly the dominant key's row count
+    val withB = Scan.withQuantileBucket(df, col("k"), desc = false,
+      nB = 8)
+    assert(withB.filter(col("k") === 100L)
+      .select(col(Scan.BucketCol)).distinct().count() === 1)
+  }
+
   test("multiple outs share one per-bucket window pass") {
     val df = (0 until 100).map(i => (i.toLong, (i % 9).toLong))
       .toDF("id", "v")
