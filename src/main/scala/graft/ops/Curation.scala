@@ -480,8 +480,102 @@ object Curation {
         .select(col("doc_id"), col("n_tokens"), col("logw"),
           (col("logw") > 0.0).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- URL / domain curation (round 8) ------------------------------
+    // The standard provenance knobs of a web-scale corpus: URL
+    // canonicalization, exact URL dedup, per-domain document caps.
+    // The testdata has no URL column, so a deterministic synthetic URL
+    // derives from (doc_id, source, lang) — the geocode-mock device:
+    // both engines CONSTRUCT the identical string; what's under test is
+    // Spark's parse_url-based canonicalization recovering exactly the
+    // parts the oracle rebuilds from the raw columns. Deliberate dirt:
+    // an UPPERCASED subdomain on every third doc, a per-doc utm query +
+    // fragment (stripped by canonicalization), and a path that collides
+    // across docs of one source (doc_id % 40) so URL dedup has real
+    // duplicates to find.
+
+    // per-doc canonical form: lowercase host + path, scheme/query/
+    // fragment stripped — a narrow map-only pass (parse_url is a
+    // codegen'd Catalyst expression), zero shuffles before the sort.
+    "curate_url_canonical" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("url", urlCol)
+        .select(col("doc_id"), col("url"),
+          lower(parse_url(col("url"), lit("HOST"))).as("domain"),
+          concat(lower(parse_url(col("url"), lit("HOST"))),
+            parse_url(col("url"), lit("PATH"))).as("canonical"))
+        .orderBy(col("doc_id"))),
+
+    // exact URL dedup after canonicalization: one hash-groupBy on the
+    // canonical string (map-side partials collapse the unique mass —
+    // the same shape as dedup_exact), keeper = min doc_id. At 100 TB
+    // this is a single keyed shuffle of (canonical, doc_id) pairs.
+    "curate_url_dedup" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("url", urlCol)
+        .select(col("doc_id"),
+          concat(lower(parse_url(col("url"), lit("HOST"))),
+            parse_url(col("url"), lit("PATH"))).as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_urls"),
+          min(col("doc_id")).as("keep_doc_id"))
+        .filter(col("n_urls") > 1)
+        .orderBy(col("canonical"))),
+
+    // per-REGISTERED-domain document cap — the crawl-diversity knob
+    // (no single site dominates the corpus): registered domain = last
+    // three labels of the parsed host (subdomains collapse), keeper
+    // rank by deterministic per-doc hash (never rand() — reproducible
+    // under retry/speculation, same discipline as sample_cluster_cap),
+    // cap at DomainCap. The window is bounded by per-domain document
+    // count; a domain that outgrows a partition at 100 TB gets the
+    // documented salt-shard treatment.
+    "curate_domain_caps" -> ((s: SparkSession, d: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain")).orderBy(col("hb"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("url", urlCol)
+        .select(col("doc_id"),
+          substring_index(lower(parse_url(col("url"), lit("HOST"))),
+            ".", -3).as("domain"),
+          XF.h32(concat(lit("domcap:"), col("doc_id").cast(StringType)))
+            .as("hb"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= DomainCap)
+        .select(col("domain"), col("doc_id"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(col("domain"), col("rk"))
     })
   )
+
+  /** Per-domain keeper cap for `curate_domain_caps` (tuned so the cap
+    * binds at sf0.01 — 25 docs per source-domain there — while every
+    * domain still passes rows at sf0.001).
+    */
+  private val DomainCap = 10
+
+  /** The deterministic synthetic URL (see family comment above). */
+  private def urlCol: org.apache.spark.sql.Column = concat(
+    lit("https://"),
+    when(pmod(col("doc_id"), lit(3)) === 0, upper(col("lang")))
+      .otherwise(col("lang")),
+    lit("."), col("source"), lit(".example.com/docs/"),
+    pmod(col("doc_id"), lit(40)).cast(StringType),
+    lit("?utm_source=feed&id="), col("doc_id").cast(StringType),
+    lit("#top"))
+
+  /** DuckDB twin of [[urlCol]] — the identical string, character for
+    * character.
+    */
+  private val urlSql: String =
+    "'https://' || CASE WHEN doc_id % 3 = 0 THEN upper(lang) ELSE lang " +
+    "END || '.' || source || '.example.com/docs/' || " +
+    "CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&id=' || " +
+    "CAST(doc_id AS VARCHAR) || '#top'"
 
   val oracles: Seq[(String, String)] = Seq(
     // the oracle's window runs the same (hv, key) global order; DuckDB's
@@ -727,6 +821,35 @@ object Curation {
          |  $logw > CAST(0 AS DOUBLE) AS keep
          |FROM tk JOIN lwt USING (dim)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // URL family oracles: the oracle REBUILDS the canonical parts
+    // straight from the raw columns (lower(upper(lang)) = lang, the
+    // path is doc_id % 40 by construction) — an independent derivation,
+    // so a Spark-side parse_url mistake cannot cancel out.
+    "curate_url_canonical" ->
+      s"""SELECT doc_id, $urlSql AS url,
+         |  lang || '.' || source || '.example.com' AS domain,
+         |  lang || '.' || source || '.example.com/docs/' ||
+         |    CAST(doc_id % 40 AS VARCHAR) AS canonical
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "curate_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  lang || '.' || source || '.example.com/docs/' ||
+         |    CAST(doc_id % 40 AS VARCHAR) AS canonical FROM documents)
+         |SELECT canonical, COUNT(*) AS n_urls, MIN(doc_id) AS keep_doc_id
+         |FROM u GROUP BY canonical HAVING COUNT(*) > 1
+         |ORDER BY canonical""".stripMargin,
+
+    "curate_domain_caps" ->
+      s"""WITH u AS (SELECT doc_id, source || '.example.com' AS domain,
+         |    ${XF.h32Sql("'domcap:' || CAST(doc_id AS VARCHAR)")} AS hb
+         |  FROM documents),
+         |r AS (SELECT domain, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY domain ORDER BY hb,
+         |    doc_id) AS BIGINT) AS rk FROM u)
+         |SELECT domain, doc_id, rk FROM r WHERE rk <= $DomainCap
+         |ORDER BY domain, rk""".stripMargin
   )
 }

@@ -252,4 +252,44 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._4).distinct.size === got.size)
     assert(got.nonEmpty && got.size <= (total / step).toInt)
   }
+
+  test("url canonicalization strips scheme/query/fragment and lowercases") {
+    val rows = graft.SparkEntry.queries("curate_url_canonical")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, url, domain, canonical) =>
+      assert(url.startsWith("https://") && url.contains("?utm_source=") &&
+        url.endsWith("#top"), s"doc $id synthetic url shape: $url")
+      // canonical = lowercase(host)+path, parsed back out of the url
+      val hostPath = url.stripPrefix("https://").takeWhile(_ != '?')
+      assert(canonical === hostPath.toLowerCase, s"doc $id")
+      assert(domain === hostPath.takeWhile(_ != '/').toLowerCase)
+      assert(!canonical.exists(_.isUpper) && !canonical.contains("?") &&
+        !canonical.contains("#"))
+    }
+    // the uppercase-subdomain dirt is real on every third doc
+    assert(rows.filter(_._1 % 3 == 0)
+      .forall(r => r._2.stripPrefix("https://").takeWhile(_ != '.')
+        .forall(c => !c.isLower)))
+  }
+
+  test("domain caps are bounded, deterministic, and hash-ranked") {
+    val q = graft.SparkEntry.queries("curate_domain_caps")
+    val a = q(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = q(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq) // no rand() anywhere: identical reruns
+    assert(a.nonEmpty)
+    val perDomain = a.groupBy(_._1)
+    perDomain.foreach { case (dom, rows) =>
+      assert(rows.length <= 10, s"$dom over cap")
+      assert(rows.map(_._3).sorted.toSeq ===
+        (1L to rows.length.toLong).toSeq, s"$dom ranks not dense")
+      assert(dom.endsWith(".example.com") && dom.count(_ == '.') == 2,
+        s"registered domain shape: $dom")
+    }
+  }
 }
