@@ -985,7 +985,7 @@ object Dedup {
     * tokens at web scale; 8 keeps the testdata's duplicate structure
     * visible — the plan is width-independent).
     */
-  private val SpanK = 8
+  private[graft] val SpanK = 8
 
   /** 60-bit md5-prefix hash both engines compute identically (the
     * [[shingleSql]] device widened to 15 hex digits: birthday-safe for
@@ -1014,19 +1014,43 @@ object Dedup {
   private val kgramMemo =
     new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
 
-  private def posKgrams(s: SparkSession, d: String): DataFrame =
-    kgramMemo.getOrCompute((s, d)) {
-      t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= SpanK)
-        .select(col("doc_id"), posexplode(transform(
+  /** Mode-agnostic positional K-gram builder over a (doc_id, text)
+    * frame: (doc_id, n_tokens, pos, kh). Pure narrow expressions (no
+    * join, no window, no state), so the SAME code runs on a batch
+    * frame AND a readStream/MemoryStream frame — shared by the batch
+    * memo below and the streaming crawl probe
+    * ([[graft.streaming.Streams.spanProbe]]), so the two paths cannot
+    * drift.
+    */
+  private[graft] def kgramsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= SpanK)
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_tokens"),
+        posexplode(transform(
           sequence(lit(0), size(col("ws")) - SpanK),
           i => h60(concat_ws(" ", slice(col("ws"), i + 1, lit(SpanK))))))
-          .as(Seq("p0", "kh")))
-        .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
-          col("kh"))
+        .as(Seq("p0", "kh")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("p0") + 1).cast(LongType).as("pos"), col("kh"))
+
+  private def posKgrams(s: SparkSession, d: String): DataFrame =
+    kgramMemo.getOrCompute((s, d)) {
+      kgramsOf(t(s, d, "documents"))
+        .select(col("doc_id"), col("pos"), col("kh"))
         .localCheckpoint()
     }
+
+  /** The distinct corpus K-gram hash set — the stored index a
+    * continuous crawl probes (the static side of the streaming span
+    * probe; batch convention: doc_id % 5 == 4 is the new batch, the
+    * rest is corpus).
+    */
+  private[graft] def corpusKgramIndex(s: SparkSession, d: String)
+      : DataFrame =
+    posKgrams(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .select(col("kh")).distinct()
 
   private val dupStartsMemo =
     new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
@@ -1046,7 +1070,7 @@ object Dedup {
   /** DuckDB twin of [[dupKgramStarts]] as CTE bodies ending in
     * `dp(doc_id, pos)`.
     */
-  private val dupStartsCteSql: String =
+  private[graft] val dupStartsCteSql: String =
     s"""tkk AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
        |kg AS (SELECT doc_id, i AS pos,
        |         ${h60Sql(s"array_to_string(ws[i:i+${SpanK - 1}], ' ')")} AS kh

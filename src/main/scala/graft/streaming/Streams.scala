@@ -466,6 +466,44 @@ object Streams {
       }
   }
 
+  /** Streaming twin of `dedup_span_incremental` — the continuous-crawl
+    * form of substring dedup: a stream of newly crawled documents
+    * probes the STATIC corpus K-gram index. Per micro-batch: a narrow
+    * per-row pass builds each document's positional K-grams
+    * ([[graft.ops.Dedup.kgramsOf]] — the SAME builder as the batch
+    * family, so stream and batch cannot drift), a stream-static LEFT
+    * SEMI join keeps the K-grams already present in the corpus
+    * (stateless — the static side is a stored index at 100 TB,
+    * Bloom-prunable, re-read per micro-batch if it changes), and one
+    * per-doc aggregation collects the matched start positions
+    * (update-mode state: one document-length-bounded row per doc).
+    * The covered-token count is then ROW-LOCAL interval-union
+    * arithmetic over the sorted starts — union([sᵢ, sᵢ+K-1]) =
+    * K + Σ min(K, sᵢ₊₁ − sᵢ) — no distinct over exploded coverage
+    * positions (a stateful dedup on an unbounded stream), no window.
+    * Docs with zero corpus overlap emit nothing (a crawl gate acts on
+    * flagged docs; silence means clean).
+    */
+  def spanProbe(newDocs: DataFrame, corpusIdx: DataFrame): DataFrame = {
+    val k = graft.ops.Dedup.SpanK
+    val ss = array_sort(col("starts"))
+    val gaps = zip_with(
+      slice(ss, lit(1), size(ss) - 1), slice(ss, lit(2), size(ss) - 1),
+      (a, b) => least(lit(k.toLong), b - a))
+    val covered = aggregate(gaps, lit(0L), (acc, x) => acc + x) + k
+    val frac = col("corpus_dup_tokens").cast(DoubleType) /
+      col("n_tokens").cast(DoubleType)
+    graft.ops.Dedup.kgramsOf(newDocs)
+      .join(corpusIdx, Seq("kh"), "left_semi")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(collect_list(col("pos")).as("starts"))
+      .select(col("doc_id"), col("n_tokens"),
+        covered.as("corpus_dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("corpus_dup_tokens"),
+        XF.r6(frac).as("dup_fraction"),
+        (frac >= 0.5).as("flag_near_dup"))
+  }
+
   // ---- driver-contract batch-runnable queries -------------------------
 
   /** `session_window` also runs in batch mode — the same operator the
@@ -525,7 +563,19 @@ object Streams {
         .filter(col("rank") <= 5)
         .select(col("day"), col("rank"), col("user_id"), col("n_events"))
         .orderBy(col("day"), col("rank"))
-    })
+    }),
+
+    // the crawl-probe in its batch form: the doc_id % 5 == 4 batch
+    // probes the distinct corpus index — same split as
+    // dedup_span_incremental, but hit-docs-only (stream semantics:
+    // silence means clean) and interval-union coverage arithmetic.
+    "stream_span_probe" -> ((s: SparkSession, d: String) =>
+      spanProbe(
+        t(s, d, "documents")
+          .filter(pmod(col("doc_id"), lit(5)) === 4)
+          .select(col("doc_id"), col("text")),
+        graft.ops.Dedup.corpusKgramIndex(s, d))
+        .orderBy(col("doc_id")))
   )
 
   private val gapUs = 30L * 60 * 1000000
@@ -587,6 +637,29 @@ object Streams {
          |  FROM c)
          |SELECT day, CAST(rank AS INTEGER) AS rank, user_id,
          |  n AS n_events
-         |FROM r WHERE rank <= 5 ORDER BY day, rank""".stripMargin
+         |FROM r WHERE rank <= 5 ORDER BY day, rank""".stripMargin,
+
+    // independent coverage derivation: the oracle unions the exploded
+    // coverage POSITIONS (distinct + count) where the stream does
+    // interval-union arithmetic over sorted starts — two different
+    // computations of the same quantity.
+    "stream_span_probe" -> {
+      val k = graft.ops.Dedup.SpanK
+      s"""WITH ${graft.ops.Dedup.dupStartsCteSql},
+         |corpus AS (SELECT DISTINCT kh FROM kg WHERE doc_id % 5 <> 4),
+         |hits AS (SELECT kg.doc_id, kg.pos FROM kg
+         |         JOIN corpus USING (kh) WHERE kg.doc_id % 5 = 4),
+         |cov AS (SELECT DISTINCT doc_id, pos + i AS cpos
+         |        FROM hits, unnest(range(0, $k)) t(i)),
+         |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens
+         |      FROM tkk WHERE doc_id % 5 = 4),
+         |cv AS (SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY 1)
+         |SELECT n.doc_id, n.n_tokens, cv.covered AS corpus_dup_tokens,
+         |  ROUND(CAST(cv.covered AS DOUBLE) /
+         |    CAST(n.n_tokens AS DOUBLE), 6) AS dup_fraction,
+         |  (CAST(cv.covered AS DOUBLE) / CAST(n.n_tokens AS DOUBLE))
+         |    >= 0.5 AS flag_near_dup
+         |FROM cv JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin
+    }
   )
 }

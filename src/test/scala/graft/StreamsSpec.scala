@@ -465,4 +465,41 @@ class StreamsSpec extends SparkSpec {
     }.sortBy(t => (t._1, t._2))
     assert(gotTop.toSeq === wantTop)
   }
+
+  test("streaming span probe converges to the batch crawl-probe result") {
+    // the continuous-crawl form of substring dedup: new documents
+    // arrive over two micro-batches and probe the STATIC corpus
+    // k-gram index; the union of update-mode emissions must equal the
+    // batch stream_span_probe query row for row (each doc arrives
+    // whole in one batch, so its single emission is final)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 4)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val idx = graft.ops.Dedup.corpusKgramIndex(spark, sf)
+    val mem = MemoryStream[(Long, String)]
+    val query = Streams.spanProbe(
+        mem.toDS().select(col("_1").as("doc_id"), col("_2").as("text")),
+        idx)
+      .writeStream.format("memory").queryName("span_probe")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    def rows(df: DataFrame) = df
+      .select("doc_id", "n_tokens", "corpus_dup_tokens", "dup_fraction",
+        "flag_near_dup")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+      .toSet
+    val got = rows(spark.table("span_probe"))
+    val want = rows(SparkEntry.queries("stream_span_probe")(spark, sf))
+    assert(want.nonEmpty) // the testdata's near-dup structure guarantees hits
+    assert(got === want)
+  }
 }
