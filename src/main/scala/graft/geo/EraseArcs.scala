@@ -90,17 +90,23 @@ object EraseArcs {
     * are deduplicated first (identical circles would erase each
     * other's boundary).
     */
+  /** Green's-theorem contribution of a CCW arc of the circle centered
+    * (cx,cy), radius ρ, over [a,b]: ½[ρ²Δθ + cx·ρ(sin b − sin a) −
+    * cy·ρ(cos b − cos a)]. Shared by the circle and polygon kernels.
+    */
+  private def arcContrib(cx: Double, cy: Double, rho: Double,
+      a: Double, b: Double): Double =
+    0.5 * (rho * rho * (b - a) +
+      cx * rho * (math.sin(b) - math.sin(a)) -
+      cy * rho * (math.cos(b) - math.cos(a)))
+
+  private def clampAcos(x: Double): Double =
+    math.acos(math.max(-1.0, math.min(1.0, x)))
+
   private[graft] def erasedArea(bigR: Double,
       buffersIn: Seq[(Double, Double)], r: Double): Double = {
     val buffers = buffersIn.distinct
       .filter { case (x, y) => math.hypot(x, y) < bigR + r }
-    def arcContrib(cx: Double, cy: Double, rho: Double,
-        a: Double, b: Double): Double =
-      0.5 * (rho * rho * (b - a) +
-        cx * rho * (math.sin(b) - math.sin(a)) -
-        cy * rho * (math.cos(b) - math.cos(a)))
-    def clampAcos(x: Double): Double =
-      math.acos(math.max(-1.0, math.min(1.0, x)))
     // (a) surviving zone arcs, CCW around the origin
     val zoneCovered = buffers.flatMap { case (ox, oy) =>
       val d = math.hypot(ox, oy)
@@ -173,6 +179,148 @@ object EraseArcs {
       .as[(Int, Double)].collect().toSeq.sortBy(_._1).map { case (z, rr) =>
         (z, touched.getOrElse(z, math.Pi * rr * rr))
       }
+    all.toDF("zone_id", "area_sqft")
+  }
+
+  /** CONVEX-POLYGON generalization of [[erasedArea]] — the last
+    * reference-geometry scope item (arcpy Erase on polygon zones,
+    * reference GSheetsETL_Lab2.py:133) for convex vertex rings: EXACT
+    * area of (convex polygon − union of buffer disks), same
+    * Green's-theorem boundary decomposition:
+    *
+    *   (a) straight-edge pieces outside every disk, traversed CCW —
+    *       per edge, each disk covers ONE parametric t-interval from
+    *       the line-circle quadratic ‖A + t·AB − o‖² < r²; a 1-D
+    *       interval merge + complement yields the survivors, and a
+    *       segment P₁→P₂ contributes ½(x₁y₂ − x₂y₁);
+    *   (b) per disk, the arcs of its circle inside the polygon and
+    *       outside every other disk, traversed CW (hole side) — the
+    *       circle's OUTSIDE-the-polygon set is, per edge half-plane,
+    *       one angular interval centered on the outward normal's
+    *       bearing with half-width acos(−proj/r) (proj = signed
+    *       center distance): the SAME angular-interval merge
+    *       ([[survivingIntervals]]) as the circle-circle case.
+    *
+    * Vertices may wind either way (the shoelace sign normalizes to
+    * CCW). Pure JVM on one zone's geometry; unit- and grid-sampling-
+    * tested in GeoSpec without Spark, and cross-checked against the
+    * circle kernel via a fine regular polygon.
+    */
+  private[graft] def erasedAreaPoly(verticesIn: Seq[(Double, Double)],
+      buffersIn: Seq[(Double, Double)], r: Double): Double = {
+    require(verticesIn.size >= 3, "polygon needs >= 3 vertices")
+    val shoelace = verticesIn.indices.map { i =>
+      val (x1, y1) = verticesIn(i)
+      val (x2, y2) = verticesIn((i + 1) % verticesIn.size)
+      x1 * y2 - x2 * y1
+    }.sum
+    val vertices = if (shoelace >= 0) verticesIn else verticesIn.reverse
+    val edges = vertices.indices.map { i =>
+      (vertices(i), vertices((i + 1) % vertices.size))
+    }
+    val buffers = buffersIn.distinct
+    // (a) surviving straight-edge pieces, CCW
+    val edgePart = edges.map { case ((ax, ay), (bx, by)) =>
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      val covered = buffers.flatMap { case (ox, oy) =>
+        val fx = ax - ox; val fy = ay - oy
+        val bq = fx * dx + fy * dy
+        val cq = fx * fx + fy * fy - r * r
+        val disc = bq * bq - len2 * cq
+        if (disc <= 0) None
+        else {
+          val sq = math.sqrt(disc)
+          val s = math.max(0.0, (-bq - sq) / len2)
+          val e = math.min(1.0, (-bq + sq) / len2)
+          if (s < e) Some((s, e)) else None
+        }
+      }.sortBy(_._1)
+      val merged = covered.foldLeft(List.empty[(Double, Double)]) {
+        case (acc, (s, e)) => acc match {
+          case (ps, pe) :: tl if s <= pe => (ps, math.max(pe, e)) :: tl
+          case _ => (s, e) :: acc
+        }
+      }.reverse
+      val bounds =
+        0.0 +: merged.flatMap { case (s, e) => Seq(s, e) } :+ 1.0
+      bounds.grouped(2).collect { case Seq(s, e) if e > s =>
+        val x1 = ax + s * dx; val y1 = ay + s * dy
+        val x2 = ax + e * dx; val y2 = ay + e * dy
+        0.5 * (x1 * y2 - x2 * y1)
+      }.sum
+    }.sum
+    // (b) per-disk hole arcs, CW (subtracted)
+    val bufferPart = buffers.zipWithIndex.map { case ((ox, oy), i) =>
+      var disjoint = false // circle fully outside one half-plane ⇒ disk ∩ polygon = ∅
+      val outside = edges.flatMap { case ((ax, ay), (bx, by)) =>
+        val nx = by - ay; val ny = -(bx - ax) // outward normal (CCW ring)
+        val nn = math.hypot(nx, ny)
+        val proj = (nx * (ox - ax) + ny * (oy - ay)) / nn
+        val ce = -proj / r
+        if (ce >= 1) None // circle never outside this edge
+        else if (ce <= -1) { disjoint = true; None }
+        else Some((math.atan2(ny, nx), clampAcos(ce)))
+      }
+      if (disjoint) 0.0
+      else {
+        val others = buffers.zipWithIndex.filter(_._2 != i).map(_._1)
+          .flatMap { case (qx, qy) =>
+            val dij = math.hypot(qx - ox, qy - oy)
+            if (dij >= 2 * r || dij == 0.0) None
+            else Some((math.atan2(qy - oy, qx - ox),
+              clampAcos(dij / (2 * r))))
+          }
+        survivingIntervals(outside ++ others)
+          .map { case (s, e) => arcContrib(ox, oy, r, s, e) }.sum
+      }
+    }.sum
+    math.max(0.0, edgePart - bufferPart)
+  }
+
+  /** Surviving area per POLYGON zone in square feet (see
+    * [[erasedAreaPoly]]): zones arrive as vertex rings
+    * (zone_id, vertex ring as array of (x_ft, y_ft) structs); the
+    * same broadcast-join candidate generation as [[eraseArea]], with
+    * the touch predicate on the zone's bounding circle. Zones with no
+    * candidate buffer keep the exact shoelace area.
+    */
+  def eraseAreaPoly(spark: SparkSession, zones: DataFrame,
+      buffers: DataFrame, bufferFt: Double): DataFrame = {
+    import spark.implicits._
+    def shoelace(vs: Seq[(Double, Double)]): Double =
+      math.abs(vs.indices.map { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+        x1 * y2 - x2 * y1
+      }.sum) / 2
+    // zone catalog with a bounding circle for the touch join
+    val zcat = zones.select(col("zone_id").cast("int"),
+        col("vertices")) // array<struct<x:double,y:double>>
+      .as[(Int, Seq[(Double, Double)])]
+      .collect().toSeq
+    val bound = zcat.map { case (z, vs) =>
+      val cx = vs.map(_._1).sum / vs.size
+      val cy = vs.map(_._2).sum / vs.size
+      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      (z, cx, cy, rad)
+    }.toDF("zone_id", "bcx", "bcy", "brad")
+    // vertex catalog rides the task closure (bounded: |zones| rings of
+    // a few vertices); the area evaluates INSIDE mapGroups so only
+    // (zone_id, area) pairs — never buffer lists — reach the driver
+    val verts = zcat.toMap
+    val pairs = buffers.select(col("x_ft"), col("y_ft"))
+      .join(broadcast(bound),
+        Geo.dist2(col("x_ft"), col("y_ft"), col("bcx"), col("bcy"))
+          < (col("brad") + bufferFt) * (col("brad") + bufferFt))
+      .select(col("zone_id").cast("int"), col("x_ft"), col("y_ft"))
+      .as[(Int, Double, Double)]
+    val touched = pairs.groupByKey(_._1).mapGroups { (zid, rows) =>
+      zid -> erasedAreaPoly(verts(zid),
+        rows.map(t => (t._2, t._3)).toSeq, bufferFt)
+    }.collect().toMap
+    val all = zcat.sortBy(_._1).map { case (z, vs) =>
+      (z, touched.getOrElse(z, shoelace(vs)))
+    }
     all.toDF("zone_id", "area_sqft")
   }
 

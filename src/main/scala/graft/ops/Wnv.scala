@@ -410,8 +410,40 @@ object Wnv {
           XF.r6(col("end") * 180.0 / math.Pi).as("end_deg"),
           XF.r6(col("len") * 180.0 / math.Pi).as("arc_deg"))
         .orderBy(col("zone_id"), col("start_deg"))
-    })
+    }),
+
+    // J2 GEOMETRY, polygon zones (round 8): the convex-vertex-ring
+    // generalization of the Erase geometry — each zone as a diamond
+    // (4-vertex convex ring inscribed in its circle, rational
+    // coordinates), erased by the same opt-out buffer disks via
+    // straight-edge clipping + hole arcs (geo/EraseArcs.erasedAreaPoly,
+    // Green's theorem). Same no-oracle rule as wnv_erase_arcs
+    // (transcendental arc terms); the kernel is spec-pinned in GeoSpec
+    // by hand cases, grid sampling, winding invariance, and a
+    // fine-regular-polygon convergence check against the circle kernel.
+    "wnv_erase_poly" -> ((s: SparkSession, d: String) =>
+      graft.geo.EraseArcs.eraseAreaPoly(s, polygonZones(s, d),
+          optOut(s, d).select(col("x_ft"), col("y_ft")), BufferFt)
+        .select(col("zone_id"), XF.r6(col("area_sqft")).as("area_sqft"))
+        .orderBy(col("zone_id")))
   )
+
+  /** Diamond (4-vertex convex ring) form of the zone catalog: vertices
+    * at (cx±R, cy), (cx, cy±R) — rational coordinates, inscribed in
+    * the circular zone. The polygon-Erase input
+    * ([[graft.geo.EraseArcs.eraseAreaPoly]]).
+    */
+  def polygonZones(spark: SparkSession, dir: String): DataFrame =
+    zones(spark, dir).select(col("zone_id"),
+      array(
+        struct((col("cx_ft") + col("radius_ft")).as("_1"),
+          col("cy_ft").as("_2")),
+        struct(col("cx_ft").as("_1"),
+          (col("cy_ft") + col("radius_ft")).as("_2")),
+        struct((col("cx_ft") - col("radius_ft")).as("_1"),
+          col("cy_ft").as("_2")),
+        struct(col("cx_ft").as("_1"),
+          (col("cy_ft") - col("radius_ft")).as("_2"))).as("vertices"))
 
   /** S7 presentation sink: writes the [[queries wnv_map_export]] summary
     * table under a title/subtitle header to ONE local text file — the

@@ -199,4 +199,124 @@ class GeoSpec extends SparkSpec {
         s"zone $z: spark ${got(z)} vs replay $want")
     }
   }
+
+  test("polygon erase: hand cases, winding invariance, grid sampling") {
+    import graft.geo.EraseArcs
+    val r = 300.0
+    val square = Seq((-1000.0, -1000.0), (1000.0, -1000.0),
+      (1000.0, 1000.0), (-1000.0, 1000.0))
+    def area(bufs: (Double, Double)*): Double =
+      EraseArcs.erasedAreaPoly(square, bufs, r)
+    val full = 4e6
+    assert(math.abs(area() - full) < 1e-6)
+    assert(math.abs(area((9000.0, 0.0)) - full) < 1e-6) // disjoint disk
+    // interior hole → full − πr²
+    assert(math.abs(area((0.0, 0.0)) - (full - math.Pi * r * r)) < 1e-6)
+    // duplicate centers erase once, not twice
+    assert(math.abs(area((100.0, 50.0), (100.0, 50.0)) -
+      (full - math.Pi * r * r)) < 1e-6)
+    // winding invariance: CW input normalizes
+    assert(math.abs(EraseArcs.erasedAreaPoly(square.reverse,
+      Seq((0.0, 0.0)), r) - (full - math.Pi * r * r)) < 1e-6)
+    // center ON an edge → exactly half the disk erased
+    assert(math.abs(area((1000.0, 0.0)) -
+      (full - math.Pi * r * r / 2)) < 1e-6)
+    // polygon swallowed by a huge disk → empty region
+    assert(EraseArcs.erasedAreaPoly(
+      Seq((-100.0, -100.0), (100.0, -100.0), (100.0, 100.0),
+        (-100.0, 100.0)), Seq((0.0, 0.0)), 500.0) === 0.0)
+    // pseudo-random configuration over an irregular convex pentagon
+    // vs grid sampling (the same 0.2% gate as the circle kernel)
+    val pent = Seq((-900.0, -700.0), (800.0, -1000.0), (1100.0, 200.0),
+      (200.0, 1000.0), (-1000.0, 500.0))
+    val bufs = (1 to 12).map { i =>
+      val a = i * 2.399963229728653
+      val rad = 150.0 + (i * 173) % 1000
+      (rad * math.cos(a), rad * math.sin(a))
+    }
+    val got = EraseArcs.erasedAreaPoly(pent, bufs, r)
+    // half-plane point-in-polygon for the sampler (pent is CCW)
+    def inside(x: Double, y: Double): Boolean =
+      pent.indices.forall { i =>
+        val (ax, ay) = pent(i); val (bx, by) = pent((i + 1) % pent.size)
+        (bx - ax) * (y - ay) - (by - ay) * (x - ax) >= 0
+      }
+    val n = 600
+    var in = 0; var tot = 0
+    for (ix <- -n to n; iy <- -n to n) {
+      val x = ix * 1100.0 / n; val y = iy * 1100.0 / n
+      if (inside(x, y)) {
+        tot += 1
+        val hit = bufs.exists { case (bx, by) =>
+          (x - bx) * (x - bx) + (y - by) * (y - by) < r * r }
+        if (!hit) in += 1
+      }
+    }
+    val pentArea = math.abs(pent.indices.map { i =>
+      val (x1, y1) = pent(i); val (x2, y2) = pent((i + 1) % pent.size)
+      x1 * y2 - x2 * y1
+    }.sum) / 2
+    val sampled = pentArea * in / tot
+    assert(math.abs(got - sampled) / pentArea < 2e-3,
+      s"green $got vs grid $sampled")
+  }
+
+  test("polygon erase: fine regular polygon converges to the circle kernel") {
+    import graft.geo.EraseArcs
+    val R = 1000.0; val r = 300.0
+    val bufs = (1 to 8).map { i =>
+      val a = i * 2.399963229728653
+      val rad = 200.0 + (i * 211) % 900
+      (rad * math.cos(a), rad * math.sin(a))
+    }
+    val ngon = (0 until 512).map { k =>
+      val a = 2 * math.Pi * k / 512
+      (R * math.cos(a), R * math.sin(a))
+    }
+    val got = EraseArcs.erasedAreaPoly(ngon, bufs, r)
+    val want = EraseArcs.erasedArea(R, bufs, r)
+    // the inscribed 512-gon underestimates the disk by ~R²π³/(3·512²)
+    // relative ≈ 2e-5 — well inside the 1e-3 gate
+    assert(math.abs(got - want) / want < 1e-3, s"ngon $got vs circle $want")
+  }
+
+  test("polygon erase: the distributed path equals a driver-side replay") {
+    import graft.geo.EraseArcs
+    val zones = graft.ops.Wnv.polygonZones(spark, sf)
+    val buffers = graft.ops.Wnv.optOut(spark, sf)
+      .select(col("x_ft"), col("y_ft"))
+    val r = graft.ops.Wnv.BufferFt
+    val got = EraseArcs.eraseAreaPoly(spark, zones, buffers, r)
+      .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+    val zs = zones.select(col("zone_id").cast("int"), col("vertices"))
+      .collect().map { w =>
+        (w.getInt(0), w.getSeq[org.apache.spark.sql.Row](1)
+          .map(v => (v.getDouble(0), v.getDouble(1))))
+      }
+    val bs = buffers.collect().map(w => (w.getDouble(0), w.getDouble(1)))
+    assert(got.keySet === zs.map(_._1).toSet)
+    zs.foreach { case (z, vs) =>
+      val cx = vs.map(_._1).sum / vs.size
+      val cy = vs.map(_._2).sum / vs.size
+      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      val near = bs.toSeq.filter { case (x, y) =>
+        (x - cx) * (x - cx) + (y - cy) * (y - cy) < (rad + r) * (rad + r) }
+      val want =
+        if (near.isEmpty) math.abs(vs.indices.map { i =>
+          val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+          x1 * y2 - x2 * y1
+        }.sum) / 2
+        else EraseArcs.erasedAreaPoly(vs, near, r)
+      assert(math.abs(got(z) - want) <= 1e-9 * math.max(1.0, want),
+        s"zone $z: spark ${got(z)} vs replay $want")
+    }
+    // the diamond is inscribed in the circle: its surviving area can
+    // never exceed the circle zone's
+    val circ = EraseArcs.eraseArea(spark, graft.ops.Wnv.zones(spark, sf),
+        buffers, r)
+      .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+    got.foreach { case (z, a) =>
+      assert(a <= circ(z) + 1e-6, s"zone $z diamond $a > circle ${circ(z)}")
+    }
+  }
 }
