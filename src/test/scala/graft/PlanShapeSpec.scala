@@ -291,7 +291,12 @@ class PlanShapeSpec extends SparkSpec {
     "dedup_dup_spans" -> 4, "dedup_span_removal" -> 6,
     "profile_drift" -> 5, "sample_weighted" -> 4,
     "graph_label_propagation" -> 3, "dedup_span_incremental" -> 5,
-    "agg_exact_quantiles_global" -> 3)
+    "agg_exact_quantiles_global" -> 3,
+    // round-8 additions (measured 1/2/2/3/1 at sf0.001/4 cores;
+    // +1 headroom each)
+    "curate_url_canonical" -> 2, "curate_url_dedup" -> 3,
+    "curate_domain_caps" -> 3, "stream_span_probe" -> 4,
+    "wnv_erase_poly" -> 2)
 
   shuffleCeilings.foreach { case (q, ceiling) =>
     test(s"$q: at most $ceiling shuffle exchanges") {
