@@ -373,6 +373,49 @@ object Text {
           length(scrub).cast(LongType).as("n_chars_scrubbed"),
           XF.h32(scrub).as("scrubbed_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // GOPHER-STYLE duplicate-n-gram mass (Rae et al. 2021, "Scaling
+    // Language Models: ... Gopher" table A1 — the within-document
+    // repetition filters): per document, the fraction of 2-gram and
+    // 3-gram INSTANCES that are duplicated inside the document
+    // (instances whose gram occurs ≥ 2×). Complements
+    // `text_repetition`'s top-token share — a doc can loop a phrase
+    // without any single dominant token. One explode over both widths
+    // (tagged union), one (doc, n, gram-hash) hash agg whose map-side
+    // partials collapse within-partition repeats, and the per-doc
+    // rollup reuses the same hash partitioning (doc_id is a key
+    // prefix) — no second exchange. At 100 TB the key space is token
+    // mass, the same floor as every shingle pass here.
+    "text_dup_ngram_mass" -> ((s: SparkSession, d: String) => {
+      val ws = toks(col("text"))
+      def grams(n: Int): DataFrame = t(s, d, "documents")
+        .filter(size(ws) >= n)
+        .select(col("doc_id"),
+          size(ws).cast(LongType).as("n_tokens"),
+          lit(n.toLong).as("n"),
+          explode(transform(sequence(lit(0), size(ws) - n),
+            i => XF.h32(concat_ws(" ", slice(ws, i + 1, lit(n))))))
+            .as("g"))
+      val frac = XF.r6(col("dup_insts").cast(DoubleType) /
+        col("insts").cast(DoubleType))
+      grams(2).unionByName(grams(3))
+        .groupBy(col("doc_id"), col("n_tokens"), col("n"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("n"))
+        .agg(sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L))
+            .as("dup_insts"),
+          sum(col("cnt")).as("insts"))
+        .select(col("doc_id"), col("n_tokens"), col("n"),
+          frac.as("frac"))
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(max(when(col("n") === 2L, col("frac"))).as("dup2_frac"),
+          max(when(col("n") === 3L, col("frac"))).as("dup3_frac"))
+        .select(col("doc_id"), col("n_tokens"), col("dup2_frac"),
+          col("dup3_frac"),
+          (col("dup2_frac") > 0.2 || col("dup3_frac") > 0.18)
+            .as("flag_repetitive"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -558,6 +601,29 @@ object Text {
          |  CAST(length($scrub) AS BIGINT) AS n_chars_scrubbed,
          |  ${XF.h32Sql(scrub)} AS scrubbed_fp
          |FROM documents ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "text_dup_ngram_mass" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') ws
+         |            FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, n,
+         |    ${XF.h32Sql("array_to_string(ws[i:i+n-1], ' ')")} AS g
+         |  FROM tk, (VALUES (2), (3)) nn(n),
+         |       unnest(range(1, len(ws) - n + 2)) t(i)
+         |  WHERE len(ws) >= n),
+         |c AS (SELECT doc_id, n_tokens, n, g, COUNT(*) AS cnt
+         |      FROM g GROUP BY ALL),
+         |f AS (SELECT doc_id, n_tokens, n,
+         |        ROUND(CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)
+         |            AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS frac
+         |      FROM c GROUP BY ALL)
+         |SELECT doc_id, n_tokens,
+         |  MAX(CASE WHEN n = 2 THEN frac END) AS dup2_frac,
+         |  MAX(CASE WHEN n = 3 THEN frac END) AS dup3_frac,
+         |  (MAX(CASE WHEN n = 2 THEN frac END) > CAST(0.2 AS DOUBLE) OR
+         |   MAX(CASE WHEN n = 3 THEN frac END) > CAST(0.18 AS DOUBLE))
+         |    AS flag_repetitive
+         |FROM f GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
   )
 }

@@ -159,4 +159,32 @@ class TextSpec extends SparkSpec {
       assert(len === docs(id).length + 3L * keys + 2L * hashes, s"doc $id")
     }
   }
+
+  test("duplicate-n-gram mass matches a JVM-side replay") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def frac(ws: Array[String], n: Int): Double = {
+      val grams = ws.sliding(n).map(_.mkString(" ")).toSeq
+      val cnt = grams.groupBy(identity).view.mapValues(_.size)
+      val dup = cnt.values.filter(_ >= 2).sum
+      BigDecimal(dup.toDouble / grams.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = graft.SparkEntry.queries("text_dup_ngram_mass")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.keySet === docs.keySet)
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val (nTok, d2, d3, flag) = got(id)
+      assert(nTok === ws.length.toLong, s"doc $id")
+      assert(math.abs(d2 - frac(ws, 2)) < 1e-9, s"doc $id 2-gram")
+      assert(math.abs(d3 - frac(ws, 3)) < 1e-9, s"doc $id 3-gram")
+      assert(flag === (frac(ws, 2) > 0.2 || frac(ws, 3) > 0.18), s"doc $id")
+    }
+    // the testdata's repeated phrasing makes the filter non-vacuous
+    assert(got.values.exists(_._2 > 0.0))
+  }
 }
