@@ -383,10 +383,12 @@ object Text {
     // `text_repetition`'s top-token share — a doc can loop a phrase
     // without any single dominant token. One explode over both widths
     // (tagged union), one (doc, n, gram-hash) hash agg whose map-side
-    // partials collapse within-partition repeats, and the per-doc
-    // rollup reuses the same hash partitioning (doc_id is a key
-    // prefix) — no second exchange. At 100 TB the key space is token
-    // mass, the same floor as every shingle pass here.
+    // partials collapse within-partition repeats, then ONE per-doc
+    // rollup with conditional sums per width — no intermediate
+    // (doc, n) aggregation level: hash partitionings on different key
+    // sets never reuse, so fewer levels = fewer exchanges. At 100 TB
+    // the key space is token mass, the same floor as every shingle
+    // pass here.
     "text_dup_ngram_mass" -> ((s: SparkSession, d: String) => {
       val ws = toks(col("text"))
       def grams(n: Int): DataFrame = t(s, d, "documents")
@@ -397,20 +399,18 @@ object Text {
           explode(transform(sequence(lit(0), size(ws) - n),
             i => XF.h32(concat_ws(" ", slice(ws, i + 1, lit(n))))))
             .as("g"))
-      val frac = XF.r6(col("dup_insts").cast(DoubleType) /
-        col("insts").cast(DoubleType))
+      def fracFor(n: Int) = XF.r6(
+        sum(when(col("n") === n.toLong && col("cnt") >= 2, col("cnt"))
+          .otherwise(0L)).cast(DoubleType) /
+        sum(when(col("n") === n.toLong, col("cnt")).otherwise(0L))
+          .cast(DoubleType))
       grams(2).unionByName(grams(3))
-        .groupBy(col("doc_id"), col("n_tokens"), col("n"), col("g"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"), col("n_tokens"), col("n"))
-        .agg(sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L))
-            .as("dup_insts"),
-          sum(col("cnt")).as("insts"))
-        .select(col("doc_id"), col("n_tokens"), col("n"),
-          frac.as("frac"))
-        .groupBy(col("doc_id"), col("n_tokens"))
-        .agg(max(when(col("n") === 2L, col("frac"))).as("dup2_frac"),
-          max(when(col("n") === 3L, col("frac"))).as("dup3_frac"))
+        .groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          fracFor(2).as("dup2_frac"), fracFor(3).as("dup3_frac"))
         .select(col("doc_id"), col("n_tokens"), col("dup2_frac"),
           col("dup3_frac"),
           (col("dup2_frac") > 0.2 || col("dup3_frac") > 0.18)
