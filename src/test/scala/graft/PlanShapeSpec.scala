@@ -296,7 +296,8 @@ class PlanShapeSpec extends SparkSpec {
     // +1 headroom each)
     "curate_url_canonical" -> 2, "curate_url_dedup" -> 3,
     "curate_domain_caps" -> 3, "stream_span_probe" -> 4,
-    "wnv_erase_poly" -> 2, "text_dup_ngram_mass" -> 4)
+    // zero-shuffle by design: the only exchange is the output sort
+    "wnv_erase_poly" -> 2, "text_dup_ngram_mass" -> 2)
 
   shuffleCeilings.foreach { case (q, ceiling) =>
     test(s"$q: at most $ceiling shuffle exchanges") {
