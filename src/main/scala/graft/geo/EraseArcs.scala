@@ -223,6 +223,12 @@ object EraseArcs {
     val edgePart = edges.map { case ((ax, ay), (bx, by)) =>
       val dx = bx - ax; val dy = by - ay
       val len2 = dx * dx + dy * dy
+      // a zero-length edge (repeated vertex) would 0-divide the
+      // quadratic roots into NaN intervals and silently corrupt the
+      // area — fail loudly instead (same discipline as the circle
+      // kernel's loud guards)
+      require(len2 > 0,
+        s"erasedAreaPoly: degenerate zero-length edge at ($ax,$ay)")
       val covered = buffers.flatMap { case (ox, oy) =>
         val fx = ax - ox; val fy = ay - oy
         val bq = fx * dx + fy * dy

@@ -736,6 +736,13 @@ object Relational {
         percentile_approx(col("cents"),
           array(probs.map(lit): _*), lit(acc)).as("b")).head()
       val n = r0.getLong(0)
+      // empty input: no quantiles exist — emit the empty 2-column
+      // frame rather than letting the rank guard below throw a
+      // misleading "sketch violated" error
+      if (n == 0L) {
+        import s.implicits._
+        Seq.empty[(Double, Long)].toDF("q", "value_cents")
+      } else {
       val bnd = r0.getSeq[Long](1)
       // (band id, q, global target rank, band lo, band hi)
       val bands = qs.zipWithIndex.map { case (q, i) =>
@@ -774,6 +781,7 @@ object Relational {
         .join(broadcast(tdf), Seq("band", "lr"))
         .select(col("q"), col("cents").as("value_cents"))
         .orderBy(col("q"))
+      }
     }),
 
     // array function family over a real array column.

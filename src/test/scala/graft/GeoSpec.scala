@@ -261,6 +261,15 @@ class GeoSpec extends SparkSpec {
       s"green $got vs grid $sampled")
   }
 
+  test("polygon erase: a repeated vertex fails loudly, not as NaN area") {
+    import graft.geo.EraseArcs
+    val bad = Seq((0.0, 0.0), (0.0, 0.0), (1000.0, 0.0), (500.0, 800.0))
+    val e = intercept[IllegalArgumentException] {
+      EraseArcs.erasedAreaPoly(bad, Seq((100.0, 100.0)), 300.0)
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
+
   test("polygon erase: fine regular polygon converges to the circle kernel") {
     import graft.geo.EraseArcs
     val R = 1000.0; val r = 300.0
