@@ -1228,13 +1228,18 @@ object Relational {
       val sess = Events.sessionFrame(s, d)
       // ±1 boundary deltas in ONE pass over sess (explode, not a
       // union whose two branches would each recompute the session
-      // windows during checkpoint materialization)
+      // windows). NO checkpoint here (round 8): sess is already
+      // materialized blocks, so the explode lineage is a cheap narrow
+      // op — re-running it for the scan's reads costs less than an
+      // eager materialization job per construction, and a stable
+      // (un-checkpointed) plan lets Scan's canonicalized-plan bounds
+      // memo hit across rebuilds (a fresh checkpoint RDD id never
+      // memo-hits).
       val deltas = sess.select(explode(array(
           struct(col("st").as("at"), lit(1L).as("d")),
           struct((col("en") + 1).as("at"), lit(-1L).as("d"))))
           .as("bd"))
         .select(col("bd.at").as("at"), col("bd.d").as("d"))
-        .localCheckpoint()
       Scan.runningOver(deltas, v = col("at"), desc = false,
           order = Seq(col("at"), col("d")),
           outs = Seq(("conc", col("d"))))
