@@ -62,6 +62,22 @@ class SqlSpec extends SparkSpec {
     assert(viaSql.nonEmpty)
   }
 
+  test("graft_dup_gram_frac kernel is callable from SQL") {
+    graft.sources.Tables.t(spark, sf, "documents")
+      .createOrReplaceTempView("docs_dup_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_dup_gram_frac(split(text, ' '), 2) AS f
+        |FROM docs_dup_sql ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaColumn = graft.sources.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.ArrayExprs
+        .dupGramFrac(split(col("text"), " "), 2).as("f"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql === viaColumn)
+    assert(viaSql.exists(_._2 > 0.0)) // the corpus has real repetition
+  }
+
   test("SQL-defined scalar UDF inlines into codegen, equals DataFrame math") {
     val df = SparkEntry.queries("sql_udf_scalar")(spark, sf)
     val rows = df.collect() // executes THIS plan → AQE finalizes it
