@@ -967,7 +967,9 @@ object Dedup {
     "dedup_span_incremental" -> ((s: SparkSession, d: String) => {
       val kg = posKgrams(s, d)
       val isNew = pmod(col("doc_id"), lit(5)) === 4
-      val corpusIdx = kg.filter(!isNew).select(col("kh")).distinct()
+      // ONE corpus-index definition shared with the streaming probe
+      // (stream_span_probe) — the two forms cannot drift
+      val corpusIdx = corpusKgramIndex(s, d)
       val covered = kg.filter(isNew)
         .join(corpusIdx, Seq("kh"), "left_semi")
         .select(col("doc_id"),
