@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         new graft.functions.ShingleHashes(args(0), k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.SortedIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (args: Seq[Expression]) =>
+        graft.functions.SortedIntersectCount(args(0), args(1))))
     // the Gopher repetition kernel for SQL users:
     // `SELECT graft_dup_gram_frac(split(text, ' '), 2) FROM docs`
     ext.injectFunction((

@@ -46,6 +46,12 @@ object ArrayExprs {
     */
   def dupGramFrac(tokens: Column, k: Int): Column =
     column(DupGramFrac(expression(tokens), k))
+
+  /** |a ∩ b| of two ascending-sorted distinct BIGINT arrays — the
+    * two-pointer set-similarity verification kernel.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
 }
 
 /** dot(a, b) over ArrayType(LongType) — exact, overflow-free for the
@@ -298,5 +304,79 @@ object DupGramFrac {
       i += 1
     }
     dup.toDouble / g.toDouble
+  }
+}
+
+/** |a ∩ b| over two ASCENDING-SORTED array<bigint> columns — the
+  * set-similarity verification kernel (Jaccard / containment / S-curve
+  * calibration): one two-pointer merge pass, no hash set, no
+  * intermediate array. The built-in `size(array_intersect(a, b))`
+  * allocates and probes a hash set per pair; over PPJoin candidate
+  * volumes the merge is the shape that survives 100 TB verification.
+  *
+  * Input contract: both arrays sorted ascending with distinct elements
+  * (the `array_sort(collect_set(...))` doc-set artifact). VALIDATED
+  * while scanning — an unsorted input throws rather than silently
+  * undercounting (the loud-failure discipline; the check is a
+  * predictable branch on data already in registers).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> args, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Two-pointer merge intersection count with in-scan sortedness
+    * validation (shared by the interpreted and codegen paths).
+    */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0L
+    var pa = Long.MinValue; var pb = Long.MinValue
+    while (i < na && j < nb) {
+      val xa = a.getLong(i); val xb = b.getLong(j)
+      if (xa < pa || xb < pb) throw new IllegalArgumentException(
+        "graft_sorted_intersect_count: input array not sorted ascending")
+      if (xa == xb) { cnt += 1; pa = xa; pb = xb; i += 1; j += 1 }
+      else if (xa < xb) { pa = xa; i += 1 }
+      else { pb = xb; j += 1 }
+    }
+    // the merge can exit before visiting every element — finish the
+    // order scan over both tails so an unsorted input ALWAYS throws
+    // (exactly one full pass of each array in total)
+    while (i < na) {
+      val xa = a.getLong(i)
+      if (xa < pa) throw new IllegalArgumentException(
+        "graft_sorted_intersect_count: input array not sorted ascending")
+      pa = xa; i += 1
+    }
+    while (j < nb) {
+      val xb = b.getLong(j)
+      if (xb < pb) throw new IllegalArgumentException(
+        "graft_sorted_intersect_count: input array not sorted ascending")
+      pb = xb; j += 1
+    }
+    cnt
   }
 }

@@ -101,9 +101,18 @@ object Dedup {
       |       unnest(range(1, len(ws)-1)) t(i)""".stripMargin
 
   /** Per-doc distinct-shingle sets as arrays + sizes (one shuffle). */
+  // ss is SORTED ascending: every consumer intersects via the
+  // two-pointer SortedIntersectCount kernel (one merge pass per pair,
+  // no per-pair hash set) — the sort is paid once per DOC here, the
+  // merge once per CANDIDATE below
   private def docSets(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("ss"), count(lit(1)).as("n"))
+      .agg(array_sort(collect_set(col("s"))).as("ss"),
+        count(lit(1)).as("n"))
+
+  private def interCount(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ArrayExprs.sortedIntersectCount(a, b)
 
   /** Exact Jaccard for a given (i, j) candidate-pair frame: join each
     * side's shingle array and intersect per pair — verification cost
@@ -115,7 +124,7 @@ object Dedup {
         col("n").as("ni")), Seq("i"))
       .join(docs.select(col("doc_id").as("j"), col("ss").as("sj"),
         col("n").as("nj")), Seq("j"))
-      .withColumn("inter", size(array_intersect(col("si"), col("sj"))).cast(LongType))
+      .withColumn("inter", interCount(col("si"), col("sj")))
       .withColumn("jac", col("inter").cast(DoubleType) /
         (col("ni") + col("nj") - col("inter")).cast(DoubleType))
 
@@ -590,8 +599,7 @@ object Dedup {
         .join(docs.select(col("doc_id").as("i"), col("ss").as("si"),
           col("n").as("ni")), Seq("i"))
         .join(docs.select(col("doc_id").as("j"), col("ss").as("sj")), Seq("j"))
-        .withColumn("inter",
-          size(array_intersect(col("si"), col("sj"))).cast(LongType))
+        .withColumn("inter", interCount(col("si"), col("sj")))
         .withColumn("containment",
           col("inter").cast(DoubleType) / col("ni").cast(DoubleType))
         .filter(col("containment") >= tC)
@@ -711,8 +719,7 @@ object Dedup {
         .crossJoin(docs.select(col("doc_id").as("j"), col("ss").as("sj"),
           col("n").as("nj")))
         .filter(col("i") < col("j"))
-        .withColumn("inter",
-          size(array_intersect(col("si"), col("sj"))).cast(LongType))
+        .withColumn("inter", interCount(col("si"), col("sj")))
         .select(col("i"), col("j"), (col("inter").cast(DoubleType) /
           (col("ni") + col("nj") - col("inter")).cast(DoubleType)).as("jac"))
       val mh = minhashSigs(sh).localCheckpoint()

@@ -208,4 +208,27 @@ class KernelPropertySpec extends SparkSpec {
         refFrac(ws, 2)) < 1e-12)
     }
   }
+
+  test("SortedIntersectCount: codegen == set intersection; unsorted fails loudly") {
+    // sorted-distinct arrays over a small value domain → real overlap
+    val sortedVec: Gen[List[Long]] = for {
+      n <- Gen.choose(0, 50)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 80L))
+    } yield xs.distinct.sorted
+    val pairs = Gen.listOfN(300, Gen.zip(sortedVec, sortedVec))
+      .apply(Gen.Parameters.default, Seed(5L)).get
+    val got = viaCodegen(pairs, LongType, ArrayExprs.sortedIntersectCount)
+    pairs.zip(got).foreach { case ((a, b), v) =>
+      assert(v === (a.toSet intersect b.toSet).size.toLong,
+        s"a=${a.take(8)} b=${b.take(8)}")
+    }
+    // the in-scan sortedness validation throws instead of undercounting
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val bad = ArrayData.toArrayData(Array(5L, 3L, 4L))
+    val ok = ArrayData.toArrayData(Array(3L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      graft.functions.SortedIntersectCount.compute(bad, ok)
+    }
+    assert(graft.functions.SortedIntersectCount.compute(ok, ok) === 3L)
+  }
 }
