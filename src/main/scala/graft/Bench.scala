@@ -37,6 +37,7 @@ object Bench {
     // committed record always reflects a complete sweep.
     val only = args.toSet
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val warmup0 = System.nanoTime()
     // untimed warmup: a FULL scan of every table — file index, parquet
     // footers, OS page cache, first codegen. limit(1) warming left the
     // first query to touch each table absorbing its cold read (the
@@ -69,11 +70,45 @@ object Bench {
       graft.ops.Similarity.warmArtifacts)
       .foreach(w => try w(spark, sfDir)
         catch { case _: Throwable => () })
+    val warmupSec = (System.nanoTime() - warmup0) / 1e9
+    // steal_factor baseline: per-query times of the previous full
+    // sweep, read BEFORE this run overwrites the file. The baseline's
+    // own total/nq are recorded in the emitted JSON (steal_baseline)
+    // so a consumer can tell WHICH sweep the factor was computed
+    // against — consecutive sweeps in one round compare against each
+    // other, which is run-order dependent, and the provenance field is
+    // what keeps that honest.
+    val prevParsed: Option[(Map[String, Double], Double, Int)] = (try {
+      if (new java.io.File(sfDir).getName != "sf0.1")
+        throw new NoSuchElementException("prev sweep is sf0.1-only")
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+      val qpart = txt.split("\"queries\":\\{", 2)
+      if (qpart.length < 2) None
+      else {
+        val m = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
+          .findAllMatchIn(qpart(1).takeWhile(_ != '}'))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val tot = "\"value\":([0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+        val nq = "\"nq\":([0-9]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt).getOrElse(-1)
+        Some((m, tot, nq))
+      }
+    } catch { case _: Throwable => None })
+    val prevTimes: Map[String, Double] =
+      prevParsed.map(_._1).getOrElse(Map.empty)
     // best-of-2 per query (steady-state time, robust to one-off JIT/GC
-    // pauses), plus a third run when the two disagree >1.5x — this host
-    // shows CPU-steal windows that can stall both consecutive runs, and
-    // a moderate disagreement is the cheapest tell that one of the two
-    // samples hit one.
+    // pauses), plus extra runs on two tells that BOTH samples may have
+    // hit a host CPU-steal window:
+    //   (a) the two samples disagree >1.5x (one of them stalled);
+    //   (b) the best-of-2 min exceeds 5x the previous committed
+    //       sweep's time for this query (BOTH stalled — the round-8
+    //       blind spot: text_classify shipped a false 31.6 s reading
+    //       because two consecutive stalls agree with each other).
+    // A query still >5x prev after the retries is marked `suspect` in
+    // the artifact instead of silently reading as a regression.
+    val StallRatio = 5.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
       def once(): Option[Double] = {
@@ -87,45 +122,50 @@ object Bench {
         }
       }
       val times = Seq(once(), once()).flatten
-      val all =
+      val withThird =
         if (times.size == 2 && times.max / times.min > 1.5)
           times ++ once() else times
+      def stalled(ts: Seq[Double]): Boolean = ts.nonEmpty &&
+        prevTimes.get(name).exists(p => p > 0 && ts.min > StallRatio * p)
+      // up to 2 delayed re-samples when the min still reads as a >5x
+      // stall vs the committed record — a genuine regression survives
+      // them; a contention window usually does not
+      val all = Iterator.iterate(withThird) { ts =>
+        Thread.sleep(200); ts ++ once()
+      }.dropWhile(ts => stalled(ts) && ts.size < withThird.size + 2)
+        .next()
       // a query with no successful run reports -1, not a fast-fail time
-      name -> (if (all.isEmpty) -1.0 else all.min)
+      (name, if (all.isEmpty) -1.0 else all.min, stalled(all))
     }
+    val suspects = results.collect { case (n, _, true) => n }
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // steal_factor: median per-query ratio vs the PREVIOUS committed
-    // full sweep — the cross-round correction the judge previously
-    // re-derived by hand. ~1.0 = quiet host; ≫1 = this sweep ran under
-    // CPU steal and its absolute totals overstate real cost. Read
-    // BEFORE this run overwrites the file.
-    val prevTimes: Map[String, Double] = (try {
-      if (new java.io.File(sfDir).getName != "sf0.1")
-        throw new NoSuchElementException("prev sweep is sf0.1-only")
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
-      val qpart = txt.split("\"queries\":\\{", 2)
-      if (qpart.length < 2) Map.empty[String, Double]
-      else "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
-        .findAllMatchIn(qpart(1).takeWhile(_ != '}'))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty[String, Double] })
-    val ratios = results.collect { case (k, v)
+    val timed = results.map { case (k, v, _) => (k, v) }
+    val ratios = timed.collect { case (k, v)
         if v > 0 && prevTimes.get(k).exists(_ > 0) => v / prevTimes(k) }
       .sorted
     val stealFactor: Option[Double] =
       if (ratios.isEmpty) None
       else Some(if (ratios.size % 2 == 1) ratios(ratios.size / 2)
         else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
-    val stealField = stealFactor
-      .map(sfv => s""","steal_factor":${r3(sfv)}""").getOrElse("")
+    // provenance: which sweep the factor was computed against
+    val stealField = stealFactor.map { sfv =>
+      val base = prevParsed.map { case (_, tot, nq) =>
+        s""","steal_baseline":{"file":"BENCH_FULL.json","total":${r3(tot)},"nq":$nq}"""
+      }.getOrElse("")
+      s""","steal_factor":${r3(sfv)}$base"""
+    }.getOrElse("")
+    val suspectField =
+      if (suspects.isEmpty) ""
+      else suspects.map("\"" + _ + "\"")
+        .mkString(""","suspect":[""", ",", "]")
+    val warmField = s""","warmup_sec":${r3(warmupSec)}"""
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = timed.map(_._2).filter(_ >= 0).sum
     // full per-query detail → file (committed per-round as the record)
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size}$stealField,"queries":${jmap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size}$stealField$suspectField$warmField,"queries":${jmap(timed)},"sf":"$sfDir"}"""
     // the committed record is the driver's sweep (sf0.1, unfiltered);
     // local smoke runs at other SFs land in a per-SF file instead of
     // clobbering the round artifact
@@ -144,7 +184,7 @@ object Bench {
     }
     // compact headline line → stdout (fits the harness's 2000-char
     // tail): slowest queries first, greedily filled to the byte budget
-    val bySlowest = results.sortBy(-_._2)
+    val bySlowest = timed.sortBy(-_._2)
     var used = 0
     val head = bySlowest.takeWhile { case (k, v) =>
       used += k.length + r3(v).length + 4; used <= HeadlineBudget
@@ -152,7 +192,7 @@ object Bench {
     // the pointer names the file actually written THIS run (absent on
     // filtered runs, which skip the write)
     val fullRef = if (wrote) s""","full":"$fullPath"""" else ""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size}$stealField,"queries":${jmap(head)}$fullRef,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size}$stealField$suspectField$warmField,"queries":${jmap(head)}$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

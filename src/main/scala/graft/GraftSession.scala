@@ -48,8 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.SortedIntersectCount].getName,
         "graft_sorted_intersect_count"),
-      (args: Seq[Expression]) =>
-        graft.functions.SortedIntersectCount(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_sorted_intersect_count(a, b) takes 2 arguments, " +
+            s"got ${args.length}")
+        graft.functions.SortedIntersectCount(args(0), args(1))
+      }))
     // the Gopher repetition kernel for SQL users:
     // `SELECT graft_dup_gram_frac(split(text, ' '), 2) FROM docs`
     ext.injectFunction((

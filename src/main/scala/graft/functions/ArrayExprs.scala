@@ -347,8 +347,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedIntersectCount {
-  /** Two-pointer merge intersection count with in-scan sortedness
-    * validation (shared by the interpreted and codegen paths).
+  private def unsorted(): Nothing = throw new IllegalArgumentException(
+    "graft_sorted_intersect_count: input array not sorted " +
+      "strictly ascending (sorted + distinct elements required)")
+
+  /** Two-pointer merge intersection count with in-scan STRICT-order
+    * validation (shared by the interpreted and codegen paths). The
+    * check enforces the FULL input contract — sorted ascending AND
+    * distinct — because a duplicated element silently changes the
+    * semantics (the merge counts duplicate matches, overcounting
+    * relative to set-intersection). The strict comparison applies
+    * only from each array's second element on (`i > 0` / `j > 0`),
+    * so Long.MinValue is a legal first element.
     */
   def compute(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()
@@ -356,25 +366,22 @@ object SortedIntersectCount {
     var pa = Long.MinValue; var pb = Long.MinValue
     while (i < na && j < nb) {
       val xa = a.getLong(i); val xb = b.getLong(j)
-      if (xa < pa || xb < pb) throw new IllegalArgumentException(
-        "graft_sorted_intersect_count: input array not sorted ascending")
+      if ((i > 0 && xa <= pa) || (j > 0 && xb <= pb)) unsorted()
       if (xa == xb) { cnt += 1; pa = xa; pb = xb; i += 1; j += 1 }
       else if (xa < xb) { pa = xa; i += 1 }
       else { pb = xb; j += 1 }
     }
     // the merge can exit before visiting every element — finish the
-    // order scan over both tails so an unsorted input ALWAYS throws
+    // order scan over both tails so an invalid input ALWAYS throws
     // (exactly one full pass of each array in total)
     while (i < na) {
       val xa = a.getLong(i)
-      if (xa < pa) throw new IllegalArgumentException(
-        "graft_sorted_intersect_count: input array not sorted ascending")
+      if (i > 0 && xa <= pa) unsorted()
       pa = xa; i += 1
     }
     while (j < nb) {
       val xb = b.getLong(j)
-      if (xb < pb) throw new IllegalArgumentException(
-        "graft_sorted_intersect_count: input array not sorted ascending")
+      if (j > 0 && xb <= pb) unsorted()
       pb = xb; j += 1
     }
     cnt

@@ -131,6 +131,27 @@ object Scan {
     * per-bucket WindowExec pass. Returns `df`'s columns + the outs.
     * `df` must already carry [[BucketCol]] (see [[withQuantileBucket]]).
     */
+  /** A single-partition [[Window]] spec for a DELIBERATELY-BOUNDED
+    * frame (an aggregated ≤|lang·source| / |zones| / nB-row table —
+    * never corpus-sized; SCALE.md's bounded-window rule). Semantically
+    * identical to `Window.partitionBy(lit(1))` / an empty spec, but
+    * those two make WindowExec log the generic "No Partition Defined"
+    * scale-killer WARN on every run (Spark 4's
+    * EliminateWindowPartitions folds literal keys back to the empty
+    * spec), which is indistinguishable in sweep logs from a genuine
+    * data-sized global window. `pmod(hash(anchor), 1)` is 0 for EVERY
+    * row (hash never returns null, even for null input), yet carries
+    * an attribute, so it survives optimization and the log stays
+    * clean — and a plan audit can still tell these windows apart from
+    * real per-key ones (the spec is a pmod/`_w`-projected constant,
+    * not a data attribute).
+    *
+    * `anchor`: any column of the frame (value irrelevant).
+    */
+  def onePartition(anchor: Column)
+      : org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(pmod(hash(anchor), lit(1)))
+
   def prefixSums(df: DataFrame, order: Seq[Column],
       outs: Seq[(String, Column)]): DataFrame = {
     val wLocal = Window.partitionBy(col(BucketCol)).orderBy(order: _*)
@@ -141,8 +162,18 @@ object Scan {
     val aggs = outs.map { case (nm, v) => sum(v).as(tCol(nm)) }
     val totals = df.groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*)
     // the bounded global window: ≤ nB+1 rows, running total of the rows
-    // BEFORE each bucket (unbounded-preceding .. -1; first bucket null)
-    val wOff = Window.orderBy(col(BucketCol))
+    // BEFORE each bucket (unbounded-preceding .. -1; first bucket null).
+    // Partitioned by a CONSTANT key, not left with an empty partition
+    // spec: the result is identical (one partition holding all ≤ nB+1
+    // rows either way), but an empty spec makes WindowExec log the
+    // generic "No Partition Defined" scale-killer WARN on every run —
+    // indistinguishable in sweep logs from a genuine data-sized global
+    // window. The input here is the grouped totals frame (one row per
+    // bucket), so the single partition is bounded BY CONSTRUCTION.
+    // The constant key comes from [[onePartition]] (see there for why
+    // a plain literal would fold back to the empty spec and re-emit
+    // the WARN).
+    val wOff = onePartition(col(BucketCol)).orderBy(col(BucketCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(
       col(BucketCol) +: outs.map { case (nm, _) =>
@@ -165,10 +196,14 @@ object Scan {
       nB: Int = 64): DataFrame =
     prefixSums(withQuantileBucket(df, v, desc, nB), order, outs)
 
-  /** Exact long integer division for ANY long operands (divisor > 0):
-    * Catalyst's IntegralDivide (the SQL `div` function) — true 64-bit
-    * integer floor division, exact past the 2^53 bound where the
-    * subtract-remainder double-division idiom starts rounding.
+  /** Exact long integer division for NON-NEGATIVE long operands
+    * (divisor > 0): Catalyst's IntegralDivide (the SQL `div`
+    * function) — exact 64-bit integer division past the 2^53 bound
+    * where the subtract-remainder double-division idiom starts
+    * rounding. Precondition: `a >= 0`. IntegralDivide truncates
+    * toward ZERO, so for a negative dividend it differs from floor
+    * division (-7 div 2 = -3, floor = -4); every call site here
+    * (ntile ranks, cumulative cents) is non-negative by construction.
     */
   private def idiv(a: Column, b: Column): Column =
     call_function("div", a, b).cast(LongType)

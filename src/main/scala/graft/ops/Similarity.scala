@@ -625,7 +625,7 @@ object Similarity {
       val occ = qEmb(s, d)
         .select(bucket("q").cast(LongType).as("cell"))
         .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      val wAll = Window.partitionBy(lit(1))
+      val wAll = Scan.onePartition(col("cell"))
       s.range(16).select(col("id").as("cell"))
         .join(occ, Seq("cell"), "left")
         .withColumn("n_vecs", coalesce(col("n"), lit(0L)))

@@ -230,5 +230,25 @@ class KernelPropertySpec extends SparkSpec {
       graft.functions.SortedIntersectCount.compute(bad, ok)
     }
     assert(graft.functions.SortedIntersectCount.compute(ok, ok) === 3L)
+    // round 9: the check enforces the FULL contract — sorted AND
+    // distinct. A duplicated element would silently overcount vs
+    // set-intersection semantics, so it throws too...
+    val dup = ArrayData.toArrayData(Array(3L, 3L, 5L))
+    intercept[IllegalArgumentException] {
+      graft.functions.SortedIntersectCount.compute(dup, ok)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.SortedIntersectCount.compute(ok, dup)
+    }
+    // ... including when the duplicate sits past the merge exit, in
+    // the tail-scan region
+    val dupTail = ArrayData.toArrayData(Array(9L, 11L, 11L))
+    intercept[IllegalArgumentException] {
+      graft.functions.SortedIntersectCount.compute(
+        ArrayData.toArrayData(Array(1L)), dupTail)
+    }
+    // ... while Long.MinValue stays legal as a FIRST element
+    val minFirst = ArrayData.toArrayData(Array(Long.MinValue, 3L))
+    assert(graft.functions.SortedIntersectCount.compute(minFirst, ok) === 1L)
   }
 }

@@ -161,7 +161,14 @@ class ScanSpec extends SparkSpec {
         case we: WindowExec => we
       }
       assert(windows.length === 2, windows.mkString("\n"))
-      val perBucket = windows.filter(_.partitionSpec.nonEmpty)
+      // per-bucket = partitioned by the bucket ATTRIBUTE; the offsets
+      // window's round-9 constant pmod(bucket, 1) key is nonEmpty too,
+      // so a bare nonEmpty filter would match both
+      val perBucket = windows.filter(_.partitionSpec.exists {
+        case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference => a.name == graft.ops.Scan.BucketCol
+        case _ => false
+      })
       assert(perBucket.length === 1)
       assert(perBucket.head.windowExpression.length === 2)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
