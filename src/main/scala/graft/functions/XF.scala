@@ -45,8 +45,22 @@ object XF {
   def dsum(c: Column): Column =
     sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
 
+  /** The DuckDB twin routes decimal→double through VARCHAR: DuckDB's
+    * direct decimal→double cast is NOT correctly rounded at large
+    * magnitudes (measured at sf1: Σ o_totalprice = 375709892370.06
+    * exactly-representable-adjacent, direct cast returns ...06006 — 1
+    * ulp off; Spark's Decimal.toDouble and DuckDB's string→double
+    * parse are both correctly rounded). The decimal SUM itself is
+    * exact in both engines; only the final representation conversion
+    * differed, and only above ~10¹¹ — the class of defect that is
+    * invisible at the sf0.01 gate and exactly why the surface also
+    * runs at sf1. `STRING`, not `VARCHAR`: this builder also feeds the
+    * Spark-parsed `sql_*` twins, and both parsers accept STRING
+    * (Spark rejects bare VARCHAR; both engines' string→double parse
+    * is correctly rounded, so the Spark-side value is unchanged).
+    */
   def dsumSql(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS STRING) AS DOUBLE)"
 
   /** Deterministic average: exact decimal sum, one IEEE division. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))

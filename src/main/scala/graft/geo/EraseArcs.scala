@@ -215,6 +215,21 @@ object EraseArcs {
       x1 * y2 - x2 * y1
     }.sum
     val vertices = if (shoelace >= 0) verticesIn else verticesIn.reverse
+    // CONVEXITY is a hard precondition of this kernel: the per-edge
+    // half-plane decomposition of a disk's outside-the-polygon set is
+    // only valid when the polygon is the intersection of its edge
+    // half-planes. A concave ring would return a silently-wrong area —
+    // fail loudly instead (concave/holed rings go through
+    // [[erasedAreaConcave]], which triangulates and sums this kernel).
+    vertices.indices.foreach { i =>
+      val (ax, ay) = vertices(i)
+      val (bx, by) = vertices((i + 1) % vertices.size)
+      val (cx2, cy2) = vertices((i + 2) % vertices.size)
+      val cross = (bx - ax) * (cy2 - by) - (by - ay) * (cx2 - bx)
+      require(cross >= -1e-9 * math.abs(shoelace),
+        s"erasedAreaPoly: concave vertex at ($bx,$by) — " +
+          "use erasedAreaConcave for non-convex rings")
+    }
     val edges = vertices.indices.map { i =>
       (vertices(i), vertices((i + 1) % vertices.size))
     }
@@ -282,6 +297,147 @@ object EraseArcs {
       }
     }.sum
     math.max(0.0, edgePart - bufferPart)
+  }
+
+  /** Ear-clipping triangulation of a SIMPLE polygon (concave allowed,
+    * no self-intersections, no holes): returns triangles that PARTITION
+    * the ring — disjoint interiors, union = polygon — so any additive
+    * measure (area, erased area) sums exactly over them. O(n²) scan
+    * per clip, fine for zone rings (≤ tens of vertices; the zone
+    * catalog is cluster-constant — SCALE.md). Input winding is
+    * normalized to CCW; consecutive duplicate vertices are dropped;
+    * collinear vertices are clipped as degenerate (zero-area) ears.
+    * Fails loudly on rings it cannot clip (self-intersecting input).
+    */
+  private[graft] def triangulate(ringIn: Seq[(Double, Double)])
+      : Seq[Seq[(Double, Double)]] = {
+    // drop consecutive duplicates (incl. a closing vertex == first)
+    val dedup0 = ringIn.foldLeft(Vector.empty[(Double, Double)]) {
+      (acc, v) => if (acc.nonEmpty && acc.last == v) acc else acc :+ v
+    }
+    val dedup = if (dedup0.size > 1 && dedup0.head == dedup0.last)
+      dedup0.dropRight(1) else dedup0
+    require(dedup.size >= 3, "triangulate: polygon needs >= 3 vertices")
+    val shoelace = dedup.indices.map { i =>
+      val (x1, y1) = dedup(i); val (x2, y2) = dedup((i + 1) % dedup.size)
+      x1 * y2 - x2 * y1
+    }.sum
+    val eps = 1e-12 * math.max(1.0, math.abs(shoelace))
+    var ring = if (shoelace >= 0) dedup else dedup.reverse
+    val out = Vector.newBuilder[Seq[(Double, Double)]]
+    def cross(a: (Double, Double), b: (Double, Double),
+        c: (Double, Double)): Double =
+      (b._1 - a._1) * (c._2 - b._2) - (b._2 - a._2) * (c._1 - b._1)
+    // inside-OR-ON the triangle: a REFLEX vertex lying exactly on the
+    // candidate diagonal (the L-shape corner case) makes the ear
+    // invalid on one side even though it is not strictly interior —
+    // the inclusive test blocks it. Rejecting a borderline-valid ear
+    // is safe (another ear exists by the two-ears theorem; the loud
+    // require below catches genuinely unclippable = self-intersecting
+    // input).
+    def inTriIncl(p: (Double, Double), a: (Double, Double),
+        b: (Double, Double), c: (Double, Double)): Boolean =
+      cross(a, b, p) >= -eps && cross(b, c, p) >= -eps &&
+        cross(c, a, p) >= -eps
+    while (ring.size > 3) {
+      val n = ring.size
+      val reflex = (0 until n).filter { i =>
+        cross(ring((i + n - 1) % n), ring(i), ring((i + 1) % n)) < -eps
+      }.map(ring).toSet
+      val ear = (0 until n).find { i =>
+        val a = ring((i + n - 1) % n); val b = ring(i)
+        val c = ring((i + 1) % n)
+        val cr = cross(a, b, c)
+        if (cr < -eps) false // reflex vertex — never an ear
+        else if (cr <= eps) true // collinear: zero-area ear, clip free
+        else reflex.forall { p =>
+          (p == a) || (p == b) || (p == c) || !inTriIncl(p, a, b, c)
+        }
+      }
+      require(ear.isDefined,
+        "triangulate: no ear found — ring is self-intersecting")
+      val i = ear.get; val n2 = ring.size
+      val tri = Seq(ring((i + n2 - 1) % n2), ring(i), ring((i + 1) % n2))
+      // skip zero-area slivers (collinear clips) — they contribute
+      // nothing and would trip erasedAreaPoly's zero-length-edge guard
+      if (math.abs(cross(tri(0), tri(1), tri(2))) > eps) out += tri
+      ring = ring.patch(i, Nil, 1)
+    }
+    out += ring.toSeq
+    out.result()
+  }
+
+  /** GENERAL-POLYGON Erase area — concave rings and holes (the full
+    * input domain of arcpy's Erase on polygon zones, reference
+    * GSheetsETL_Lab2.py:133): EXACT area of
+    * ((outer − ∪holes) − union of buffer disks).
+    *
+    * Reduction, not new geometry: ear-clip the outer ring (and each
+    * hole ring) into triangles ([[triangulate]] — a PARTITION, so
+    * areas add exactly), evaluate the CONVEX kernel
+    * ([[erasedAreaPoly]]) per triangle (every triangle is convex),
+    * and combine:
+    *
+    *   area(P∖U) = Σᵢ area(Tᵢ∖U)                 (outer triangles)
+    *   area((P∖H)∖U) = area(P∖U) − Σⱼ area(Hⱼ∖U)  (holes ⊆ P, disjoint)
+    *
+    * — the second identity because (P∖U) ∩ Hⱼ = Hⱼ∖U for holes inside
+    * the outer ring. A disk crossing several triangles contributes
+    * each triangle's portion independently; internal edges carry no
+    * double-count because each term is an AREA, not a contour piece.
+    *
+    * Preconditions (caller contract, same loud-failure discipline as
+    * the convex kernel): simple rings, holes pairwise disjoint and
+    * inside the outer ring.
+    */
+  private[graft] def erasedAreaConcave(outer: Seq[(Double, Double)],
+      holes: Seq[Seq[(Double, Double)]],
+      buffers: Seq[(Double, Double)], r: Double): Double = {
+    def piece(ring: Seq[(Double, Double)]): Double =
+      triangulate(ring).map(t => erasedAreaPoly(t, buffers, r)).sum
+    math.max(0.0, piece(outer) - holes.map(piece).sum)
+  }
+
+  /** Surviving area per GENERAL polygon zone (see [[erasedAreaConcave]]):
+    * zones arrive as (zone_id, outer vertex ring, array of hole rings).
+    * Same broadcast-join candidate generation as [[eraseAreaPoly]]
+    * (touch predicate on the outer ring's bounding circle); zones with
+    * no candidate buffer keep the exact shoelace area (outer − holes).
+    */
+  def eraseAreaConcave(spark: SparkSession, zones: DataFrame,
+      buffers: DataFrame, bufferFt: Double): DataFrame = {
+    import spark.implicits._
+    def shoelace(vs: Seq[(Double, Double)]): Double =
+      math.abs(vs.indices.map { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+        x1 * y2 - x2 * y1
+      }.sum) / 2
+    val zcat = zones.select(col("zone_id").cast("int"),
+        col("vertices"), col("holes"))
+      .as[(Int, Seq[(Double, Double)], Seq[Seq[(Double, Double)]])]
+      .collect().toSeq
+    val bound = zcat.map { case (z, vs, _) =>
+      val cx = vs.map(_._1).sum / vs.size
+      val cy = vs.map(_._2).sum / vs.size
+      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      (z, cx, cy, rad)
+    }.toDF("zone_id", "bcx", "bcy", "brad")
+    val rings = zcat.map { case (z, vs, hs) => z -> ((vs, hs)) }.toMap
+    val pairs = buffers.select(col("x_ft"), col("y_ft"))
+      .join(broadcast(bound),
+        Geo.dist2(col("x_ft"), col("y_ft"), col("bcx"), col("bcy"))
+          < (col("brad") + bufferFt) * (col("brad") + bufferFt))
+      .select(col("zone_id").cast("int"), col("x_ft"), col("y_ft"))
+      .as[(Int, Double, Double)]
+    val touched = pairs.groupByKey(_._1).mapGroups { (zid, rows) =>
+      val (vs, hs) = rings(zid)
+      zid -> erasedAreaConcave(vs, hs,
+        rows.map(t => (t._2, t._3)).toSeq, bufferFt)
+    }.collect().toMap
+    val all = zcat.sortBy(_._1).map { case (z, vs, hs) =>
+      (z, touched.getOrElse(z, shoelace(vs) - hs.map(shoelace).sum))
+    }
+    all.toDF("zone_id", "area_sqft")
   }
 
   /** Surviving area per POLYGON zone in square feet (see

@@ -551,9 +551,28 @@ object Curation {
 
   /** Per-domain keeper cap for `curate_domain_caps` (tuned so the cap
     * binds at sf0.01 — 25 docs per source-domain there — while every
-    * domain still passes rows at sf0.001).
+    * domain still passes rows at sf0.001). Shared with the streaming
+    * twin (graft.streaming.Streams `stream_domain_cap`).
     */
-  private val DomainCap = 10
+  private[graft] val DomainCap = 10
+
+  /** Shared canonical-URL frame for the batch family above and the
+    * round-9 streaming twins: (doc_id, canonical, domain, ts). The
+    * synthetic event time `ts` = 2024-01-01 + doc_id seconds makes
+    * arrival order == doc_id order, which is exactly what lets the
+    * stream's keep-FIRST dedup semantics coincide with the
+    * batch/oracle `min(doc_id)` form.
+    */
+  private[graft] def canonicalFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("url", urlCol)
+      .select(col("doc_id"),
+        concat(lower(parse_url(col("url"), lit("HOST"))),
+          parse_url(col("url"), lit("PATH"))).as("canonical"),
+        substring_index(lower(parse_url(col("url"), lit("HOST"))),
+          ".", -3).as("domain"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
 
   /** The deterministic synthetic URL (see family comment above). */
   private def urlCol: org.apache.spark.sql.Column = concat(

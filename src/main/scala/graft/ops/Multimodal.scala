@@ -70,6 +70,124 @@ object Multimodal {
     }.toArray
   }
 
+  // ---- REAL image decode (round 9) ---------------------------------
+  // The stub queries above keep the reference-era contract; this family
+  // exercises an ACTUAL codec: javax.imageio's PNG reader/writer (part
+  // of the JDK — the one real image codec this container has). The
+  // image content is a closed-form function of doc_id, so the oracle
+  // recomputes (width, height, pixel sum) in pure SQL and the
+  // hash-compare verifies the full encode→bytes→decode round trip
+  // through the real codec, not a fixture.
+
+  /** JVM twin of [[XF.h32]] (8 hex chars of md5, parsed base 16) for
+    * the image-pixel closed form. One MessageDigest per call keeps it
+    * thread-safe; the per-image pixel loop below amortizes nothing
+    * here because correctness, not throughput, is this fixture's job.
+    */
+  private def h32jvm(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  /** Deterministic REAL PNG payload per document: dims
+    * 8 + h32("imw:<id>") % 9 by 8 + h32("imh:<id>") % 9 (8..16 px),
+    * pixel (x,y) = the 24-bit value h32("px:<id>:<x>:<y>") % 2^24,
+    * encoded through javax.imageio. PNG is lossless, so the decoded
+    * RGB values equal the closed form exactly.
+    */
+  def pngBytes(id: Long): Array[Byte] = {
+    val w = (8 + h32jvm(s"imw:$id") % 9).toInt
+    val h = (8 + h32jvm(s"imh:$id") % 9).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (h32jvm(s"px:$id:$x:$y") % 16777216).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Real-PNG media frame: (doc_id, payload) with payload = actual PNG
+    * bytes. Typed map (codegen irrelevant for a codec stage); the
+    * closed-form content makes it deterministic at any parallelism.
+    */
+  def pngMedia(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    t(spark, d, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, pngBytes(id)))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Observability hook for the amortization contract: incremented once
+    * per [[PngDecoder]] construction. In local mode the spec reads it
+    * to assert instantiations == #partitions (NOT #rows); on a real
+    * cluster it counts per-executor constructions the same way a codec
+    * handle pool would.
+    */
+  val decoderInits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The per-partition decoder handle — the thing whose construction
+    * cost `mapPartitions` exists to amortize (for javax.imageio the
+    * analogue of reusing reader instances instead of the static
+    * convenience path per row).
+    */
+  final class PngDecoder {
+    Multimodal.decoderInits.incrementAndGet()
+    private val readers = javax.imageio.ImageIO
+      .getImageReadersByFormatName("png")
+    private val reader = if (readers.hasNext) readers.next() else null
+    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val img = try {
+        if (reader != null) {
+          reader.setInput(iis)
+          try reader.read(0) finally reader.setInput(null)
+        } else javax.imageio.ImageIO.read(iis)
+      } finally iis.close()
+      val w = img.getWidth; val h = img.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sum += (img.getRGB(x, y) & 0xffffff).toLong
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum)
+    }
+  }
+
+  /** Per-partition REAL image decode: one [[PngDecoder]] per partition
+    * (the amortization the stub stage only asserted), emitting integer
+    * (width, height, pixel sum) the oracle recomputes in closed form.
+    */
+  def decodeImages(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("img_w", LongType),
+      StructField("img_h", LongType),
+      StructField("pixel_sum", LongType)))
+    df.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        val dec = new PngDecoder
+        rows.map { r =>
+          val (w, h, s) = dec.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), w.toLong, h.toLong, s)
+        }
+      }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Per-partition batch decode: the real multimodal plumbing (schema in,
     * schema out, one decoder instance per partition).
     */
@@ -131,6 +249,17 @@ object Multimodal {
         .select(col("doc_id"), col("pos").cast(LongType).as("feat_no"),
           XF.r6(col("col").cast(DoubleType)).as("feat_val"))
         .orderBy(col("doc_id"), col("feat_no")))
+  ,
+
+    // REAL codec round trip (round 9): encode closed-form pixels to
+    // actual PNG bytes, decode them with javax.imageio inside the
+    // one-decoder-per-partition mapPartitions stage, emit integer
+    // (dims, pixel sum). The oracle recomputes the closed form in pure
+    // SQL — a hash match proves the real encode→decode round trip,
+    // which the stub family could only assert structurally.
+    "mm_decode_image" -> ((s: SparkSession, d: String) =>
+      decodeImages(pngMedia(s, d))
+        .orderBy(col("doc_id")))
   ,
 
     // RESIZE plumbing: aspect-preserving fit into a 128×128 box (integer
@@ -306,6 +435,25 @@ object Multimodal {
          |        / CAST(1000 AS DOUBLE), 6) AS feat_val
          |FROM documents, (SELECT unnest(range(8)) AS j)
          |ORDER BY doc_id, feat_no""".stripMargin,
+
+    // the decoded dims and pixel sum in closed form — a match proves
+    // the Spark side's REAL PNG encode→decode round trip (lossless
+    // codec, md5-derived content; same h32 both engines)
+    "mm_decode_image" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id,
+         |    CAST(8 + ${XF.h32Sql("'imw:' || doc_id")} % 9 AS BIGINT)
+         |      AS img_w,
+         |    CAST(8 + ${XF.h32Sql("'imh:' || doc_id")} % 9 AS BIGINT)
+         |      AS img_h
+         |  FROM documents)
+         |SELECT doc_id, img_w, img_h,
+         |  CAST(SUM(${XF.h32Sql("'px:' || doc_id || ':' || x || ':' || y")}
+         |    % 16777216) AS BIGINT) AS pixel_sum
+         |FROM dims, unnest(range(0, img_w)) tx(x),
+         |     unnest(range(0, img_h)) ty(y)
+         |GROUP BY doc_id, img_w, img_h
+         |ORDER BY doc_id""".stripMargin,
 
     // same stride-sample formula; string_agg(... ORDER BY i) rebuilds the
     // sampled string deterministically.

@@ -425,6 +425,25 @@ object Wnv {
       graft.geo.EraseArcs.eraseAreaPoly(s, polygonZones(s, d),
           optOut(s, d).select(col("x_ft"), col("y_ft")), BufferFt)
         .select(col("zone_id"), XF.r6(col("area_sqft")).as("area_sqft"))
+        .orderBy(col("zone_id"))),
+
+    // J2 GEOMETRY, GENERAL polygon zones (round 9): concave rings WITH
+    // holes — the full arcpy-Erase input domain (reference
+    // GSheetsETL_Lab2.py:133). Each zone as a concave 4-point star
+    // (8-vertex ring, rational coordinates: axis tips at radius R,
+    // pulled-in diagonal vertices at 0.35R) minus a square hole
+    // (half-width 0.15R at the center — strictly inside the star's
+    // 0.474R inradius), erased by the same opt-out buffer disks
+    // (geo/EraseArcs.erasedAreaConcave: ear-clip triangulation → the
+    // convex Green's-theorem kernel per triangle, areas add exactly).
+    // Same no-oracle rule as wnv_erase_poly (transcendental arc
+    // terms); GeoSpec pins the kernel by hand cases, grid sampling,
+    // winding invariance, convex-agreement, and an annulus convergence
+    // check against two circle-kernel calls.
+    "wnv_erase_concave" -> ((s: SparkSession, d: String) =>
+      graft.geo.EraseArcs.eraseAreaConcave(s, starZones(s, d),
+          optOut(s, d).select(col("x_ft"), col("y_ft")), BufferFt)
+        .select(col("zone_id"), XF.r6(col("area_sqft")).as("area_sqft"))
         .orderBy(col("zone_id")))
   )
 
@@ -433,6 +452,34 @@ object Wnv {
     * the circular zone. The polygon-Erase input
     * ([[graft.geo.EraseArcs.eraseAreaPoly]]).
     */
+  /** Concave star-with-hole form of the zone catalog: an 8-vertex
+    * 4-point star (axis tips at ±R, diagonal inner vertices at ±0.35R
+    * — concave at every inner vertex) and ONE square hole of
+    * half-width 0.15R at the center (inside the star's 0.474R
+    * inradius). Rational coordinates throughout. The general-polygon
+    * Erase input ([[graft.geo.EraseArcs.eraseAreaConcave]]).
+    */
+  def starZones(spark: SparkSession, dir: String): DataFrame = {
+    def v(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.as("_1"), y.as("_2"))
+    val cx = col("cx_ft"); val cy = col("cy_ft"); val r = col("radius_ft")
+    zones(spark, dir).select(col("zone_id"),
+      array(
+        v(cx + r, cy),
+        v(cx + r * 0.35, cy + r * 0.35),
+        v(cx, cy + r),
+        v(cx - r * 0.35, cy + r * 0.35),
+        v(cx - r, cy),
+        v(cx - r * 0.35, cy - r * 0.35),
+        v(cx, cy - r),
+        v(cx + r * 0.35, cy - r * 0.35)).as("vertices"),
+      array(array(
+        v(cx + r * 0.15, cy + r * 0.15),
+        v(cx - r * 0.15, cy + r * 0.15),
+        v(cx - r * 0.15, cy - r * 0.15),
+        v(cx + r * 0.15, cy - r * 0.15))).as("holes"))
+  }
+
   def polygonZones(spark: SparkSession, dir: String): DataFrame =
     zones(spark, dir).select(col("zone_id"),
       array(

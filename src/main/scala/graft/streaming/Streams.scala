@@ -504,6 +504,57 @@ object Streams {
         (frac >= 0.5).as("flag_near_dup"))
   }
 
+  // ---- URL curation twins (round 9) -----------------------------------
+
+  case class UrlDoc(doc_id: Long, canonical: String, domain: String)
+  case class CapOut(domain: String, doc_id: Long, rk: Long)
+
+  /** Streaming canonical-URL dedup — the crawl-frontier filter: drop a
+    * URL whose canonical form was already seen inside the watermark
+    * horizon (`dropDuplicatesWithinWatermark` holds ONE state row per
+    * canonical, evicted `delay` past its event time — bounded state on
+    * an unbounded crawl). Input contract: (doc_id, canonical, ts)
+    * (graft.ops.Curation.canonicalFrame). Keep-FIRST semantics: with
+    * the frame's ts == arrival order == doc_id order, the survivor per
+    * canonical is min(doc_id) — the batch `stream_url_dedup` query and
+    * its oracle compute exactly that, and StreamsSpec pins the
+    * two-batch MemoryStream run against it (cross-batch duplicates
+    * die to STATE, not to in-batch grouping).
+    */
+  def urlDedupStream(docs: DataFrame): DataFrame =
+    docs.withWatermark("ts", WatermarkDelay)
+      .dropDuplicatesWithinWatermark("canonical")
+      .select(col("canonical"), col("doc_id"))
+
+  /** Stateful per-domain document cap — curate_domain_caps' streaming
+    * twin: admit a domain's documents in ARRIVAL order until the cap,
+    * then drop (the batch form ranks by deterministic hash; a stream
+    * cannot rank what it has not seen, so arrival order IS the
+    * streaming keeper rule). One GroupState[Long] per domain — the
+    * emitted-so-far count — lives forever but is bounded by |domains|,
+    * a dimension-sized catalog, not the corpus. Within a micro-batch
+    * the group sorts by doc_id (micro-batch iterator order is not an
+    * event order; doc_id is this frame's arrival key), so replays are
+    * deterministic. Runs in BATCH mode too (state starts empty, one
+    * invocation per group) — which is exactly the oracle-checked
+    * `stream_domain_cap` query.
+    */
+  def domainCapStream(docs: Dataset[UrlDoc], cap: Int): Dataset[CapOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.domain)
+      .flatMapGroupsWithState[Long, CapOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain, rows, state: GroupState[Long]) =>
+          val emitted = state.getOption.getOrElse(0L)
+          val take = (cap - emitted).max(0L).toInt
+          val emit = rows.toSeq.sortBy(_.doc_id).take(take)
+          if (emit.nonEmpty) state.update(emitted + emit.size)
+          emit.iterator.zipWithIndex.map { case (u, i) =>
+            CapOut(domain, u.doc_id, emitted + i + 1)
+          }
+      }
+  }
+
   // ---- driver-contract batch-runnable queries -------------------------
 
   /** `session_window` also runs in batch mode — the same operator the
@@ -575,7 +626,33 @@ object Streams {
           .filter(pmod(col("doc_id"), lit(5)) === 4)
           .select(col("doc_id"), col("text")),
         graft.ops.Dedup.corpusKgramIndex(s, d))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // the URL dedup stream's steady-state view in batch form: with
+    // ts == doc_id order, keep-first == min(doc_id) per canonical —
+    // deterministic, so oracle-checkable (the stream operator itself
+    // is pinned by the MemoryStream two-batch replay in StreamsSpec,
+    // the house rule for order-dependent streaming state).
+    "stream_url_dedup" -> ((s: SparkSession, d: String) =>
+      graft.ops.Curation.canonicalFrame(t(s, d, "documents"))
+        .groupBy(col("canonical"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_seen"))
+        .orderBy(col("canonical"))),
+
+    // the stateful domain cap run THROUGH the streaming operator in
+    // batch mode (flatMapGroupsWithState with empty initial state) —
+    // the plan really contains the stateful operator, and its output
+    // equals the SQL window oracle because arrival order == doc_id.
+    "stream_domain_cap" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = graft.ops.Curation
+        .canonicalFrame(t(s, d, "documents"))
+        .select(col("doc_id"), col("canonical"), col("domain"))
+        .as[UrlDoc]
+      domainCapStream(docs, graft.ops.Curation.DomainCap).toDF()
+        .orderBy(col("domain"), col("rk"))
+    })
   )
 
   private val gapUs = 30L * 60 * 1000000
@@ -660,6 +737,30 @@ object Streams {
          |  (CAST(cv.covered AS DOUBLE) / CAST(n.n_tokens AS DOUBLE))
          |    >= 0.5 AS flag_near_dup
          |FROM cv JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
+    // canonical rebuilt independently (lowercased host, query/fragment
+    // dropped) — same independent-derivation rule as the curate_url_*
+    // oracles, so a parse_url bug cannot self-cancel
+    "stream_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  lang || '.' || source || '.example.com/docs/' ||
+        |    CAST(doc_id % 40 AS VARCHAR) AS canonical FROM documents)
+        |SELECT canonical, MIN(doc_id) AS doc_id, COUNT(*) AS n_seen
+        |FROM u GROUP BY canonical
+        |ORDER BY canonical""".stripMargin,
+
+    // arrival-order (doc_id) cap — the window twin of the stateful
+    // operator; registered domain rebuilt independently
+    "stream_domain_cap" -> {
+      val cap = graft.ops.Curation.DomainCap
+      s"""WITH u AS (SELECT doc_id, source || '.example.com' AS domain
+         |  FROM documents),
+         |r AS (SELECT domain, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY domain
+         |    ORDER BY doc_id) AS BIGINT) AS rk FROM u)
+         |SELECT domain, doc_id, rk FROM r WHERE rk <= $cap
+         |ORDER BY domain, rk""".stripMargin
     }
   )
 }

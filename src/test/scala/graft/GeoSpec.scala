@@ -328,4 +328,178 @@ class GeoSpec extends SparkSpec {
       assert(a <= circ(z) + 1e-6, s"zone $z diamond $a > circle ${circ(z)}")
     }
   }
+
+  // ---- round 9: general (concave, holed) polygon Erase ---------------
+
+  private val star = Seq((1000.0, 0.0), (350.0, 350.0), (0.0, 1000.0),
+    (-350.0, 350.0), (-1000.0, 0.0), (-350.0, -350.0), (0.0, -1000.0),
+    (350.0, -350.0))
+  private val holeSq = Seq((150.0, 150.0), (-150.0, 150.0),
+    (-150.0, -150.0), (150.0, -150.0))
+  private def ringArea(vs: Seq[(Double, Double)]): Double =
+    math.abs(vs.indices.map { i =>
+      val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+      x1 * y2 - x2 * y1
+    }.sum) / 2
+  // crossing-number point-in-polygon (concave-safe)
+  private def inRing(vs: Seq[(Double, Double)], x: Double, y: Double)
+      : Boolean = {
+    var c = false
+    vs.indices.foreach { i =>
+      val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+      if ((y1 > y) != (y2 > y) &&
+        x < x1 + (y - y1) * (x2 - x1) / (y2 - y1)) c = !c
+    }
+    c
+  }
+
+  test("triangulation partitions concave rings: areas conserve") {
+    import graft.geo.EraseArcs
+    val lshape = Seq((0.0, 0.0), (2000.0, 0.0), (2000.0, 1000.0),
+      (1000.0, 1000.0), (1000.0, 2000.0), (0.0, 2000.0))
+    Seq(star, lshape, star.reverse,
+        // convex rings triangulate too
+        Seq((-900.0, -700.0), (800.0, -1000.0), (1100.0, 200.0),
+          (200.0, 1000.0), (-1000.0, 500.0)),
+        // a closing duplicate vertex and a collinear vertex are handled
+        Seq((0.0, 0.0), (1000.0, 0.0), (2000.0, 0.0), (2000.0, 2000.0),
+          (0.0, 2000.0), (0.0, 0.0))).foreach { ring =>
+      val tris = EraseArcs.triangulate(ring)
+      assert(tris.forall(_.size == 3))
+      val sum = tris.map(ringArea).sum
+      val want = ringArea(ring.distinct)
+      assert(math.abs(sum - want) <= 1e-9 * want,
+        s"triangulated $sum vs shoelace $want for $ring")
+    }
+  }
+
+  test("concave erase: hand cases, hole algebra, winding invariance") {
+    import graft.geo.EraseArcs
+    val r = 300.0
+    // the convex kernel REJECTS concave rings loudly
+    val e = intercept[IllegalArgumentException] {
+      EraseArcs.erasedAreaPoly(star, Seq((0.0, 500.0)), r)
+    }
+    assert(e.getMessage.contains("concave"))
+    // concave == convex kernel on convex input
+    val square = Seq((-1000.0, -1000.0), (1000.0, -1000.0),
+      (1000.0, 1000.0), (-1000.0, 1000.0))
+    Seq(Seq((0.0, 0.0)), Seq((900.0, 200.0), (-300.0, 700.0)))
+      .foreach { bufs =>
+        assert(math.abs(
+          EraseArcs.erasedAreaConcave(square, Nil, bufs, r) -
+            EraseArcs.erasedAreaPoly(square, bufs, r)) < 1e-6)
+      }
+    // L-shape minus a disk wholly inside one arm
+    val lshape = Seq((0.0, 0.0), (2000.0, 0.0), (2000.0, 1000.0),
+      (1000.0, 1000.0), (1000.0, 2000.0), (0.0, 2000.0))
+    assert(math.abs(
+      EraseArcs.erasedAreaConcave(lshape, Nil, Seq((500.0, 500.0)), r) -
+        (3e6 - math.Pi * r * r)) < 1e-6)
+    // no buffers: outer − hole exactly
+    assert(math.abs(
+      EraseArcs.erasedAreaConcave(star, Seq(holeSq), Nil, r) -
+        (ringArea(star) - ringArea(holeSq))) < 1e-9 * ringArea(star))
+    // a disk strictly inside the hole erases NOTHING: the outer loss
+    // and the hole loss cancel exactly (disk ⊆ hole ⊆ outer)
+    val tiny = 100.0
+    assert(math.abs(
+      EraseArcs.erasedAreaConcave(star, Seq(holeSq),
+        Seq((0.0, 0.0)), tiny) -
+        (ringArea(star) - ringArea(holeSq))) < 1e-6)
+    // winding invariance: both rings reversed
+    assert(math.abs(
+      EraseArcs.erasedAreaConcave(star.reverse, Seq(holeSq.reverse),
+        Seq((600.0, 0.0)), r) -
+      EraseArcs.erasedAreaConcave(star, Seq(holeSq),
+        Seq((600.0, 0.0)), r)) < 1e-6)
+  }
+
+  test("concave erase: grid sampling on the star-with-hole") {
+    import graft.geo.EraseArcs
+    val r = 300.0
+    val bufs = (1 to 10).map { i =>
+      val a = i * 2.399963229728653
+      val rad = 100.0 + (i * 173) % 900
+      (rad * math.cos(a), rad * math.sin(a))
+    }
+    val got = EraseArcs.erasedAreaConcave(star, Seq(holeSq), bufs, r)
+    val n = 600
+    var in = 0; var tot = 0
+    for (ix <- -n to n; iy <- -n to n) {
+      val x = ix * 1000.0 / n; val y = iy * 1000.0 / n
+      if (inRing(star, x, y) && !inRing(holeSq, x, y)) {
+        tot += 1
+        val hit = bufs.exists { case (bx, by) =>
+          (x - bx) * (x - bx) + (y - by) * (y - by) < r * r }
+        if (!hit) in += 1
+      }
+    }
+    val regionArea = ringArea(star) - ringArea(holeSq)
+    val sampled = regionArea * in / tot
+    assert(math.abs(got - sampled) / regionArea < 2e-3,
+      s"green $got vs grid $sampled")
+  }
+
+  test("concave erase: fine n-gon annulus converges to circle-kernel difference") {
+    import graft.geo.EraseArcs
+    val R = 1000.0; val rHole = 400.0; val r = 300.0
+    val bufs = (1 to 8).map { i =>
+      val a = i * 2.399963229728653
+      val rad = 200.0 + (i * 211) % 900
+      (rad * math.cos(a), rad * math.sin(a))
+    }
+    def ngon(rad: Double, k: Int): Seq[(Double, Double)] =
+      (0 until k).map { j =>
+        val a = 2 * math.Pi * j / k
+        (rad * math.cos(a), rad * math.sin(a))
+      }
+    val got = EraseArcs.erasedAreaConcave(
+      ngon(R, 512), Seq(ngon(rHole, 256)), bufs, r)
+    val want = EraseArcs.erasedArea(R, bufs, r) -
+      EraseArcs.erasedArea(rHole, bufs, r)
+    assert(math.abs(got - want) / want < 1e-3,
+      s"annulus $got vs circle difference $want")
+  }
+
+  test("concave erase: the distributed path equals a driver-side replay") {
+    import graft.geo.EraseArcs
+    val zones = graft.ops.Wnv.starZones(spark, sf)
+    val buffers = graft.ops.Wnv.optOut(spark, sf)
+      .select(col("x_ft"), col("y_ft"))
+    val r = graft.ops.Wnv.BufferFt
+    val got = EraseArcs.eraseAreaConcave(spark, zones, buffers, r)
+      .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+    def ring(rows: Seq[org.apache.spark.sql.Row]): Seq[(Double, Double)] =
+      rows.map(v => (v.getDouble(0), v.getDouble(1)))
+    val zs = zones.select(col("zone_id").cast("int"), col("vertices"),
+        col("holes"))
+      .collect().map { w =>
+        (w.getInt(0), ring(w.getSeq[org.apache.spark.sql.Row](1)),
+          w.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](2))
+      }
+    val bs = buffers.collect().map(w => (w.getDouble(0), w.getDouble(1)))
+    assert(got.keySet === zs.map(_._1).toSet)
+    zs.foreach { case (z, vs, hsRaw) =>
+      val hs = hsRaw.map(h => ring(h.toSeq))
+      val cx = vs.map(_._1).sum / vs.size
+      val cy = vs.map(_._2).sum / vs.size
+      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      val near = bs.toSeq.filter { case (x, y) =>
+        (x - cx) * (x - cx) + (y - cy) * (y - cy) < (rad + r) * (rad + r) }
+      val want =
+        if (near.isEmpty) ringArea(vs) - hs.map(ringArea).sum
+        else EraseArcs.erasedAreaConcave(vs, hs, near, r)
+      assert(math.abs(got(z) - want) <= 1e-9 * math.max(1.0, want),
+        s"zone $z: spark ${got(z)} vs replay $want")
+    }
+    // the star is inscribed in the circle zone: surviving area can
+    // never exceed the circle's
+    val circ = EraseArcs.eraseArea(spark, graft.ops.Wnv.zones(spark, sf),
+        buffers, r)
+      .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+    got.foreach { case (z, a) =>
+      assert(a <= circ(z) + 1e-6, s"zone $z star $a > circle ${circ(z)}")
+    }
+  }
 }

@@ -136,4 +136,42 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(got.map(_._2).distinct.length > 1, "packing produced one shard")
   }
+
+  // ---- round 9: REAL PNG decode --------------------------------------
+
+  test("png round trip: imageio decode reproduces the closed form") {
+    import graft.ops.Multimodal
+    // one image end-to-end without Spark: encode → real PNG bytes →
+    // decode; PNG magic proves a real codec ran, values match closed form
+    val bytes = Multimodal.pngBytes(7L)
+    assert(bytes.take(4).map(_ & 0xff).toSeq === Seq(0x89, 0x50, 0x4e, 0x47),
+      "payload is not a real PNG stream")
+    val dec = new Multimodal.PngDecoder
+    val (w, h, sum) = dec.decode(bytes)
+    def h32(str: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    assert(w === (8 + h32("imw:7") % 9).toInt)
+    assert(h === (8 + h32("imh:7") % 9).toInt)
+    val want = (for (y <- 0 until h; x <- 0 until w)
+      yield h32(s"px:7:$x:$y") % 16777216).sum
+    assert(sum === want)
+  }
+
+  test("decodeImages instantiates ONE decoder per partition, not per row") {
+    import graft.ops.Multimodal
+    val media = Multimodal.pngMedia(spark, sf).repartition(3)
+    val before = Multimodal.decoderInits.get()
+    val n = Multimodal.decodeImages(media).count()
+    val inits = Multimodal.decoderInits.get() - before
+    assert(n > 100, s"need enough rows to make the claim meaningful: $n")
+    // local mode shares the JVM, so the counter sees every partition's
+    // construction; nonEmptyPartitions <= 3 by the repartition
+    assert(inits <= 3,
+      s"decoder built $inits times for 3 partitions / $n rows — " +
+        "the amortization contract is broken")
+    assert(inits >= 1)
+  }
 }

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/check.py [sfDir] [outDir]
+Usage: python3 tools/check.py [sfDir] [outDir] [--timeout SEC]
+                              [--resume LOGFILE] [--json OUTFILE]
 
 Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran.
 For each query result parquet under outDir, runs the matching oracle SQL
@@ -9,30 +10,129 @@ For each query result parquet under outDir, runs the matching oracle SQL
   - row count, column name set
   - exact equality for non-float columns
   - exact + approx (1e-9 rel) equality for float columns, reported separately
-"""
-import json, math, sys
-import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+Round-9 additions for the sf1 (100x gate) scale-up:
+  --timeout N   interrupt an oracle after N seconds (con.interrupt() from
+                a timer thread) and record `oracle_timeout` — the single-
+                node DuckDB oracle is the scale-limited side for the
+                pair-join oracles (simhash/minhash CC, brute-force ANN),
+                not the engine under test; a timeout is reported
+                distinctly from a FAIL.
+  --resume LOG  skip queries already `ok` in a previous run's log.
+  --json FILE   machine-readable per-query verdicts (CORRECTNESS-style).
+
+The value compare is vectorized (numpy/pandas) — the elementwise Python
+loop was fine at sf0.01 but took minutes per 1.5M-row result at sf1.
+"""
+import json, math, sys, threading, time
+import duckdb
+import numpy as np
+import pandas as pd
+
+opts = {}
+argv = sys.argv[1:]
+i = 0
+pos = []
+while i < len(argv):
+    a = argv[i]
+    if a in ("--timeout", "--resume", "--json"):
+        opts[a[2:]] = argv[i + 1]; i += 2
+    else:
+        pos.append(a); i += 1
+
+SF = pos[0] if len(pos) > 0 else "/root/testdata/sf0.01"
+OUT = pos[1] if len(pos) > 1 else "/tmp/verify_out"
+TIMEOUT = float(opts["timeout"]) if "timeout" in opts else None
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+skip_ok = set()
+if "resume" in opts:
+    for line in open(opts["resume"]):
+        if line.startswith("ok   "):
+            skip_ok.add(line[5:].split(" ")[0])
 
 con = duckdb.connect()
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
+
+def run_oracle(sql):
+    """Run oracle SQL, interruptible after TIMEOUT seconds."""
+    if TIMEOUT is None:
+        return con.sql(sql).df(), False
+    fired = [False]
+
+    def interrupt():
+        fired[0] = True
+        con.interrupt()
+
+    timer = threading.Timer(TIMEOUT, interrupt)
+    timer.start()
+    try:
+        return con.sql(sql).df(), False
+    except Exception:
+        if fired[0]:
+            return None, True
+        raise
+    finally:
+        timer.cancel()
+
+
+def col_diffs(a, b):
+    """(exact_diffs, beyond_tolerance_diffs) for two aligned columns."""
+    an = pd.isna(a).to_numpy()
+    bn = pd.isna(b).to_numpy()
+    both_null = an & bn
+    null_mismatch = an != bn
+    is_float = (a.dtype.kind == "f") or (b.dtype.kind == "f")
+    exact = int(null_mismatch.sum())
+    approx = int(null_mismatch.sum())
+    valid = ~an & ~bn
+    if is_float:
+        x = a.to_numpy(dtype="float64", na_value=np.nan)[valid]
+        y = b.to_numpy(dtype="float64", na_value=np.nan)[valid]
+        ne = x != y
+        exact += int(ne.sum())
+        far = ne & ~np.isclose(x, y, rtol=1e-9, atol=1e-12)
+        approx += int(far.sum())
+    else:
+        x = a[valid].astype(str).to_numpy()
+        y = b[valid].astype(str).to_numpy()
+        ne = x != y
+        exact += int(ne.sum())
+        approx += int(ne.sum())
+    return exact, approx
+
+
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-ok = bad = 0
+results = {}
+ok = bad = timed_out = skipped = 0
 for name, sql in sorted(oracle.items()):
+    if name in skip_ok:
+        print(f"ok   {name} (resumed from previous run)")
+        results[name] = {"status": "ok", "resumed": True}
+        ok += 1; skipped += 1
+        continue
+    t0 = time.time()
     try:
-        mine = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+        mine = con.sql(
+            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
     except Exception as e:
-        print(f"FAIL {name}: no spark output: {str(e)[:100]}"); bad += 1; continue
+        print(f"FAIL {name}: no spark output: {str(e)[:100]}")
+        results[name] = {"status": "fail", "err": "no spark output"}
+        bad += 1; continue
     try:
-        ora = con.sql(sql).df()
+        ora, was_timeout = run_oracle(sql)
     except Exception as e:
-        print(f"FAIL {name}: oracle error: {str(e)[:200]}"); bad += 1; continue
+        print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+        results[name] = {"status": "fail", "err": f"oracle error: {str(e)[:200]}"}
+        bad += 1; continue
+    if was_timeout:
+        print(f"TIMEOUT {name}: oracle exceeded {TIMEOUT:.0f}s (DuckDB side)")
+        results[name] = {"status": "oracle_timeout", "timeout_sec": TIMEOUT}
+        timed_out += 1
+        continue
     errs = []
     if sorted(mine.columns) != sorted(ora.columns):
         errs.append(f"cols mine={sorted(mine.columns)} ora={sorted(ora.columns)}")
@@ -42,39 +142,32 @@ for name, sql in sorted(oracle.items()):
         mine = mine[sorted(mine.columns)]
         ora = ora[sorted(ora.columns)]
         for c in mine.columns:
-            a, b = mine[c], ora[c]
-            exact = 0
-            approx = 0
-            for i in range(len(a)):
-                x, y = a.iloc[i], b.iloc[i]
-                xn = x is None or (isinstance(x, float) and math.isnan(x))
-                yn = y is None or (isinstance(y, float) and math.isnan(y))
-                try:
-                    xn = xn or (x != x)
-                    yn = yn or (y != y)
-                except Exception:
-                    pass
-                if xn and yn:
-                    continue
-                if xn != yn:
-                    exact += 1; approx += 1; continue
-                if isinstance(x, float) or isinstance(y, float):
-                    if x != y:
-                        exact += 1
-                        if not math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-12):
-                            approx += 1
-                else:
-                    if str(x) != str(y):
-                        exact += 1; approx += 1
+            exact, approx = col_diffs(mine[c], ora[c])
             if exact:
                 tag = "EXACT-ONLY" if approx == 0 else "VALUE"
-                errs.append(f"col {c}: {exact} exact diffs, {approx} beyond-1e-9 diffs [{tag}]")
+                errs.append(
+                    f"col {c}: {exact} exact diffs, "
+                    f"{approx} beyond-1e-9 diffs [{tag}]")
     if len(mine) == 0 and not errs:
         errs.append("empty result (suspicious)")
+    el = time.time() - t0
     if errs:
-        print(f"FAIL {name} ({len(mine)} rows): " + "; ".join(errs)); bad += 1
+        print(f"FAIL {name} ({len(mine)} rows): " + "; ".join(errs))
+        results[name] = {"status": "fail", "rows": len(mine),
+                         "err": "; ".join(errs), "sec": round(el, 1)}
+        bad += 1
     else:
-        print(f"ok   {name} ({len(mine)} rows)"); ok += 1
+        print(f"ok   {name} ({len(mine)} rows, {el:.1f}s)")
+        results[name] = {"status": "ok", "rows": len(mine),
+                         "sec": round(el, 1)}
+        ok += 1
 
-print(f"\n{ok} ok, {bad} fail")
+summary = f"\n{ok} ok, {bad} fail" + (
+    f", {timed_out} oracle-timeout" if timed_out else "")
+print(summary)
+if "json" in opts:
+    with open(opts["json"], "w") as f:
+        json.dump({"sf": SF, "ok": ok, "fail": bad,
+                   "oracle_timeout": timed_out,
+                   "timeout_sec": TIMEOUT, "queries": results}, f, indent=1)
 sys.exit(1 if bad else 0)
