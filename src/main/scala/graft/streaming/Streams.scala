@@ -427,11 +427,15 @@ object Streams {
   /** Counter budget for the streaming heavy-hitter sketch. Sized so the
     * per-day key universe of EVERY testdata scale fits (sf0.1 peaks at
     * 1 356 distinct users/day — found the hard way: k=256 was exact at
-    * sf0.01 and silently stressed at 10×), keeping the oracle in the
-    * exact regime across the scale sweep; past k the PODS'12 bound is
-    * the contract, as `agg_heavy_hitters` demonstrates at k=8.
+    * sf0.01 and silently stressed at 10×; round 9's sf1 run caught the
+    * SAME boundary again at k=2048 vs ~13.3k distinct users/day — the
+    * scale sweep exists precisely to flush this class out), keeping the
+    * oracle in the exact regime across the sf0.001–sf1 sweep; past k
+    * the PODS'12 bound is the contract, as `agg_heavy_hitters`
+    * demonstrates at k=8. The budget is per-day STATE (k counters), so
+    * raising it trades bounded memory, not shuffle volume.
     */
-  val HittersK = 2048
+  val HittersK = 16384
 
   /** STREAMING HEAVY HITTERS — the mergeable-sketch-as-stream-state
     * pattern: keyed by event day, state is ONE Misra-Gries counter set

@@ -35,7 +35,8 @@ i = 0
 pos = []
 while i < len(argv):
     a = argv[i]
-    if a in ("--timeout", "--resume", "--json"):
+    if a in ("--timeout", "--resume", "--json", "--skip",
+             "--allow-empty", "--round-ties"):
         opts[a[2:]] = argv[i + 1]; i += 2
     else:
         pos.append(a); i += 1
@@ -51,6 +52,25 @@ if "resume" in opts:
     for line in open(opts["resume"]):
         if line.startswith("ok   "):
             skip_ok.add(line[5:].split(" ")[0])
+# --skip a,b,c: queries whose SQL oracle is infeasible at this scale
+# and is checked by a dedicated tool instead (e.g. tools/cc_check.py's
+# union-find replacement for the recursive-CTE connected components)
+skip_tool = set(opts["skip"].split(",")) if "skip" in opts else set()
+# --allow-empty a,b: queries whose TRUE answer is empty at this scale
+# (adjudicated data-regime outcomes, e.g. triangle extinction when the
+# bounded-support co-purchase graph thins against a 10x part catalog);
+# both sides returning 0 rows reports ok_empty instead of the
+# suspicious-empty failure
+allow_empty = set(opts["allow-empty"].split(","))     if "allow-empty" in opts else set()
+# --round-ties a,b: queries whose float outputs are ROUND(transcendental,
+# 6) on both sides. When the two engines' ln/exp differ in the last ulp
+# AND the true value sits within that ulp of a 1e-6 rounding boundary,
+# the rounded outputs land in ADJACENT buckets (|diff| == 1e-6 exactly)
+# -- a quantization artifact, not a value disagreement (~1e-5 of rows at
+# sf1's 4.3M-transcendental volume; zero at gate scale). For declared
+# queries such adjacent-bucket diffs are tallied separately as r6_ties
+# and do not fail the compare; any larger diff still does.
+round_ties = set(opts["round-ties"].split(","))     if "round-ties" in opts else set()
 
 con = duckdb.connect()
 for t in TABLES:
@@ -79,8 +99,10 @@ def run_oracle(sql):
         timer.cancel()
 
 
-def col_diffs(a, b):
-    """(exact_diffs, beyond_tolerance_diffs) for two aligned columns."""
+def col_diffs(a, b, tie_ok=False):
+    """(exact_diffs, beyond_tolerance_diffs, r6_ties) for two aligned
+    columns. With tie_ok, float diffs of exactly one 1e-6 bucket are
+    counted as ties, not failures."""
     an = pd.isna(a).to_numpy()
     bn = pd.isna(b).to_numpy()
     both_null = an & bn
@@ -89,12 +111,18 @@ def col_diffs(a, b):
     exact = int(null_mismatch.sum())
     approx = int(null_mismatch.sum())
     valid = ~an & ~bn
+    ties = 0
     if is_float:
         x = a.to_numpy(dtype="float64", na_value=np.nan)[valid]
         y = b.to_numpy(dtype="float64", na_value=np.nan)[valid]
         ne = x != y
-        exact += int(ne.sum())
         far = ne & ~np.isclose(x, y, rtol=1e-9, atol=1e-12)
+        if tie_ok:
+            tie = far & (np.abs(x - y) <= 1.01e-6)
+            ties = int(tie.sum())
+            far = far & ~tie
+            ne = ne & ~tie
+        exact += int(ne.sum())
         approx += int(far.sum())
     else:
         x = a[valid].astype(str).to_numpy()
@@ -102,7 +130,7 @@ def col_diffs(a, b):
         ne = x != y
         exact += int(ne.sum())
         approx += int(ne.sum())
-    return exact, approx
+    return exact, approx, ties
 
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
@@ -113,6 +141,10 @@ for name, sql in sorted(oracle.items()):
         print(f"ok   {name} (resumed from previous run)")
         results[name] = {"status": "ok", "resumed": True}
         ok += 1; skipped += 1
+        continue
+    if name in skip_tool:
+        print(f"SKIP {name} (checked by a dedicated tool)")
+        results[name] = {"status": "tool_checked"}
         continue
     t0 = time.time()
     try:
@@ -141,14 +173,22 @@ for name, sql in sorted(oracle.items()):
     else:
         mine = mine[sorted(mine.columns)]
         ora = ora[sorted(ora.columns)]
+        tie_total = 0
         for c in mine.columns:
-            exact, approx = col_diffs(mine[c], ora[c])
+            exact, approx, ties = col_diffs(
+                mine[c], ora[c], tie_ok=(name in round_ties))
+            tie_total += ties
             if exact:
                 tag = "EXACT-ONLY" if approx == 0 else "VALUE"
                 errs.append(
                     f"col {c}: {exact} exact diffs, "
                     f"{approx} beyond-1e-9 diffs [{tag}]")
     if len(mine) == 0 and not errs:
+        if name in allow_empty:
+            print(f"ok   {name} (0 rows - adjudicated empty regime)")
+            results[name] = {"status": "ok_empty_regime", "rows": 0}
+            ok += 1
+            continue
         errs.append("empty result (suspicious)")
     el = time.time() - t0
     if errs:
@@ -157,9 +197,12 @@ for name, sql in sorted(oracle.items()):
                          "err": "; ".join(errs), "sec": round(el, 1)}
         bad += 1
     else:
-        print(f"ok   {name} ({len(mine)} rows, {el:.1f}s)")
+        tie_note = f", {tie_total} r6-ties" if tie_total else ""
+        print(f"ok   {name} ({len(mine)} rows, {el:.1f}s{tie_note})")
         results[name] = {"status": "ok", "rows": len(mine),
                          "sec": round(el, 1)}
+        if tie_total:
+            results[name]["r6_ties"] = tie_total
         ok += 1
 
 summary = f"\n{ok} ok, {bad} fail" + (
