@@ -105,6 +105,26 @@ object GraftSession {
       .config("spark.sql.maxPlanStringLength", "100000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's generic "No Partition Defined" WARN (round-9
+    // verdict item): every single-partition window in this repo is a
+    // DELIBERATELY-BOUNDED frame (aggregated ≤|lang·source| / |zones| /
+    // nB-row tables — SCALE.md's bounded-window rule), so the log line
+    // is pure noise that reads exactly like a genuine data-sized global
+    // window in sweep logs. The enforcement lives in the STRUCTURAL
+    // spec pins instead (PlanShapeSpec: single-partition WindowExecs
+    // must sit above grouped aggregates; DedupSpec's partition-spec
+    // assertions), which is stronger than a log line — and the one
+    // corpus-adjacent case, Scan.prefixSums' offsets window, still
+    // self-documents in the PLAN via its constant pmod partition key.
+    // A plain literal key at the tiny-window sites was measured and
+    // rejected: Spark 4's EliminateWindowPartitions folds literals
+    // (keeping the WARN), and a non-foldable constant key turns each
+    // one-task SinglePartition exchange into a 32-task hash exchange
+    // (curate_pipeline_e2e 0.8 → 1.9 s at sf0.1 across its four tiny
+    // windows).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

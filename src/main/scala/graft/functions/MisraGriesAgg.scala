@@ -54,14 +54,28 @@ class MisraGriesAgg(k: Int) extends Aggregator[Long, MgBuf, MgBuf] {
   override def zero: MgBuf = MgBuf(Array.emptyLongArray, Array.emptyLongArray)
 
   override def reduce(b: MgBuf, v: Long): MgBuf = {
-    var i = 0
-    while (i < b.keys.length) {
-      if (b.keys(i) == v) { b.counts(i) += 1L; return b }
-      i += 1
-    }
-    if (b.keys.length < k)
-      MgBuf(b.keys :+ v, b.counts :+ 1L)
-    else {
+    // keys are maintained SORTED through every path (sorted insert
+    // here; merge and compact preserve order), so the per-row probe is
+    // a binary search. Round 9: the previous linear probe was "a few
+    // cache lines" at the k=64 sketch-demo scale, but the k=16384
+    // exact-regime budget made it O(k) PER ROW — the sf1 sweep
+    // measured stream_heavy_hitters at ~6.5e9 probe steps (10.9 s);
+    // log2(k)=14 steps leaves the scan dominated by the scan itself.
+    // Sorted slots are also the exact-regime canonical order that
+    // merge/finish already emit.
+    val pos = java.util.Arrays.binarySearch(b.keys, v)
+    if (pos >= 0) { b.counts(pos) += 1L; return b }
+    if (b.keys.length < k) {
+      val ins = -pos - 1
+      val n = b.keys.length
+      val ks = new Array[Long](n + 1); val cs = new Array[Long](n + 1)
+      System.arraycopy(b.keys, 0, ks, 0, ins)
+      System.arraycopy(b.counts, 0, cs, 0, ins)
+      ks(ins) = v; cs(ins) = 1L
+      System.arraycopy(b.keys, ins, ks, ins + 1, n - ins)
+      System.arraycopy(b.counts, ins, cs, ins + 1, n - ins)
+      MgBuf(ks, cs)
+    } else {
       // all k counters held by other keys: decrement everyone (the
       // incoming item cancels against one unit of each counter), drop
       // zeros — the classical MG step; total decrement ≤ (N−S)/(k+1)

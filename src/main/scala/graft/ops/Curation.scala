@@ -332,7 +332,8 @@ object Curation {
     // transcendental → rounded at 1e-6 before the normalization, whose
     // denominator is an exact decimal sum of the rounded values.
     "sample_temperature" -> ((s: SparkSession, d: String) => {
-      val wAll = Scan.onePartition(col("lang"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
       t(s, d, "documents")
         .groupBy(col("lang"), col("source"))
         .agg(sum(col("n_chars")).as("chars"))
@@ -354,7 +355,8 @@ object Curation {
     // the share window runs over the ~|lang|×|source| aggregated rows
     // (single tiny partition), never the corpus.
     "doc_mixture_stats" -> ((s: SparkSession, d: String) => {
-      val wAll = Scan.onePartition(col("lang"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
       t(s, d, "documents")
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_sum"))
@@ -378,7 +380,7 @@ object Curation {
     // whole pipeline is reproducible under retry — and hash-checkable.
     "curate_pipeline_e2e" -> ((s: SparkSession, d: String) => {
       val ws = split(col("text"), " ")
-      val wAll = Scan.onePartition(col("lang"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
       // text is reduced to (hash, token counts) in the FIRST projection
       // and never shuffled; the reduced frame is materialized once —
       // four branches (stage counts, dedup, survivor mass, sampling)
@@ -451,7 +453,7 @@ object Curation {
     // ∝ exp(logw), identical plan with the gate swapped for the
     // deterministic-hash sampler above.
     "curate_dsir" -> ((s: SparkSession, d: String) => {
-      val w64 = Scan.onePartition(col("dim"))
+      val w64 = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
       val tk = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(Text.toks(col("text"))).as("token"))

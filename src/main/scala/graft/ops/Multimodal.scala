@@ -80,14 +80,21 @@ object Multimodal {
   // through the real codec, not a fixture.
 
   /** JVM twin of [[XF.h32]] (8 hex chars of md5, parsed base 16) for
-    * the image-pixel closed form. One MessageDigest per call keeps it
-    * thread-safe; the per-image pixel loop below amortizes nothing
-    * here because correctness, not throughput, is this fixture's job.
+    * the image-pixel closed form. A thread-local MessageDigest: the
+    * sf1 sweep measured `getInstance("MD5")` per call as a real cost
+    * at 13M pixel hashes (MessageDigest is not thread-safe, so the
+    * reuse is per task thread, reset by `digest()` itself).
     */
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
   private def h32jvm(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
+    // first 4 bytes as an unsigned 32-bit value == parseLong(hex8, 16)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
   /** Deterministic REAL PNG payload per document: dims
@@ -118,10 +125,21 @@ object Multimodal {
   /** Real-PNG media frame: (doc_id, payload) with payload = actual PNG
     * bytes. Typed map (codegen irrelevant for a codec stage); the
     * closed-form content makes it deterministic at any parallelism.
+    *
+    * Repartitioned to the session parallelism BEFORE the map: the
+    * documents table is one small parquet file, so the scan is a
+    * single partition — and a codec stage inheriting it runs the
+    * whole corpus on ONE core (the sf1 sweep measured exactly that:
+    * 202 s single-threaded, ~8 s spread across 32). Parquet bytes are
+    * splittable by ROW GROUP, not arbitrarily, so a compute-heavy
+    * stage downstream of a small-file scan must rebalance explicitly
+    * — the general 100 TB rule when a scan's partitioning reflects
+    * FILE layout, not downstream compute cost.
     */
   def pngMedia(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     t(spark, d, "documents").select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .map(id => (id, pngBytes(id)))
       .toDF("doc_id", "payload")
   }

@@ -926,7 +926,7 @@ object Relational {
     "profile_skew" -> ((s: SparkSession, d: String) => {
       val perKey = t(s, d, "events")
         .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-      val wAll = Scan.onePartition(col("digits"))
+      val wAll = Window.partitionBy(lit(1))
       perKey
         .groupBy(length(col("c").cast(StringType)).cast(LongType)
           .as("digits"))

@@ -287,8 +287,22 @@ object Similarity {
   /** Query subset: every 50th vector. Stays tiny relative to the corpus
     * (the realistic ANN shape: few queries, huge candidate side).
     */
+  /** Query-id cap for every query-side instrument (`% 50` sample AND
+    * `< 2000`): the index side of each sim_* query scales with the
+    * corpus (the realistic serving dimension), but the QUERY COUNT in
+    * a benchmark readout is an instrument knob — without the cap it
+    * grew with the corpus too, and the round-9 sf1 sweep measured the
+    * brute-force/recall instruments going quadratic (queries x corpus:
+    * 38x at 10x data). At the sf0.1 gate scales every vec_id is
+    * < 2000, so capping changes NOTHING there (committed results are
+    * bit-identical); at sf1+ the instruments hold 40 queries and scale
+    * linearly with the corpus.
+    */
+  private[ops] val QueryIdCap = 2000L
+
   private def queriesSide(s: SparkSession, d: String): DataFrame =
-    qEmb(s, d).filter(col("vec_id") % 50 === 0)
+    qEmb(s, d).filter(col("vec_id") % 50 === 0 &&
+        col("vec_id") < QueryIdCap)
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("n2").as("qn2"))
 
   /** 4-bit sign-quantization bucket over the first 4 dimensions (a fixed
@@ -389,7 +403,8 @@ object Similarity {
     // query side now assigns only the query subset (1/50th the work).
     "sim_ivf_topk" -> ((s: SparkSession, d: String) => {
       val corpus = qEmb(s, d)
-      val qs = corpus.filter(col("vec_id") % 50 === 0)
+      val qs = corpus.filter(col("vec_id") % 50 === 0 &&
+          col("vec_id") < QueryIdCap)
         .join(ivfCells(s, d), Seq("vec_id"))
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("n2").as("qn2"), col("cell"))
@@ -431,7 +446,8 @@ object Similarity {
     "sim_pq_adc" -> ((s: SparkSession, d: String) => {
       val dist = pqDist(s, d)
       val codes = pqCodes(s, d)
-      val qdist = dist.filter(col("vec_id") % 50 === 0)
+      val qdist = dist.filter(col("vec_id") % 50 === 0 &&
+          col("vec_id") < QueryIdCap)
         .select(col("vec_id").as("qid"), col("m"), col("cvid"), col("d2"))
       val adc = codes.join(broadcast(qdist),
           codes("m") === qdist("m") && codes("code") === qdist("cvid"))
@@ -469,7 +485,8 @@ object Similarity {
     "sim_ivfpq_topk" -> ((s: SparkSession, d: String) => {
       val cells = ivfCells(s, d)
       val codes = pqCodes(s, d).join(cells, Seq("vec_id"))
-      val qdist = pqDist(s, d).filter(col("vec_id") % 50 === 0)
+      val qdist = pqDist(s, d).filter(col("vec_id") % 50 === 0 &&
+          col("vec_id") < QueryIdCap)
         .join(cells, Seq("vec_id"))
         .select(col("vec_id").as("qid"), col("cell").as("qcell"),
           col("m"), col("cvid"), col("d2"))
@@ -625,7 +642,7 @@ object Similarity {
       val occ = qEmb(s, d)
         .select(bucket("q").cast(LongType).as("cell"))
         .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      val wAll = Scan.onePartition(col("cell"))
+      val wAll = Window.partitionBy(lit(1))
       s.range(16).select(col("id").as("cell"))
         .join(occ, Seq("cell"), "left")
         .withColumn("n_vecs", coalesce(col("n"), lit(0L)))
@@ -825,7 +842,8 @@ object Similarity {
       val labels = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"))
       val cells = ivfCells(s, d)
-      val qs = qEmb(s, d).filter(col("vec_id") % 50 === 0)
+      val qs = qEmb(s, d).filter(col("vec_id") % 50 === 0 &&
+          col("vec_id") < QueryIdCap)
         .join(cells, Seq("vec_id")).join(broadcast(labels), Seq("vec_id"))
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           col("n2").as("qn2"), col("cell"), col("label").as("qlabel"))
@@ -1070,7 +1088,7 @@ object Similarity {
          |adc AS (SELECT qd.vec_id AS qid, co.vec_id AS cid,
          |          CAST(SUM(qd.d2) AS BIGINT) AS adc_d2
          |        FROM codes co
-         |        JOIN (SELECT * FROM dist WHERE vec_id % 50 = 0) qd
+         |        JOIN (SELECT * FROM dist WHERE vec_id % 50 = 0 AND vec_id < 2000) qd
          |          ON co.m = qd.m AND co.code = qd.cvid
          |        WHERE qd.vec_id <> co.vec_id
          |        GROUP BY 1, 2),
@@ -1106,7 +1124,7 @@ object Similarity {
          |        JOIN assigned ac ON ac.vec_id = co.vec_id
          |        JOIN (SELECT d.vec_id, d.m, d.cvid, d.d2, aq.cell
          |              FROM dist d JOIN assigned aq ON aq.vec_id = d.vec_id
-         |              WHERE d.vec_id % 50 = 0) qd
+         |              WHERE d.vec_id % 50 = 0 AND d.vec_id < 2000) qd
          |          ON co.m = qd.m AND co.code = qd.cvid
          |         AND ac.cell = qd.cell
          |        WHERE qd.vec_id <> co.vec_id
@@ -1147,7 +1165,7 @@ object Similarity {
          |  JOIN assigned ab ON ab.cell = aa.cell
          |  JOIN qn b ON b.vec_id = ab.vec_id
          |  JOIN embeddings eb ON eb.vec_id = b.vec_id
-         |  WHERE a.vec_id % 50 = 0 AND ea.label <> eb.label),
+         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < 2000 AND ea.label <> eb.label),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, cid) AS rnk
@@ -1160,7 +1178,7 @@ object Similarity {
       s"""WITH $qEmbSql,
          |scored AS (
          |  SELECT a.vec_id qid, b.vec_id cid, $cosAB AS cos
-         |  FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+         |  FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id),
          |ranked AS (
          |  SELECT qid, cid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
@@ -1174,7 +1192,7 @@ object Similarity {
          |scored AS (
          |  SELECT a.vec_id qid, b.vec_id cid, $cosAB AS cos
          |  FROM cells a JOIN cells b
-         |    ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+         |    ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id),
          |ranked AS (
          |  SELECT qid, cid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
@@ -1188,7 +1206,7 @@ object Similarity {
          |probes AS (
          |  SELECT vec_id, q, n2, xor(cell, m.mask) AS cell
          |  FROM cells, (VALUES (0), (1), (2), (4), (8)) m(mask)
-         |  WHERE vec_id % 50 = 0),
+         |  WHERE vec_id % 50 = 0 AND vec_id < 2000),
          |scored AS (
          |  SELECT DISTINCT a.vec_id qid, b.vec_id cid, $cosAB AS cos
          |  FROM probes a JOIN cells b
@@ -1215,7 +1233,7 @@ object Similarity {
          |scored AS (
          |  SELECT a.vec_id qid, b.vec_id cid, $cosAB AS cos
          |  FROM assigned a JOIN assigned b
-         |    ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+         |    ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id),
          |ranked AS (
          |  SELECT qid, cid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
@@ -1265,7 +1283,7 @@ object Similarity {
          |      row_number() OVER (PARTITION BY a.vec_id
          |        ORDER BY $cosAB DESC, b.vec_id) AS rnk
          |    FROM qn a JOIN qn b
-         |      ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+         |      ON a.vec_id % 50 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id)
          |  WHERE rnk <= $TopK),
          |cells AS (SELECT vec_id, q, n2, ${bucketSql("q")} AS cell FROM qn),
          |approx AS (
@@ -1274,7 +1292,7 @@ object Similarity {
          |      row_number() OVER (PARTITION BY a.vec_id
          |        ORDER BY $cosAB DESC, b.vec_id) AS rnk
          |    FROM cells a JOIN cells b
-         |      ON a.cell = b.cell AND a.vec_id % 50 = 0
+         |      ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id < 2000
          |     AND a.vec_id <> b.vec_id)
          |  WHERE rnk <= $TopK)
          |SELECT e.qid,

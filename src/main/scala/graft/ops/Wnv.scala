@@ -368,7 +368,7 @@ object Wnv {
           // catalog (25 rows; ~10^5 even nationwide — see SCALE.md), a
           // cluster-constant-sized dimension, never corpus-scaled. The
           // corpus-scaled orderings use ops/Scan.runningOver instead.
-          ntile(4).over(Scan.onePartition(col("zone_id"))
+          ntile(4).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("n_targets"), col("zone_id")))
             .cast(LongType).as("density_class"))
         .orderBy(col("zone_id"))

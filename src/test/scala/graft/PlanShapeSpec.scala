@@ -292,11 +292,7 @@ class PlanShapeSpec extends SparkSpec {
     "agg_approx_calibration" -> 3, "curate_boilerplate" -> 4,
     // round-7 additions (ceilings off ExchangeCount at sf0.001/4 cores,
     // +1 headroom where a borderline broadcast could flip)
-    // curate_dsir +1 in round 9: its two 64-row total windows now ride
-    // the constant-key one-partition spec (WARN silencing), whose tiny
-    // exchange reads as hashpartitioning instead of the uncounted
-    // SinglePartition — same data movement as before
-    "curate_dsir" -> 6, "sim_ivfpq_topk" -> 8, "mm_shard_manifest" -> 5,
+    "curate_dsir" -> 5, "sim_ivfpq_topk" -> 8, "mm_shard_manifest" -> 5,
     "wnv_hex_density" -> 2, "events_snapshot_diff" -> 3,
     "stream_heavy_hitters" -> 3, "events_incremental_rollup" -> 4,
     "events_daily_ewma" -> 4, "emb_top1_residual" -> 4,
