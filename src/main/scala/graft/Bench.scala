@@ -129,11 +129,14 @@ object Bench {
         prevTimes.get(name).exists(p => p > 0 && ts.min > StallRatio * p)
       // up to 2 delayed re-samples when the min still reads as a >5x
       // stall vs the committed record — a genuine regression survives
-      // them; a contention window usually does not
-      val all = Iterator.iterate(withThird) { ts =>
-        Thread.sleep(200); ts ++ once()
-      }.dropWhile(ts => stalled(ts) && ts.size < withThird.size + 2)
-        .next()
+      // them; a contention window usually does not. Bounded by ATTEMPT
+      // count, not result size: once() returns None on failure, so a
+      // stalled-then-persistently-failing query would otherwise retry
+      // every 200 ms forever without ts ever growing.
+      val all = Iterator.iterate((withThird, 0)) { case (ts, n) =>
+        Thread.sleep(200); (ts ++ once(), n + 1)
+      }.dropWhile { case (ts, n) => stalled(ts) && n < 2 }
+        .next()._1
       // a query with no successful run reports -1, not a fast-fail time
       (name, if (all.isEmpty) -1.0 else all.min, stalled(all))
     }
@@ -148,10 +151,28 @@ object Bench {
       if (ratios.isEmpty) None
       else Some(if (ratios.size % 2 == 1) ratios(ratios.size / 2)
         else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
-    // provenance: which sweep the factor was computed against
+    // provenance: which sweep the factor was computed against — the
+    // baseline file's last-committed git revision plus a dirty flag
+    // (an uncommitted BENCH_FULL.json from an earlier sweep THIS round
+    // is a different baseline than the committed record), closing the
+    // run-order ambiguity the total/nq fields alone leave open
+    def gitLine(cmd: Seq[String]): Option[String] = try {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream)
+        .mkString.trim
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case _: Throwable => None }
+    val baseRev: Option[(String, Boolean)] = for {
+      rev <- gitLine(Seq("git", "log", "-n", "1", "--format=%h",
+        "--", "BENCH_FULL.json")).filter(_.nonEmpty)
+      st <- gitLine(Seq("git", "status", "--porcelain",
+        "BENCH_FULL.json"))
+    } yield (rev, st.nonEmpty)
     val stealField = stealFactor.map { sfv =>
       val base = prevParsed.map { case (_, tot, nq) =>
-        s""","steal_baseline":{"file":"BENCH_FULL.json","total":${r3(tot)},"nq":$nq}"""
+        val rev = baseRev.map { case (r, dirty) =>
+          s""","rev":"$r","dirty":$dirty""" }.getOrElse("")
+        s""","steal_baseline":{"file":"BENCH_FULL.json","total":${r3(tot)},"nq":$nq$rev}"""
       }.getOrElse("")
       s""","steal_factor":${r3(sfv)}$base"""
     }.getOrElse("")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -559,34 +559,52 @@ object Events {
         .limit(20)
     }),
 
-    // INTERVAL-INTERVAL OVERLAP JOIN — per session, how many OTHER
+    // INTERVAL-INTERVAL OVERLAP COUNT — per session, how many OTHER
     // sessions were concurrent (the concurrency/capacity question).
-    // A session×session theta join is corpus²; instead each interval
-    // explodes into the 1-hour buckets it spans (fan-out = duration/1h,
-    // bounded by the session-gap construction) and candidates come from
-    // the bucket equi-join, deduped, with the exact overlap predicate
-    // as residual — the interval generalization of events_range_join's
-    // point-in-interval bucketing. The session frame is checkpointed:
-    // both join sides and the zero-overlap left join read it.
+    // The ANSWER here is a per-session COUNT, so no pair frame needs to
+    // exist (rounds ≤9 generated candidate pairs via 1-hour bucket
+    // join; at sf1 the ~1M intermediate pairs were 19 s of pure
+    // materialization for a count the sweep line gets for free):
+    //   n_concurrent(x) = #{y : y.st ≤ x.en} − #{y : y.en < x.st} − 1
+    // (y.en < x.st ⇒ y.st < x.st ⇒ y.st ≤ x.en, so the subtraction
+    // never double-removes; −1 cancels x counting itself). Both terms
+    // are running counts over ONE global time ordering — a single
+    // [[Scan.runningOver]] pass over a 4-rows-per-session point frame,
+    // with point KINDS resolving the tie semantics at equal t:
+    // starts (0) sort before queries (1) so st ≤ en is inclusive;
+    // ends (2) sort after queries so en < st stays strict. Scale
+    // shape: no pair join, no explode; cost is O(n) rows through the
+    // distributed scan regardless of overlap density (the old bucket
+    // join was output-quadratic in concurrency).
     "events_session_overlap" -> ((s: SparkSession, d: String) => {
       val sess = sessionFrame(s, d)
         .select(col("user_id"), col("session_no"), col("st"), col("en"))
-      val bucketW = 3600000000L // 1 h
-      def bucketed(p: String): DataFrame = sess.select(
-        col("user_id").as(p + "u"), col("session_no").as(p + "n"),
-        col("st").as(p + "st"), col("en").as(p + "en"),
-        explode(sequence(floor(col("st") / bucketW).cast(LongType),
-          floor(col("en") / bucketW).cast(LongType))).as("bk"))
-      val overlaps = bucketed("a").join(bucketed("b"), Seq("bk"))
-        .filter(!(col("au") === col("bu") && col("an") === col("bn")))
-        .filter(col("ast") <= col("ben") && col("bst") <= col("aen"))
-        .select(col("au"), col("an"), col("bu"), col("bn")).distinct()
-        .groupBy(col("au").as("user_id"), col("an").as("session_no"))
-        .agg(count(lit(1)).as("nc"))
-      sess.join(overlaps, Seq("user_id", "session_no"), "left")
+      val nulL = lit(null).cast(LongType)
+      val starts = sess.select(col("st").as("t"), lit(0).as("kind"),
+        lit(1L).as("fs"), lit(0L).as("fe"),
+        nulL.as("user_id"), nulL.as("session_no"),
+        nulL.as("st"), nulL.as("en"), lit(null).cast("string").as("qk"))
+      val ends = sess.select(col("en").as("t"), lit(2).as("kind"),
+        lit(0L).as("fs"), lit(1L).as("fe"),
+        nulL.as("user_id"), nulL.as("session_no"),
+        nulL.as("st"), nulL.as("en"), lit(null).cast("string").as("qk"))
+      def query(at: Column, qk: String): DataFrame = sess.select(
+        at.as("t"), lit(1).as("kind"), lit(0L).as("fs"), lit(0L).as("fe"),
+        col("user_id"), col("session_no"), col("st"), col("en"),
+        lit(qk).as("qk"))
+      val points = starts.unionByName(ends)
+        .unionByName(query(col("en"), "A")) // reads #starts ≤ x.en
+        .unionByName(query(col("st"), "B")) // reads #ends  < x.st
+      val scanned = Scan.runningOver(points, col("t"), desc = false,
+        order = Seq(col("t"), col("kind")),
+        outs = Seq(("cs", col("fs")), ("ce", col("fe"))))
+      scanned.filter(col("kind") === 1)
+        .groupBy(col("user_id"), col("session_no"), col("st"), col("en"))
+        .agg(max(when(col("qk") === "A", col("cs"))).as("a"),
+          max(when(col("qk") === "B", col("ce"))).as("b"))
         .select(col("user_id"), col("session_no"),
           col("st").as("session_start_us"), col("en").as("session_end_us"),
-          coalesce(col("nc"), lit(0L)).as("n_concurrent"))
+          (col("a") - col("b") - 1L).as("n_concurrent"))
         .orderBy(col("user_id"), col("session_no"))
     }),
 

@@ -1088,7 +1088,7 @@ object Similarity {
          |adc AS (SELECT qd.vec_id AS qid, co.vec_id AS cid,
          |          CAST(SUM(qd.d2) AS BIGINT) AS adc_d2
          |        FROM codes co
-         |        JOIN (SELECT * FROM dist WHERE vec_id % 50 = 0 AND vec_id < 2000) qd
+         |        JOIN (SELECT * FROM dist WHERE vec_id % 50 = 0 AND vec_id < $QueryIdCap) qd
          |          ON co.m = qd.m AND co.code = qd.cvid
          |        WHERE qd.vec_id <> co.vec_id
          |        GROUP BY 1, 2),
@@ -1124,7 +1124,7 @@ object Similarity {
          |        JOIN assigned ac ON ac.vec_id = co.vec_id
          |        JOIN (SELECT d.vec_id, d.m, d.cvid, d.d2, aq.cell
          |              FROM dist d JOIN assigned aq ON aq.vec_id = d.vec_id
-         |              WHERE d.vec_id % 50 = 0 AND d.vec_id < 2000) qd
+         |              WHERE d.vec_id % 50 = 0 AND d.vec_id < $QueryIdCap) qd
          |          ON co.m = qd.m AND co.code = qd.cvid
          |         AND ac.cell = qd.cell
          |        WHERE qd.vec_id <> co.vec_id
@@ -1165,7 +1165,7 @@ object Similarity {
          |  JOIN assigned ab ON ab.cell = aa.cell
          |  JOIN qn b ON b.vec_id = ab.vec_id
          |  JOIN embeddings eb ON eb.vec_id = b.vec_id
-         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < 2000 AND ea.label <> eb.label),
+         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < $QueryIdCap AND ea.label <> eb.label),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, cid) AS rnk
@@ -1178,7 +1178,7 @@ object Similarity {
       s"""WITH $qEmbSql,
          |scored AS (
          |  SELECT a.vec_id qid, b.vec_id cid, $cosAB AS cos
-         |  FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id),
+         |  FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND a.vec_id < $QueryIdCap AND a.vec_id <> b.vec_id),
          |ranked AS (
          |  SELECT qid, cid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
@@ -1192,7 +1192,7 @@ object Similarity {
          |scored AS (
          |  SELECT a.vec_id qid, b.vec_id cid, $cosAB AS cos
          |  FROM cells a JOIN cells b
-         |    ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id),
+         |    ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id < $QueryIdCap AND a.vec_id <> b.vec_id),
          |ranked AS (
          |  SELECT qid, cid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
@@ -1206,7 +1206,7 @@ object Similarity {
          |probes AS (
          |  SELECT vec_id, q, n2, xor(cell, m.mask) AS cell
          |  FROM cells, (VALUES (0), (1), (2), (4), (8)) m(mask)
-         |  WHERE vec_id % 50 = 0 AND vec_id < 2000),
+         |  WHERE vec_id % 50 = 0 AND vec_id < $QueryIdCap),
          |scored AS (
          |  SELECT DISTINCT a.vec_id qid, b.vec_id cid, $cosAB AS cos
          |  FROM probes a JOIN cells b
@@ -1233,7 +1233,7 @@ object Similarity {
          |scored AS (
          |  SELECT a.vec_id qid, b.vec_id cid, $cosAB AS cos
          |  FROM assigned a JOIN assigned b
-         |    ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id),
+         |    ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id < $QueryIdCap AND a.vec_id <> b.vec_id),
          |ranked AS (
          |  SELECT qid, cid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
@@ -1283,7 +1283,7 @@ object Similarity {
          |      row_number() OVER (PARTITION BY a.vec_id
          |        ORDER BY $cosAB DESC, b.vec_id) AS rnk
          |    FROM qn a JOIN qn b
-         |      ON a.vec_id % 50 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id)
+         |      ON a.vec_id % 50 = 0 AND a.vec_id < $QueryIdCap AND a.vec_id <> b.vec_id)
          |  WHERE rnk <= $TopK),
          |cells AS (SELECT vec_id, q, n2, ${bucketSql("q")} AS cell FROM qn),
          |approx AS (
@@ -1292,7 +1292,7 @@ object Similarity {
          |      row_number() OVER (PARTITION BY a.vec_id
          |        ORDER BY $cosAB DESC, b.vec_id) AS rnk
          |    FROM cells a JOIN cells b
-         |      ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id < 2000
+         |      ON a.cell = b.cell AND a.vec_id % 50 = 0 AND a.vec_id < $QueryIdCap
          |     AND a.vec_id <> b.vec_id)
          |  WHERE rnk <= $TopK)
          |SELECT e.qid,

@@ -13,7 +13,7 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   private val mustBeEquiJoined = Seq(
-    "events_session_overlap", // hour-bucket equi-join, overlap residual
+    "events_session_overlap", // sweep-line scan, offsets broadcast only
     "graph_pagerank",         // edge equi-joins per iteration
     "fuzzy_join_parts",       // blocking-key equi-join
     "dedup_containment",      // prefix-vs-index shingle equi-join
@@ -211,7 +211,11 @@ class PlanShapeSpec extends SparkSpec {
   // localCheckpoint truncates the visible lineage — its scan shape is
   // covered by ScanSpec and the shuffle ceiling below.)
   Seq("events_concurrency_curve", "parts_abc_pareto", "orders_rfm",
-      "mm_shard_manifest")
+      "mm_shard_manifest",
+      // round 10: the overlap count joined the runningOver family (the
+      // former 1-hour-bucket pair join materialized ~1M intermediate
+      // pairs at sf1 for what is a per-session COUNT)
+      "events_session_overlap")
     .foreach { q =>
       test(s"$q: global windows only over bucket-count-bounded frames") {
         import org.apache.spark.sql.execution.window.WindowExec
@@ -275,7 +279,9 @@ class PlanShapeSpec extends SparkSpec {
     "events_sliding_distinct" -> 3, "graph_triangles" -> 5,
     "dedup_ngram_jaccard" -> 8, "dedup_embedding_cosine" -> 1,
     "join_bloom_prefilter" -> 5, "profile_columns" -> 1,
-    "events_session_overlap" -> 4, "dedup_exact" -> 2,
+    // round 10: sweep-line count (no pair join) — union bucket window +
+    // totals + offsets + final groupBy + output sort = 5 measured
+    "events_session_overlap" -> 5, "dedup_exact" -> 2,
     "dedup_containment" -> 5, "text_surprisal" -> 3,
     // +1 in round 9: prefixSums' offsets window now partitions by a
     // constant pmod key (WARN silencing), so its ≤ nB+1-row exchange
@@ -320,6 +326,18 @@ class PlanShapeSpec extends SparkSpec {
       assert(n <= ceiling,
         s"$q grew to $n shuffles (pinned <= $ceiling)\n${p.take(1500)}")
     }
+  }
+
+  test("events_session_overlap: sweep-line, no pair generator") {
+    // round 10: the answer is a per-session count — the plan must hold
+    // NO interval-bucket explode and NO pair-generating join (the only
+    // join is prefixSums' ≤ nB+1-row broadcast offset attach)
+    val p = plan("events_session_overlap")
+    assert(!p.contains("Generate explode"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bcast <= 1, s"unexpected joins ($bcast)\n${p.take(1500)}")
   }
 
   test("text_pii_scrub is map-only: no exchange before the sort") {

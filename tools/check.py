@@ -82,16 +82,30 @@ def run_oracle(sql):
     if TIMEOUT is None:
         return con.sql(sql).df(), False
     fired = [False]
+    done = [False]
+    lock = threading.Lock()
 
     def interrupt():
-        fired[0] = True
-        con.interrupt()
+        # done-flag under a lock: if the query already finished, a late
+        # timer firing must NOT interrupt the (now idle) connection --
+        # the interrupt would land on the NEXT query and misreport it
+        # as a spurious oracle error instead of a timeout here.
+        with lock:
+            if done[0]:
+                return
+            fired[0] = True
+            con.interrupt()
 
     timer = threading.Timer(TIMEOUT, interrupt)
     timer.start()
     try:
-        return con.sql(sql).df(), False
+        df = con.sql(sql).df()
+        with lock:
+            done[0] = True
+        return df, False
     except Exception:
+        with lock:
+            done[0] = True
         if fired[0]:
             return None, True
         raise
@@ -118,7 +132,10 @@ def col_diffs(a, b, tie_ok=False):
         ne = x != y
         far = ne & ~np.isclose(x, y, rtol=1e-9, atol=1e-12)
         if tie_ok:
-            tie = far & (np.abs(x - y) <= 1.01e-6)
+            # only the ADJACENT-bucket case qualifies (|diff| == 1e-6
+            # exactly, up to float representation): a genuine sub-1e-6
+            # value disagreement must still fail, hence the lower bound
+            tie = far & (np.abs(x - y) >= 0.99e-6) & (np.abs(x - y) <= 1.01e-6)
             ties = int(tie.sum())
             far = far & ~tie
             ne = ne & ~tie
