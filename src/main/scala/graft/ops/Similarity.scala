@@ -258,18 +258,32 @@ object Similarity {
       .agg(min_by(col("cvid"), col("d2") * 4096 + denseRank).as("code"))
   }
 
-  /** Corpus IVF assignment (vec_id, cell): nearest coarse centroid by
-    * quantized cosine, ties to the smallest centroid id — the
-    * inverted-file cell every IVF probe keys on. Memoized +
-    * localCheckpoint per (session, dir) like the PQ artifact: the
-    * corpus×16 broadcast fan-in runs once, and `sim_ivf_topk` (both
-    * sides) and `sim_ivfpq_topk` read the materialized frame — the
-    * cell-assignment table a production index stores next to the codes.
-    */
   private val ivfMemo =
     new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
 
-  private[graft] def ivfCells(s: SparkSession, d: String): DataFrame =
+  /** Probe ranks materialized in the ranked IVF artifact: rank 1 is the
+    * home cell (= the former [[ivfCells]] assignment, identical
+    * tie-break), ranks 2..3 feed multiprobe candidate generation
+    * ([[graft.ops.Dedup]]'s embedding near-dup at nprobe=2) and the
+    * recall calibration's widest width.
+    */
+  private[graft] val IvfMaxProbe = 3
+
+  /** Corpus IVF assignment RANKED to the top-[[IvfMaxProbe]] coarse
+    * centroids per vector: (vec_id, cell, prank) with prank 1 the
+    * nearest centroid by quantized cosine (ties to the smallest
+    * centroid id — one total order both engines share). The cell count
+    * scales with the corpus (every 100th vector is a centroid — a
+    * trained k-means codebook drops in with the identical plan), so
+    * cell occupancy is ~100 REGARDLESS of n: candidate volume through
+    * any cell equi-join stays linear in the corpus — the property the
+    * round-9 sf1 sweep showed the FIXED 16-cell sign quantizer lacks
+    * (n²/32 candidates). The rank window shuffles three scalars per
+    * (vector, centroid) pair — never the embedding arrays — and the
+    * artifact is memoized + localCheckpointed like the PQ chain (a
+    * production index stores exactly this table).
+    */
+  private[graft] def ivfCellsRanked(s: SparkSession, d: String): DataFrame =
     ivfMemo.getOrCompute((s, d)) {
       val cents = qEmb(s, d).filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cvid"), col("q").as("cq"),
@@ -279,10 +293,23 @@ object Similarity {
         .select(col("vec_id"),
           qcos(idot(col("q"), col("cq")), col("n2"), col("ccn2")).as("ccos"),
           col("cvid"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cvid"), struct(col("ccos"), -col("cvid"))).as("cell"))
+        .withColumn("prank", row_number().over(Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cvid"))))
+        .filter(col("prank") <= IvfMaxProbe)
+        .select(col("vec_id"), col("cvid").as("cell"),
+          col("prank").cast(org.apache.spark.sql.types.LongType)
+            .as("prank"))
         .localCheckpoint()
     }
+
+  /** Rank-1 view of [[ivfCellsRanked]] — the (vec_id, cell) home
+    * assignment every IVF probe keys on (one artifact build serves
+    * both the sim_ivf_* queries and the dedup multiprobe generator).
+    */
+  private[graft] def ivfCells(s: SparkSession, d: String): DataFrame =
+    ivfCellsRanked(s, d).filter(col("prank") === 1L)
+      .select(col("vec_id"), col("cell"))
 
   /** Query subset: every 50th vector. Stays tiny relative to the corpus
     * (the realistic ANN shape: few queries, huge candidate side).

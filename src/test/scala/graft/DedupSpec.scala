@@ -94,9 +94,10 @@ class DedupSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("multiprobe candidates generate each cell-Hamming<=1 pair exactly once") {
-    // no distinct() in the query: the one-sided probe construction must
-    // emit every surviving pair once, or the oracle hash would diverge.
+  test("multiprobe candidates emit each qualifying pair exactly once") {
+    // the symmetric probe directions fold in the (i,j) groupBy — the
+    // output must hold every surviving pair once, or the oracle's
+    // DISTINCT-based twin would hash-diverge.
     val out = graft.SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
       .groupBy(col("i"), col("j")).count()
     assert(out.filter(col("count") > 1).count() === 0)
@@ -188,31 +189,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("probe generator == closed-form hd<=w predicate at every width") {
+  test("IVF probe generator == closed-form min-rank predicate at every width") {
     import graft.ops.{Dedup, Similarity}
-    // ground truth: per-pair cell Hamming distance from an exact
-    // all-pairs JVM loop over a small slice
-    val e = graft.ops.Dedup.qEmb(spark, sf).filter(col("vec_id") < 60)
-      .withColumn("home", Similarity.bucket("q"))
-    val homes = e.select(col("vec_id"), col("home")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // a Seq of (pair, hd), NOT a Map: collecting pair-typed elements
-    // out of a Map would rebuild a Map keyed by i and silently keep one
-    // j per i
-    val byHd = (for {
-      i <- homes.keys.toSeq; j <- homes.keys.toSeq if i < j
-    } yield ((i, j), Integer.bitCount(homes(i) ^ homes(j))))
-    (0 to 4).foreach { w =>
-      val got = Dedup.embCosinePairs(e, w)
-        .select(col("i"), col("j")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val want = byHd.collect { case (p, hd) if hd <= w => p }.toSet
-      assert(got === want, s"width $w")
-      // each qualifying pair exactly once (the unique-mask property)
-      assert(got.size === Dedup.embCosinePairs(e, w).count())
+    // ground truth: per-pair minimal probe width from an exact JVM loop
+    // over a small slice of the FULL-corpus ranked cell artifact —
+    // pair {i,j} is a width-w candidate iff home(j) sits in i's top-w
+    // cells or home(i) in j's (the symmetric IVF multiprobe predicate
+    // the oracle SQL also encodes)
+    val sliceMax = 60L
+    val ranked = Similarity.ivfCellsRanked(spark, sf)
+      .filter(col("vec_id") < sliceMax).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cells: Map[Long, Seq[Long]] = ranked.groupBy(_._1).map {
+      case (v, rows) => v -> rows.sortBy(_._3).map(_._2).toSeq
     }
-    // width 4 is provably ALL pairs — truth shares the generator path
-    assert(byHd.size === Dedup.embCosinePairs(e, 4).count())
+    def minW(i: Long, j: Long): Option[Int] = {
+      val a = cells(i).indexOf(cells(j).head)
+      val b = cells(j).indexOf(cells(i).head)
+      val w = Seq(a, b).filter(_ >= 0).map(_ + 1)
+      if (w.isEmpty) None else Some(w.min)
+    }
+    val ids = cells.keys.toSeq.sorted
+    val wantByPair = (for {
+      i <- ids; j <- ids if i < j; w <- minW(i, j)
+    } yield ((i, j), w))
+    (1 to Similarity.IvfMaxProbe).foreach { w =>
+      val got = Dedup.embCandPairsIvf(spark, sf, w, Some(sliceMax), None)
+        .select(col("i"), col("j"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = wantByPair.filter(_._2 <= w).toMap
+      assert(got.keySet === want.keySet, s"width $w")
+      // and the reported minimal width matches the JVM fold
+      got.foreach { case (p, gw) => assert(gw === want(p).toLong, p) }
+    }
   }
 
   test("recall calibration plans equi-joins only, even at full width") {

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{MgBuf, MisraGriesAgg}
+import graft.functions.{MgBuf, MisraGriesAgg, MisraGriesWeightedAgg}
 
 /** Pure-JVM properties of the Misra-Gries Aggregator: the two-sided
   * guarantee (never an overcount, undercount ≤ (N−S)/(k+1)) under
@@ -73,22 +73,92 @@ class MisraGriesSpec extends AnyFunSuite {
   test("merge pivot evicts down to <= k and sheds ties with the pivot") {
     val agg = new MisraGriesAgg(2)
     // two full buffers with disjoint keys force the pivot subtraction
-    val a = MgBuf(Array(1L, 2L), Array(10L, 4L))
-    val b = MgBuf(Array(3L, 4L), Array(4L, 2L))
+    val a = MgBuf(Array(1L, 2L), Array(10L, 4L), 0L)
+    val b = MgBuf(Array(3L, 4L), Array(4L, 2L), 0L)
     val m = agg.merge(a, b)
     // counts 10,4,4,2 → pivot = 3rd largest = 4 → keep 1→6 only (ties
     // at the pivot drop to 0)
     assert(m.keys.toSeq === Seq(1L))
     assert(m.counts.toSeq === Seq(6L))
+    // and the pivot subtraction is a recorded spill event
+    assert(m.spills === 1L)
   }
 
   test("finish emits canonical key order") {
     val agg = new MisraGriesAgg(8)
-    val f = agg.finish(MgBuf(Array(5L, 1L, 3L), Array(2L, 7L, 4L)))
+    val f = agg.finish(MgBuf(Array(5L, 1L, 3L), Array(2L, 7L, 4L), 0L))
     assert(f.keys.toSeq === Seq(1L, 3L, 5L))
     assert(f.counts.toSeq === Seq(7L, 4L, 2L))
   }
 
+  // ---- weighted aggregator (round 10) --------------------------------
+
+  private def buildW(agg: MisraGriesWeightedAgg,
+      xs: Seq[(Long, Long)]): MgBuf =
+    xs.foldLeft(agg.zero)(agg.reduce)
+
+  test("weighted exact regime == unweighted on the expanded stream") {
+    // folding per-key (key, total) pairs through the weighted path must
+    // equal folding each raw occurrence — the reshape's correctness
+    // claim for the pre-aggregated plan
+    val aggU = new MisraGriesAgg(128)
+    val aggW = new MisraGriesWeightedAgg(128)
+    val weighted = exact.toSeq.sortBy(_._1)
+    val u = aggU.finish(build(aggU, data))
+    val w = aggW.finish(buildW(aggW, weighted))
+    assert(w.keys.toSeq === u.keys.toSeq)
+    assert(w.counts.toSeq === u.counts.toSeq)
+    assert(w.spills === 0L)
+  }
+
+  test("weighted stressed regime: two-sided guarantee for every merge tree") {
+    val agg = new MisraGriesWeightedAgg(8)
+    val weighted = exact.toSeq.sortBy(_._1)
+    checkGuarantees(buildW(agg, weighted), 8, data.size.toLong)
+    for (chunk <- Seq(3, 17, 41)) {
+      val parts = weighted.grouped(chunk).map(buildW(agg, _)).toSeq
+      val leftFold = parts.reduceLeft((a, b) => agg.merge(copy(a), copy(b)))
+      val rightFold = parts.reverse
+        .reduceLeft((a, b) => agg.merge(copy(a), copy(b)))
+      checkGuarantees(leftFold, 8, data.size.toLong)
+      checkGuarantees(rightFold, 8, data.size.toLong)
+      // stressed (96 distinct > 8): every merge tree records spills
+      assert(leftFold.spills > 0L)
+      assert(rightFold.spills > 0L)
+    }
+  }
+
+  test("spills == 0 iff the key universe fits k, under every tree tried") {
+    // the regime self-report the stream_heavy_hitters contract reads:
+    // deterministically distinct <= k, whatever the merge order
+    val weighted = exact.toSeq.sortBy(_._1)
+    for ((k, fits) <- Seq(128 -> true, 96 -> true, 8 -> false);
+         chunk <- Seq(5, 37)) {
+      val agg = new MisraGriesWeightedAgg(k)
+      val parts = weighted.grouped(chunk).map(buildW(agg, _)).toSeq
+      val m = parts.reduceLeft((a, b) => agg.merge(copy(a), copy(b)))
+      assert((m.spills == 0L) === fits, s"k=$k chunk=$chunk")
+    }
+  }
+
+  test("weighted singleton overflow matches the PODS'12 merge closed form") {
+    val agg = new MisraGriesWeightedAgg(2)
+    val full = MgBuf(Array(1L, 2L), Array(10L, 4L), 0L)
+    // new key, weight 6: pivot = min(10, 4, 6) = 4 → keys 1→6, 3→2
+    val m = agg.reduce(MgBuf(full.keys.clone(), full.counts.clone(), 0L),
+      (3L, 6L))
+    assert(m.keys.toSeq === Seq(1L, 3L))
+    assert(m.counts.toSeq === Seq(6L, 2L))
+    assert(m.spills === 1L)
+    // new key, weight 2 (≤ min counts): pivot = 2 → incoming dies
+    val m2 = agg.reduce(MgBuf(full.keys.clone(), full.counts.clone(), 0L),
+      (3L, 2L))
+    assert(m2.keys.toSeq === Seq(1L, 2L))
+    assert(m2.counts.toSeq === Seq(8L, 2L))
+    assert(m2.spills === 1L)
+  }
+
   /** merge may mutate shared state; copy so partials can be reused. */
-  private def copy(b: MgBuf) = MgBuf(b.keys.clone(), b.counts.clone())
+  private def copy(b: MgBuf) = MgBuf(b.keys.clone(), b.counts.clone(),
+    b.spills)
 }

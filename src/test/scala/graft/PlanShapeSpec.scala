@@ -277,7 +277,10 @@ class PlanShapeSpec extends SparkSpec {
   // testdata size (+1 shuffle each); the others are size-stable.
   private val shuffleCeilings = Seq(
     "events_sliding_distinct" -> 3, "graph_triangles" -> 5,
-    "dedup_ngram_jaccard" -> 8, "dedup_embedding_cosine" -> 1,
+    // round 10: embedding cosine moved to the trained IVF cell artifact
+    // (two keyed artifact joins + the cell join + the pair fold,
+    // measured 4; +1 headroom for a BHJ<->SMJ flip)
+    "dedup_ngram_jaccard" -> 8, "dedup_embedding_cosine" -> 5,
     "join_bloom_prefilter" -> 5, "profile_columns" -> 1,
     // round 10: sweep-line count (no pair join) — union bucket window +
     // totals + offsets + final groupBy + output sort = 5 measured
@@ -300,7 +303,10 @@ class PlanShapeSpec extends SparkSpec {
     // +1 headroom where a borderline broadcast could flip)
     "curate_dsir" -> 5, "sim_ivfpq_topk" -> 8, "mm_shard_manifest" -> 5,
     "wnv_hex_density" -> 2, "events_snapshot_diff" -> 3,
-    "stream_heavy_hitters" -> 3, "events_incremental_rollup" -> 4,
+    // round 10: heavy hitters pre-aggregates per (day,user) and feeds
+    // both the exact rank and the weighted sketch (measured 5 at
+    // sf0.001/4 cores; +1 headroom)
+    "stream_heavy_hitters" -> 6, "events_incremental_rollup" -> 4,
     "events_daily_ewma" -> 4, "emb_top1_residual" -> 4,
     "wnv_point_pairs_auto" -> 2, "events_gap_fill_interp" -> 4,
     "sim_hard_negatives" -> 3, "graph_link_prediction" -> 9,

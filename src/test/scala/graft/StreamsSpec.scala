@@ -442,8 +442,9 @@ class StreamsSpec extends SparkSpec {
       val last = v.maxBy(_._3.sum)
       day -> last._2.zip(last._3).toMap
     }
-    // exact regime (distinct users per day << 256): the sketch IS the
-    // exact per-day per-user count table
+    // exact regime (≤ 20 distinct users per day < k=64): the sketch IS
+    // the exact per-day per-user count table, even through the weighted
+    // per-batch pre-aggregation path
     val want = evs.groupBy(e => java.time.Instant.ofEpochMilli(e.ts.getTime)
         .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString)
       .map { case (day, es) =>
@@ -451,13 +452,28 @@ class StreamsSpec extends SparkSpec {
       }
     assert(finalPerDay === want)
     // and the batch driver query (FULL corpus) reports the same top-5
-    // as a direct exact ranking of per-day per-user counts
+    // as a direct exact ranking of per-day per-user counts, with the
+    // sketch's guarantee booleans TRUE on every probe row (they hold
+    // under every merge tree, in both regimes)
     val full = graft.sources.Tables.t(spark, sf, "events")
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val gotTop = SparkEntry.queries("stream_heavy_hitters")(spark, sf)
+    val got = SparkEntry.queries("stream_heavy_hitters")(spark, sf)
       .collect()
+    val gotTop = got
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    got.foreach { r =>
+      assert(r.getBoolean(4), s"est_le_true violated: $r")
+      assert(r.getBoolean(5), s"within_bound violated: $r")
+    }
+    // the regime self-report equals the distinct-users-per-day <= k
+    // predicate, per day
+    val usersPerDay = full.groupBy(_._1).view.mapValues(_.map(_._2)
+      .distinct.size).toMap
+    got.foreach { r =>
+      assert(r.getBoolean(6) ===
+        (usersPerDay(r.getString(0)) <= Streams.HittersK), s"regime: $r")
+    }
     val wantTop = full.groupBy(_._1).toSeq.flatMap { case (day, es) =>
       es.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
         .sortBy { case (u, n) => (-n, u) }.take(5).zipWithIndex
