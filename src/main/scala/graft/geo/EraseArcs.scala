@@ -103,9 +103,21 @@ object EraseArcs {
   private def clampAcos(x: Double): Double =
     math.acos(math.max(-1.0, math.min(1.0, x)))
 
-  private[graft] def erasedArea(bigR: Double,
-      buffersIn: Seq[(Double, Double)], r: Double): Double = {
-    val buffers = buffersIn.distinct
+  /** Boundary decomposition of (zone disk − union of buffer disks),
+    * shared by [[erasedArea]] and [[eraseRings]]: the zone circle's
+    * surviving CCW intervals, plus — per buffer — the intervals of its
+    * circle that lie ON the region boundary (inside the zone, outside
+    * every other buffer; traversed CW by consumers). Buffers are
+    * deduped, bound-filtered, and SORTED so piece identity downstream
+    * is deterministic regardless of input row order (the interval
+    * VALUES are order-independent already — [[survivingIntervals]]
+    * sorts; only float-sum order shifts below 1e-10 relative).
+    */
+  private[geo] def boundaryDecomp(bigR: Double,
+      buffersIn: Seq[(Double, Double)], r: Double)
+      : (Seq[(Double, Double)],
+         Seq[((Double, Double), Seq[(Double, Double)])]) = {
+    val buffers = buffersIn.distinct.sorted
       .filter { case (x, y) => math.hypot(x, y) < bigR + r }
     // (a) surviving zone arcs, CCW around the origin
     val zoneCovered = buffers.flatMap { case (ox, oy) =>
@@ -116,10 +128,9 @@ object EraseArcs {
       else Some((math.atan2(oy, ox),
         clampAcos((d * d + bigR * bigR - r * r) / (2 * d * bigR))))
     }
-    val zonePart = survivingIntervals(zoneCovered)
-      .map { case (s, e) => arcContrib(0.0, 0.0, bigR, s, e) }.sum
-    // (b) per buffer: pieces inside the zone, outside other buffers, CW
-    val bufferPart = buffers.zipWithIndex.map { case ((ox, oy), i) =>
+    val zoneArcs = survivingIntervals(zoneCovered)
+    // (b) per buffer: pieces inside the zone, outside other buffers
+    val bufferArcs = buffers.zipWithIndex.map { case ((ox, oy), i) =>
       val d = math.hypot(ox, oy)
       // interval of THIS buffer circle lying inside the zone disk
       val inside: Option[(Double, Double)] =
@@ -128,8 +139,8 @@ object EraseArcs {
         else if (d <= r - bigR) None // zone inside buffer: circle outside
         else Some((math.atan2(-oy, -ox),
           clampAcos((d * d + r * r - bigR * bigR) / (2 * d * r))))
-      inside match {
-        case None => 0.0
+      val arcs = inside match {
+        case None => Seq.empty[(Double, Double)]
         case Some((inB, inA)) =>
           // covered-by-others on this circle + the outside-zone band
           val others = buffers.zipWithIndex.filter(_._2 != i)
@@ -144,8 +155,19 @@ object EraseArcs {
             if (inA >= math.Pi) Nil // fully inside: no outside band
             else Seq((inB + math.Pi, math.Pi - inA))
           survivingIntervals(others ++ outsideZone)
-            .map { case (s, e) => arcContrib(ox, oy, r, s, e) }.sum
       }
+      ((ox, oy), arcs)
+    }
+    (zoneArcs, bufferArcs)
+  }
+
+  private[graft] def erasedArea(bigR: Double,
+      buffersIn: Seq[(Double, Double)], r: Double): Double = {
+    val (zoneArcs, bufferArcs) = boundaryDecomp(bigR, buffersIn, r)
+    val zonePart = zoneArcs
+      .map { case (s, e) => arcContrib(0.0, 0.0, bigR, s, e) }.sum
+    val bufferPart = bufferArcs.map { case ((ox, oy), arcs) =>
+      arcs.map { case (s, e) => arcContrib(ox, oy, r, s, e) }.sum
     }.sum
     // hole pieces are CW: subtract their CCW-form contributions
     math.max(0.0, zonePart - bufferPart)
@@ -484,6 +506,140 @@ object EraseArcs {
       (z, touched.getOrElse(z, shoelace(vs)))
     }
     all.toDF("zone_id", "area_sqft")
+  }
+
+  /** One directed boundary piece of an erased-zone output ring
+    * (coordinates RELATIVE to the zone center): a circular arc of the
+    * circle centered (cx, cy) radius rho over the CCW-parameterized
+    * interval [s, e]. Zone pieces (`ccw`) are traversed s → e (region
+    * on the left); buffer hole pieces (!ccw) are traversed e → s — the
+    * CW hole side. `s == 0 && e == 2π` is a closed full-circle ring.
+    */
+  private[graft] case class RingPiece(ccw: Boolean, cx: Double,
+      cy: Double, rho: Double, s: Double, e: Double) {
+    private def at(a: Double): (Double, Double) =
+      (cx + rho * math.cos(a), cy + rho * math.sin(a))
+    def start: (Double, Double) = if (ccw) at(s) else at(e)
+    def end: (Double, Double) = if (ccw) at(e) else at(s)
+    def isFullCircle: Boolean = s == 0.0 && e == 2 * math.Pi
+    /** Green's-theorem contribution along the TRAVERSAL direction. */
+    def signedArea: Double = {
+      val c = arcContrib(cx, cy, rho, s, e)
+      if (ccw) c else -c
+    }
+  }
+
+  /** OUTPUT RINGS of (zone disk − union of buffer disks) — the feature
+    * class arcpy's Erase actually emits (reference GSheetsETL_Lab2
+    * .py:133), stitched from the same boundary pieces the area kernel
+    * integrates ([[boundaryDecomp]]): each connected boundary loop
+    * alternates zone arcs (CCW) and buffer hole arcs (CW) joined at
+    * circle-circle intersection points; a full untouched circle (zone
+    * or strictly-interior buffer) closes alone. Stitching is endpoint
+    * matching: at every intersection point exactly one piece starts
+    * where another ends, so following end → start until closure
+    * reconstructs each loop; the match tolerance is 1e-6·(R+r) against
+    * endpoints that agree to IEEE rounding (the same point computed
+    * through two trig paths), and the chain FAILS loudly if no piece
+    * continues (would mean a non-manifold boundary — tangency-
+    * degenerate input). Rings and their starting pieces are rotated /
+    * ordered by a canonical key so output is deterministic regardless
+    * of buffer arrival order. Orientation falls out of construction:
+    * loops enclosing surviving area run CCW (signed area > 0), hole
+    * loops run CW (< 0), and Σ signed areas == [[erasedArea]] exactly
+    * (same arcContrib terms, same grouping).
+    */
+  private[graft] def eraseRings(bigR: Double,
+      buffersIn: Seq[(Double, Double)], r: Double)
+      : Seq[Seq[RingPiece]] = {
+    val (zoneArcs, bufferArcs) = boundaryDecomp(bigR, buffersIn, r)
+    val pieces =
+      zoneArcs.map { case (s, e) =>
+        RingPiece(ccw = true, 0.0, 0.0, bigR, s, e) } ++
+      bufferArcs.flatMap { case ((ox, oy), arcs) =>
+        arcs.map { case (s, e) =>
+          RingPiece(ccw = false, ox, oy, r, s, e) } }
+    val (closed, open) = pieces.partition(_.isFullCircle)
+    val tol = 1e-6 * (bigR + r)
+    def dist(a: (Double, Double), b: (Double, Double)): Double =
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    val remaining = scala.collection.mutable.ArrayBuffer(open: _*)
+    val chains = Vector.newBuilder[Seq[RingPiece]]
+    while (remaining.nonEmpty) {
+      val first = remaining.remove(0)
+      val chain = scala.collection.mutable.ArrayBuffer(first)
+      var cur = first
+      while (dist(cur.end, first.start) > tol) {
+        require(remaining.nonEmpty,
+          "eraseRings: open boundary chain — no piece left to continue")
+        val idx = remaining.indices
+          .minBy(i => dist(remaining(i).start, cur.end))
+        require(dist(remaining(idx).start, cur.end) <= tol,
+          "eraseRings: no piece starts at an arc endpoint — " +
+            "tangency-degenerate input")
+        cur = remaining.remove(idx)
+        chain += cur
+      }
+      chains += chain.toSeq
+    }
+    // canonical form: rotate each ring to start at its smallest-keyed
+    // piece; order rings by that head key
+    def key(p: RingPiece): (Int, Double, Double, Double) =
+      (if (p.ccw) 0 else 1, p.cx, p.cy, p.s)
+    val ord = Ordering.Tuple4[Int, Double, Double, Double]
+    val rings = (closed.map(Seq(_)) ++ chains.result()).map { ring =>
+      val i = ring.indices.minBy(j => key(ring(j)))(ord)
+      ring.drop(i) ++ ring.take(i)
+    }
+    rings.sortBy(ring => key(ring.head))(ord)
+  }
+
+  /** Output rings per zone (see [[eraseRings]]): one row per ring
+    * piece with absolute coordinates, degree angles, traversal
+    * direction, and the ring's signed area. Same broadcast-join
+    * candidate generation and zone-catalog-bounded driver assembly as
+    * [[eraseArcs]]; zones with no candidate buffer emit their full
+    * circle as a one-piece CCW ring. Transcendental (atan2/acos) —
+    * rows-only in the driver check by the same declared rule as
+    * `wnv_erase_arcs`; GeoSpec pins closure, orientation, and
+    * area-of-rings == [[erasedArea]].
+    */
+  def eraseRingsPerZone(spark: SparkSession, zones: DataFrame,
+      buffers: DataFrame, bufferFt: Double): DataFrame = {
+    import spark.implicits._
+    val zcat = zones.select(col("zone_id").cast("int"),
+        col("cx_ft"), col("cy_ft"), col("radius_ft"))
+      .as[(Int, Double, Double, Double)].collect().toSeq.sortBy(_._1)
+    val pairs = buffers.select(col("x_ft"), col("y_ft"))
+      .join(broadcast(zones.select(col("zone_id"), col("cx_ft"),
+        col("cy_ft"), col("radius_ft"))),
+        Geo.dist2(col("x_ft"), col("y_ft"), col("cx_ft"), col("cy_ft"))
+          < (col("radius_ft") + bufferFt) * (col("radius_ft") + bufferFt))
+      .select(col("zone_id").cast("int"),
+        (col("x_ft") - col("cx_ft")).as("dx"),
+        (col("y_ft") - col("cy_ft")).as("dy"), col("radius_ft"))
+      .as[(Int, Double, Double, Double)]
+    val touched = pairs.groupByKey(_._1).mapGroups { (zid, rows) =>
+      val rs = rows.toSeq
+      zid -> eraseRings(rs.head._4, rs.map(t => (t._2, t._3)), bufferFt)
+    }.collect().toMap
+    val tau = 2 * math.Pi
+    val out = zcat.flatMap { case (z, zcx, zcy, zr) =>
+      val rings = touched.getOrElse(z,
+        Seq(Seq(RingPiece(ccw = true, 0.0, 0.0, zr, 0.0, tau))))
+      rings.zipWithIndex.flatMap { case (ring, ri) =>
+        val area = ring.map(_.signedArea).sum
+        ring.zipWithIndex.map { case (p, pi) =>
+          (z, ri.toLong, pi.toLong,
+            if (p.ccw) "zone" else "hole", p.ccw,
+            p.cx + zcx, p.cy + zcy, p.rho,
+            p.s * 180.0 / math.Pi, p.e * 180.0 / math.Pi, area)
+        }
+      }
+    }
+    out.toDF("zone_id", "ring_id", "piece_seq", "kind", "ccw",
+      "cx_ft", "cy_ft", "rho_ft", "start_deg", "end_deg",
+      "ring_area_sqft")
   }
 
   /** Surviving boundary arcs per zone after erasing `buffers`.

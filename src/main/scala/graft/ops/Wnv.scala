@@ -444,7 +444,30 @@ object Wnv {
       graft.geo.EraseArcs.eraseAreaConcave(s, starZones(s, d),
           optOut(s, d).select(col("x_ft"), col("y_ft")), BufferFt)
         .select(col("zone_id"), XF.r6(col("area_sqft")).as("area_sqft"))
-        .orderBy(col("zone_id")))
+        .orderBy(col("zone_id"))),
+
+    // J2 GEOMETRY OUTPUT (round 10): the erased polygons THEMSELVES —
+    // arcpy Erase emits a feature class of clipped geometries
+    // (GSheetsETL_Lab2.py:133), and this is its ring-level analogue:
+    // per zone, the ordered boundary rings of (zone disk − opt-out
+    // buffers), each ring a sequence of directed arc pieces (zone arcs
+    // CCW / buffer hole arcs CW) stitched at circle-circle
+    // intersection points (geo/EraseArcs.eraseRings — the last
+    // fidelity gap of the one arcpy call not previously mirrored in
+    // full). Same no-oracle rule as wnv_erase_arcs (transcendental);
+    // GeoSpec pins ring closure, orientation (outer CCW positive /
+    // holes CW negative), and Σ ring signed areas == erasedArea.
+    "wnv_erase_rings" -> ((s: SparkSession, d: String) =>
+      graft.geo.EraseArcs.eraseRingsPerZone(s, zones(s, d),
+          optOut(s, d).select(col("x_ft"), col("y_ft")), BufferFt)
+        .select(col("zone_id"), col("ring_id"), col("piece_seq"),
+          col("kind"), col("ccw"), XF.r6(col("cx_ft")).as("cx_ft"),
+          XF.r6(col("cy_ft")).as("cy_ft"),
+          XF.r6(col("rho_ft")).as("rho_ft"),
+          XF.r6(col("start_deg")).as("start_deg"),
+          XF.r6(col("end_deg")).as("end_deg"),
+          XF.r6(col("ring_area_sqft")).as("ring_area_sqft"))
+        .orderBy(col("zone_id"), col("ring_id"), col("piece_seq")))
   )
 
   /** Diamond (4-vertex convex ring) form of the zone catalog: vertices

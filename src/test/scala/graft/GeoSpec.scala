@@ -200,6 +200,112 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("erase rings: closure, orientation, area conservation, determinism") {
+    import graft.geo.EraseArcs
+    val R = 1000.0; val r = 300.0
+    def checkRings(bufs: Seq[(Double, Double)])
+        : Seq[Seq[EraseArcs.RingPiece]] = {
+      val rings = EraseArcs.eraseRings(R, bufs, r)
+      val tol = 1e-6 * (R + r)
+      rings.foreach { ring =>
+        // closure: each piece's end is the next piece's start (cyclic)
+        ring.indices.foreach { i =>
+          val a = ring(i); val b = ring((i + 1) % ring.size)
+          val (ex, ey) = a.end; val (sx, sy) = b.start
+          assert(math.hypot(ex - sx, ey - sy) <= tol,
+            s"open ring at piece $i of $ring")
+        }
+        // orientation: hole-only loops are CW (negative signed area),
+        // loops containing a zone arc are CCW-positive
+        val area = ring.map(_.signedArea).sum
+        if (ring.exists(_.ccw)) assert(area > 0, s"outer ring CW: $ring")
+        else assert(area < 0, s"hole ring CCW: $ring")
+      }
+      // area conservation: Σ ring signed areas == erasedArea
+      val sum = rings.flatten.map(_.signedArea).sum
+      val want = EraseArcs.erasedArea(R, bufs, r)
+      assert(math.abs(sum - want) <= 1e-6 * math.max(1.0, want),
+        s"rings $sum vs erasedArea $want")
+      rings
+    }
+    // untouched zone: one full-circle CCW ring of area πR²
+    val r0 = checkRings(Nil)
+    assert(r0.size === 1 && r0.head.size === 1 && r0.head.head.ccw)
+    assert(math.abs(r0.head.head.signedArea - math.Pi * R * R) < 1e-6)
+    // strictly interior buffer: CCW outer circle + CW full-circle hole
+    val r1 = checkRings(Seq((0.0, 0.0)))
+    assert(r1.size === 2)
+    assert(r1.head.head.ccw && !r1(1).head.ccw)
+    assert(math.abs(r1(1).head.signedArea + math.Pi * r * r) < 1e-6)
+    // straddling buffer: ONE mixed two-piece ring (zone arc + hole arc)
+    val r2 = checkRings(Seq((1000.0, 0.0)))
+    assert(r2.size === 1 && r2.head.size === 2)
+    assert(r2.head.map(_.ccw).toSet === Set(true, false))
+    // two overlapping interior buffers: outer + ONE hole loop (3 arc
+    // pieces — the right circle's surviving arc crosses angle 0 and
+    // splits under the [0,2π) convention, but chains back into one
+    // closed CW loop)
+    val r3 = checkRings(Seq((-200.0, 0.0), (200.0, 0.0)))
+    assert(r3.size === 2)
+    assert(r3(1).size === 3 && r3(1).forall(p => !p.ccw))
+    // the golden-angle 12-buffer configuration (multi-ring, mixed)
+    val bufs = (1 to 12).map { i =>
+      val a = i * 2.399963229728653
+      val rad = 150.0 + (i * 173) % 1100
+      (rad * math.cos(a), rad * math.sin(a))
+    }
+    checkRings(bufs)
+    // deterministic output regardless of buffer arrival order
+    assert(EraseArcs.eraseRings(R, bufs.reverse, r) ===
+      EraseArcs.eraseRings(R, bufs, r))
+  }
+
+  test("erase rings: the distributed path equals a driver-side replay") {
+    import graft.geo.EraseArcs
+    val zones = graft.ops.Wnv.zones(spark, sf)
+    val buffers = graft.ops.Wnv.optOut(spark, sf)
+      .select(col("x_ft"), col("y_ft"))
+    val r = graft.ops.Wnv.BufferFt
+    val got = EraseArcs.eraseRingsPerZone(spark, zones, buffers, r)
+      .collect()
+      .map(w => (w.getInt(0), w.getLong(1), w.getLong(2)) ->
+        (w.getString(3), w.getBoolean(4), w.getDouble(5), w.getDouble(6),
+          w.getDouble(7), w.getDouble(8), w.getDouble(9), w.getDouble(10)))
+      .toMap
+    val zs = zones.select(col("zone_id").cast("int"), col("cx_ft"),
+        col("cy_ft"), col("radius_ft"))
+      .collect().map(w => (w.getInt(0), w.getDouble(1), w.getDouble(2),
+        w.getDouble(3)))
+    val bs = buffers.collect().map(w => (w.getDouble(0), w.getDouble(1)))
+    assert(got.keys.map(_._1).toSet === zs.map(_._1).toSet)
+    zs.foreach { case (z, cx, cy, rr) =>
+      val near = bs.toSeq.collect { case (x, y)
+          if (x - cx) * (x - cx) + (y - cy) * (y - cy) < (rr + r) * (rr + r) =>
+        (x - cx, y - cy)
+      }
+      val want = if (near.isEmpty)
+        Seq(Seq(EraseArcs.RingPiece(ccw = true, 0.0, 0.0, rr, 0.0,
+          2 * math.Pi)))
+      else EraseArcs.eraseRings(rr, near, r)
+      val wantRows = want.zipWithIndex.flatMap { case (ring, ri) =>
+        val area = ring.map(_.signedArea).sum
+        ring.zipWithIndex.map { case (p, pi) =>
+          (z, ri.toLong, pi.toLong) ->
+            (p.ccw, p.cx + cx, p.cy + cy, p.rho,
+              p.s * 180.0 / math.Pi, p.e * 180.0 / math.Pi, area)
+        }
+      }
+      assert(got.keys.count(_._1 == z) === wantRows.size, s"zone $z")
+      wantRows.foreach { case (k, (ccw, wcx, wcy, wrho, ws, we, wa)) =>
+        val (kind, gccw, gcx, gcy, grho, gs, ge, ga) = got(k)
+        assert(gccw === ccw && kind === (if (ccw) "zone" else "hole"), k)
+        Seq(gcx -> wcx, gcy -> wcy, grho -> wrho, gs -> ws, ge -> we)
+          .foreach { case (g, w2) => assert(math.abs(g - w2) <= 1e-5, k) }
+        assert(math.abs(ga - wa) <= 1e-5 * math.max(1.0, math.abs(wa)), k)
+      }
+    }
+  }
+
   test("polygon erase: hand cases, winding invariance, grid sampling") {
     import graft.geo.EraseArcs
     val r = 300.0
