@@ -111,9 +111,11 @@ object GraftSession {
     // nB-row tables — SCALE.md's bounded-window rule), so the log line
     // is pure noise that reads exactly like a genuine data-sized global
     // window in sweep logs. The enforcement lives in the STRUCTURAL
-    // spec pins instead (PlanShapeSpec: single-partition WindowExecs
-    // must sit above grouped aggregates; DedupSpec's partition-spec
-    // assertions), which is stronger than a log line — and the one
+    // spec pins instead — since round 10 PlanShapeSpec audits EVERY
+    // registered query (any effectively-single-partition WindowExec
+    // must sit above a grouped aggregate or a driver-assembled
+    // LocalTableScan catalog), so the suppressed WARN is fully
+    // compensated, not just for an enumerated list — and the one
     // corpus-adjacent case, Scan.prefixSums' offsets window, still
     // self-documents in the PLAN via its constant pmod partition key.
     // A plain literal key at the tiny-window sites was measured and

@@ -346,6 +346,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(bcast <= 1, s"unexpected joins ($bcast)\n${p.take(1500)}")
   }
 
+  // ---- global window audit over EVERY registered query (round 10) ---
+  // GraftSession silences WindowExec's "No Partition Defined" WARN
+  // globally, so a genuinely corpus-sized global window would lose its
+  // only runtime tell. This audit replaces the tell STRUCTURALLY for
+  // the whole surface, not a fixed list: every effectively-single-
+  // partition WindowExec (empty spec, or prefixSums' projected
+  // pmod(hash(_), 1) constant key) must sit above a grouped aggregate
+  // (a bounded offsets/rollup frame) or a driver-assembled bounded
+  // scan — never directly over a data-sized frame.
+  test("all queries: single-partition windows only over bounded frames") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{ProjectExec, LocalTableScanExec}
+    import org.apache.spark.sql.catalyst.expressions.{Alias,
+      AttributeReference, Literal, Pmod}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan
+        p.collect { case w: WindowExec => w }.foreach { w =>
+          val single = w.partitionSpec.isEmpty || w.partitionSpec.forall {
+            case a: AttributeReference =>
+              // resolve a projected `_w#` key to its defining alias: a
+              // pmod(·, 1) child is constant — single-partition in
+              // effect (Scan.onePartition's WARN-free spelling)
+              w.child.collect { case pr: ProjectExec =>
+                pr.projectList.collect {
+                  case al: Alias if al.exprId == a.exprId => al.child }
+              }.flatten.exists {
+                case Pmod(_, Literal(1, _), _) => true
+                case _ => false
+              }
+            case _ => false
+          }
+          if (single) {
+            // NOT RDDScanExec: localCheckpointed artifacts are
+            // corpus-sized RDD scans — only grouped aggregates and
+            // driver-assembled LocalTableScan catalogs are bounded
+            val bounded = w.collectFirst {
+              case ag: BaseAggregateExec
+                if ag.groupingExpressions.nonEmpty => ag
+              case l: LocalTableScanExec => l
+            }
+            assert(bounded.isDefined,
+              s"$name: effectively-single-partition WindowExec over a " +
+                s"non-aggregated, non-catalog frame\n$w")
+          }
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("text_pii_scrub is map-only: no exchange before the sort") {
     val p = plan("text_pii_scrub")
     // exactly the top-k/sort exchange, nothing from the scrub itself
