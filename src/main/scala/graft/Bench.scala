@@ -189,13 +189,19 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size}$stealField$suspectField$warmField,"queries":${jmap(timed)},"sf":"$sfDir"}"""
     // the committed record is the driver's sweep (sf0.1, unfiltered);
     // local smoke runs at other SFs land in a per-SF file instead of
-    // clobbering the round artifact
+    // clobbering the round artifact. A FILTERED run never writes a
+    // BENCH_FULL* record (it is not a complete sweep); it writes a
+    // BENCH_PART_<sf> artifact instead, so targeted scale drives (the
+    // sf10 tail set) still produce machine-readable JSON without
+    // clobbering any committed full-sweep file.
     // getName (not endsWith) so a trailing slash cannot divert the
     // committed round record into a gitignored per-SF file
+    val sfName = new java.io.File(sfDir).getName
     val fullPath =
-      if (new java.io.File(sfDir).getName == "sf0.1") "BENCH_FULL.json"
-      else s"BENCH_FULL_${new java.io.File(sfDir).getName}.json"
-    val wrote = only.isEmpty && {
+      if (only.nonEmpty) s"BENCH_PART_$sfName.json"
+      else if (sfName == "sf0.1") "BENCH_FULL.json"
+      else s"BENCH_FULL_$sfName.json"
+    val wrote = {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
           (full + "\n").getBytes("UTF-8"))
@@ -210,8 +216,7 @@ object Bench {
     val head = bySlowest.takeWhile { case (k, v) =>
       used += k.length + r3(v).length + 4; used <= HeadlineBudget
     }.sortBy(_._1)
-    // the pointer names the file actually written THIS run (absent on
-    // filtered runs, which skip the write)
+    // the pointer names the file actually written THIS run
     val fullRef = if (wrote) s""","full":"$fullPath"""" else ""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size}$stealField$suspectField$warmField,"queries":${jmap(head)}$fullRef,"sf":"$sfDir"}""")
     spark.stop()
