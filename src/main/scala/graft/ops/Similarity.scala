@@ -123,11 +123,38 @@ object Similarity {
   private val pqMemo =
     new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
 
+  /** PQ codebook sampling step: every `cstep`-th vector is a centroid,
+    * with cstep scaled to the corpus so the codebook holds ~256 entries
+    * (Jégou'11's canonical K) at ANY scale. The previous
+    * corpus-proportional codebook (every 100th vector, K = n/100) made
+    * the encode artifact quadratic — N×M×K = n²/25 rows, and the sf10
+    * drive measured the per-dim encode join at ~26B intermediate rows
+    * before it was killed. One driver-side count per corpus, memoized
+    * like the artifact itself; the oracle computes the identical
+    * GREATEST(1, (n + 255) // 256) from the same table.
+    */
+  private val cstepMemo =
+    new graft.BoundedMemo[(SparkSession, String), java.lang.Long](8)
+
+  private def pqCstep(s: SparkSession, d: String): Long =
+    cstepMemo.getOrCompute((s, d)) {
+      math.max(1L, (qEmb(s, d).count() + 255L) / 256L)
+    }
+
+  private val pqCstepSql: String =
+    "(SELECT GREATEST(1, (COUNT(*) + 255) // 256) FROM qn)"
+
   private def pqDist(s: SparkSession, d: String): DataFrame =
     pqMemo.getOrCompute((s, d)) {
+      val cstep = pqCstep(s, d)
+      // single-file corpora hand this ~K-way row expansion ONE scan
+      // partition unless spread first (the codec-stage lesson,
+      // Multimodal.scala:129-137: a scan's partitioning reflects FILE
+      // layout, not downstream compute cost)
       val cells = qEmb(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
-      val cents = cells.filter(col("vec_id") % 100 === 0)
+      val cents = cells.filter(col("vec_id") % cstep === 0)
         .select(col("vec_id").as("cvid"), col("dim"), col("qv").as("cqv"))
       cells.join(broadcast(cents), Seq("dim"))
         .withColumn("dd", col("qv") - col("cqv"))
@@ -244,16 +271,18 @@ object Similarity {
 
   /** Per-(vector, subspace) nearest-centroid code (argmin with the
     * d2·4096+rank composite tie-break both engines share, where rank
-    * is the DENSE centroid index cvid/100 — so the composite stays a
-    * total order up to 4096 centroids = 409 600 corpus vectors, not
-    * 4096 raw ids; past that the guard fails LOUDLY instead of letting
+    * is the DENSE centroid index cvid/cstep — so the composite stays a
+    * total order up to 4096 centroids regardless of the sampling step;
+    * with the ~256-entry codebook the guard never fires at any corpus
+    * size, but past 4096 it still fails LOUDLY instead of letting
     * min_by resolve ties engine-arbitrarily).
     */
   private def pqCodes(s: SparkSession, d: String): DataFrame = {
-    val denseRank = when(col("cvid") >= 409600L, raise_error(lit(
+    val cstep = pqCstep(s, d)
+    val denseRank = when(col("cvid") >= 4096L * cstep, raise_error(lit(
       "pqCodes: centroid rank >= 4096 — the d2*4096+rank tie-break is " +
         "no longer a total order; widen the composite base")))
-      .otherwise((col("cvid") / 100).cast(LongType))
+      .otherwise((col("cvid") / cstep).cast(LongType))
     pqDist(s, d).groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("cvid"), col("d2") * 4096 + denseRank).as("code"))
   }
@@ -453,16 +482,17 @@ object Similarity {
     // PRODUCT QUANTIZATION + ADC — the memory side of scale ANN (IVF
     // above bounds the SEARCH; PQ bounds the BYTES): the 64-dim vector
     // splits into 4 subspaces of 16 dims, each subvector is encoded as
-    // its nearest codebook entry (data-derived codebook: every 100th
-    // vector, the same stand-in-for-trained-k-means device as
-    // sim_ivf_topk — a Lloyd codebook drops in with an identical plan),
+    // its nearest codebook entry (data-derived codebook: every
+    // cstep-th vector with cstep ∝ n, holding the codebook at ~256
+    // entries — Jégou'11's canonical K — at any corpus size; a Lloyd
+    // codebook drops in with an identical plan),
     // and a query's approximate distance to ANY vector is the sum of 4
     // table lookups (Asymmetric Distance Computation, Jégou et al.,
     // TPAMI 2011) — the corpus is 4 small codes per vector, never the
     // raw floats. Everything is exact integer L2² in the quantized
     // domain, so codes, ADC sums, and ranks are bit-identical across
     // engines; argmin ties break by composite scalar d2·4096+rank
-    // with rank the dense centroid index cvid/100 (guarded loud at
+    // with rank the dense centroid index cvid/cstep (guarded loud at
     // 4096 centroids — one total order both engines agree on). The
     // output re-ranks each query's ADC top-5 with the EXACT distance —
     // the calibration a PQ deployment runs to pick M and K before
@@ -1003,13 +1033,14 @@ object Similarity {
        |cells AS (SELECT vec_id, i - 1 AS dim, q[i] AS qv
        |          FROM qn, unnest(range(1, len(q) + 1)) t(i)),
        |cents AS (SELECT vec_id AS cvid, dim, qv AS cqv
-       |          FROM cells WHERE vec_id % 100 = 0),
+       |          FROM cells WHERE vec_id % $pqCstepSql = 0),
        |dist AS (SELECT c.vec_id, c.dim // 16 AS m, ct.cvid,
        |           CAST(SUM((c.qv - ct.cqv) * (c.qv - ct.cqv)) AS BIGINT)
        |             AS d2
        |         FROM cells c JOIN cents ct ON c.dim = ct.dim
        |         GROUP BY 1, 2, 3),
-       |codes AS (SELECT vec_id, m, arg_min(cvid, d2 * 4096 + cvid // 100) AS code
+       |codes AS (SELECT vec_id, m,
+       |            arg_min(cvid, d2 * 4096 + cvid // $pqCstepSql) AS code
        |          FROM dist GROUP BY 1, 2)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(

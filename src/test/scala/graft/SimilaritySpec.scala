@@ -284,7 +284,9 @@ class SimilaritySpec extends SparkSpec {
     val cells = graft.ops.Similarity.ivfCells(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val vecs = pcaCells.toMap // (vec_id -> quantized components)
-    val centIds = vecs.keys.filter(_ % 100 == 0).toSeq.sorted
+    // fixed ~256-entry PQ codebook: every cstep-th vector, cstep ∝ n
+    val cstep = math.max(1L, (vecs.size + 255L) / 256L)
+    val centIds = vecs.keys.filter(_ % cstep == 0).toSeq.sorted
     // subspace squared distance of v's m-th 16-dim block to centroid c's
     def subD2(v: Seq[Long], c: Seq[Long], m: Int): Long =
       (m * 16 until (m + 1) * 16).map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
@@ -293,7 +295,7 @@ class SimilaritySpec extends SparkSpec {
       val cand = vecs.keys.filter(c => c != q && cells(c) == cells(q))
       val adc = cand.map { c =>
         c -> (0 until 4).map(m => subD2(vecs(q), vecs(centIds.minBy(cv =>
-          subD2(vecs(c), vecs(cv), m) * 4096 + cv / 100)), m)).sum
+          subD2(vecs(c), vecs(cv), m) * 4096 + cv / cstep)), m)).sum
       }.toSeq
       adc.sortBy { case (c, d) => (d, c) }.take(5).zipWithIndex
         .map { case ((c, d), i) => (q, c, d, (i + 1).toLong) }
