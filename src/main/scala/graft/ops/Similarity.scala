@@ -317,7 +317,10 @@ object Similarity {
       val cents = qEmb(s, d).filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cvid"), col("q").as("cq"),
           col("n2").as("ccn2"))
+      // spread before the |cents|-way expansion: the single-file corpus
+      // scan is ONE partition (same rule as pqDist / Multimodal:129-137)
       qEmb(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .crossJoin(broadcast(cents))
         .select(col("vec_id"),
           qcos(idot(col("q"), col("cq")), col("n2"), col("ccn2")).as("ccos"),
