@@ -129,7 +129,21 @@ object EraseArcs {
         clampAcos((d * d + bigR * bigR - r * r) / (2 * d * bigR))))
     }
     val zoneArcs = survivingIntervals(zoneCovered)
-    // (b) per buffer: pieces inside the zone, outside other buffers
+    // (b) per buffer: pieces inside the zone, outside other buffers.
+    // Only buffers with center distance < 2r can cover each other's
+    // circles, so neighbor lookup goes through a uniform grid of cell
+    // size 2r (candidates = the 3×3 cell neighborhood) instead of the
+    // all-pairs scan — the buffer-buffer grid join the area kernel's
+    // scale note names, done in-process: per-buffer work tracks LOCAL
+    // density, not the zone's total buffer count (the sf10 drive
+    // measured the all-pairs form at 31× the sf1 line). Candidate
+    // order is index-ascending; interval VALUES are order-independent
+    // (survivingIntervals sorts), so the output is unchanged.
+    val cell = 2 * r
+    def cellOf(x: Double, y: Double): (Long, Long) =
+      (math.floor(x / cell).toLong, math.floor(y / cell).toLong)
+    val grid: Map[(Long, Long), Seq[Int]] =
+      buffers.indices.groupBy(i => cellOf(buffers(i)._1, buffers(i)._2))
     val bufferArcs = buffers.zipWithIndex.map { case ((ox, oy), i) =>
       val d = math.hypot(ox, oy)
       // interval of THIS buffer circle lying inside the zone disk
@@ -143,8 +157,13 @@ object EraseArcs {
         case None => Seq.empty[(Double, Double)]
         case Some((inB, inA)) =>
           // covered-by-others on this circle + the outside-zone band
-          val others = buffers.zipWithIndex.filter(_._2 != i)
-            .map(_._1).flatMap { case (px, py) =>
+          val (ci, cj) = cellOf(ox, oy)
+          val near = (for {
+            dx <- -1L to 1L; dy <- -1L to 1L
+            j <- grid.getOrElse((ci + dx, cj + dy), Seq.empty)
+            if j != i
+          } yield j).sorted
+          val others = near.map(buffers).flatMap { case (px, py) =>
               val dij = math.hypot(px - ox, py - oy)
               if (dij >= 2 * r) None
               else if (dij == 0.0) None // deduped above; safety
@@ -563,24 +582,52 @@ object EraseArcs {
     val tol = 1e-6 * (bigR + r)
     def dist(a: (Double, Double), b: (Double, Double)): Double =
       math.hypot(a._1 - b._1, a._2 - b._2)
-    val remaining = scala.collection.mutable.ArrayBuffer(open: _*)
+    // endpoint matching via a start-point hash grid (cell 4·tol, 3×3
+    // probe) instead of a nearest-scan over every remaining piece —
+    // the scan made stitching O(pieces²) per zone and dominated the
+    // sf10 line. A manifold boundary has exactly ONE piece starting at
+    // each intersection point, so the ≤ tol candidate is unique and
+    // the result is identical to the global nearest-scan; ties beyond
+    // that would be tangency-degenerate input, which still fails
+    // loudly below. Chain seeds keep the original piece order.
+    val hcell = 4 * tol
+    def hkey(p: (Double, Double)): (Long, Long) =
+      (math.floor(p._1 / hcell).toLong, math.floor(p._2 / hcell).toLong)
+    val byStart = scala.collection.mutable.HashMap
+      .empty[(Long, Long), List[Int]]
+    open.zipWithIndex.foreach { case (p, i) =>
+      val k = hkey(p.start)
+      byStart(k) = i :: byStart.getOrElse(k, Nil)
+    }
+    val used = Array.fill(open.size)(false)
+    def takeAt(pt: (Double, Double)): Option[Int] = {
+      val (ki, kj) = hkey(pt)
+      val cands = for {
+        dx <- -1L to 1L; dy <- -1L to 1L
+        i <- byStart.getOrElse((ki + dx, kj + dy), Nil)
+        if !used(i) && dist(open(i).start, pt) <= tol
+      } yield i
+      if (cands.isEmpty) None
+      else Some(cands.minBy(i => (dist(open(i).start, pt), i)))
+    }
     val chains = Vector.newBuilder[Seq[RingPiece]]
-    while (remaining.nonEmpty) {
-      val first = remaining.remove(0)
-      val chain = scala.collection.mutable.ArrayBuffer(first)
-      var cur = first
-      while (dist(cur.end, first.start) > tol) {
-        require(remaining.nonEmpty,
-          "eraseRings: open boundary chain — no piece left to continue")
-        val idx = remaining.indices
-          .minBy(i => dist(remaining(i).start, cur.end))
-        require(dist(remaining(idx).start, cur.end) <= tol,
-          "eraseRings: no piece starts at an arc endpoint — " +
-            "tangency-degenerate input")
-        cur = remaining.remove(idx)
-        chain += cur
+    open.indices.foreach { seed =>
+      if (!used(seed)) {
+        used(seed) = true
+        val first = open(seed)
+        val chain = scala.collection.mutable.ArrayBuffer(first)
+        var cur = first
+        while (dist(cur.end, first.start) > tol) {
+          val idx = takeAt(cur.end).getOrElse(throw new
+            IllegalArgumentException(
+              "requirement failed: eraseRings: no piece starts at an " +
+                "arc endpoint — tangency-degenerate input"))
+          used(idx) = true
+          cur = open(idx)
+          chain += cur
+        }
+        chains += chain.toSeq
       }
-      chains += chain.toSeq
     }
     // canonical form: rotate each ring to start at its smallest-keyed
     // piece; order rings by that head key

@@ -454,7 +454,13 @@ object Curation {
     // deterministic-hash sampler above.
     "curate_dsir" -> ((s: SparkSession, d: String) => {
       val w64 = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      // spread before the tokenize explode: the checkpointed frame
+      // otherwise inherits the single-row-group scan's ONE partition
+      // (the codec-stage rule, Multimodal.pngMedia); the doc-keyed
+      // sum downstream is decimal (XF.dsum), so partial-sum grouping
+      // is order-independent at any parallelism
       val tk = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"),
           explode(Text.toks(col("text"))).as("token"))
         .select(col("doc_id"), col("lang"),

@@ -78,7 +78,13 @@ object Dedup {
 
   def shingleDf(spark: SparkSession, d: String): DataFrame =
     shingleMemo.getOrCompute((spark, d))(
+      // spread before the generator: the checkpointed index otherwise
+      // inherits the single-row-group scan's ONE partition, putting the
+      // whole shingle explode AND the first stage of every consumer on
+      // one task (the codec-stage rule, Multimodal.pngMedia; the sf10
+      // drive measured the warmup build single-threaded for minutes)
       t(spark, d, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"), graft.functions.ShingleHashes(col("text"), 3))
         .localCheckpoint())
 
@@ -89,8 +95,8 @@ object Dedup {
     * inside whichever timed query happens to run first.
     */
   private[graft] def warmArtifacts(s: SparkSession, d: String): Unit = {
-    shingleDf(s, d); posKgrams(s, d); dupKgramStarts(s, d)
-    clusterLabels(s, d); ()
+    shingleDf(s, d); rankedShingles(s, d); posKgrams(s, d)
+    dupKgramStarts(s, d); clusterLabels(s, d); ()
   }
 
   /** DuckDB twin of [[shingleDf]] as a CTE body (same md5-derived 32-bit
@@ -130,27 +136,6 @@ object Dedup {
       .withColumn("jac", col("inter").cast(DoubleType) /
         (col("ni") + col("nj") - col("inter")).cast(DoubleType))
 
-  /** PPJoin-style EXACT candidate generation for Jaccard ≥ t.
-    *
-    * Order shingles rarest-first (global total order on (doc-freq, s));
-    * keep each doc's prefix of n - floor(t·n) + 1 shingles (conservative
-    * — floor, not ceil, so float rounding can only widen the prefix,
-    * never lose a true pair); any pair with J ≥ t must collide inside
-    * both prefixes (take the globally-smallest common shingle: if it sat
-    * outside a prefix, the prefix would hold more distinct non-shared
-    * shingles than |A\B| allows). A length-ratio filter (min ≥ t·max,
-    * with epsilon slack) prunes the rest. Exact ⇒ same oracle as the
-    * naive inverted-index join, but candidates scale with true-near-dup
-    * density instead of shingle document frequency².
-    */
-  /** @param maxDf stop-shingle cap: prefix shingles with document
-    *   frequency above this are excluded from CANDIDATE GENERATION only
-    *   (verification still uses full sets). Long.MaxValue = exact
-    *   (default; used by the oracle-checked queries). At 100 TB a cap of
-    *   ~10^4 bounds the worst prefix-join fan-out at the cost of recall
-    *   for pairs whose entire prefix overlap is ultra-common shingles —
-    *   the standard trade (see SCALE.md).
-    */
   /** Block size for [[postingPairs]]: rows carry at most 2·B postings
     * (~tens of KB), far under any executor page budget. */
   private val PairBlock = 1024
@@ -198,39 +183,101 @@ object Dedup {
       .drop("x", "y", "bi", "bj")
   }
 
-  private def prefixCandidates(sh: DataFrame, t: Double,
-      maxDf: Long = Long.MaxValue): DataFrame = {
-    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    // doc sizes come from a docs-bounded aggregate joined on doc_id,
-    // not a second count-over-partition WindowExec pass over the full
-    // sorted shingle frame: the row_number window needs the doc_id
-    // exchange either way, so the equi-join rides the partitioning the
-    // window requires and the unordered count window's extra pass
-    // disappears. No broadcast hint — the sizes frame is |docs|-sized
-    // (corpus-proportional at 100 TB, where a forced broadcast would
-    // fail); the doc_id-keyed shuffle join is the scale-safe shape and
-    // AQE still broadcasts it when it measures small.
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val prefixes = sh.join(freq, Seq("s"))
-      .join(sizes, Seq("doc_id"))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= col("n") - floor(col("n") * t) + 1 &&
-        col("df") <= maxDf)
-      .select(col("s"), struct(col("doc_id"), col("n")).as("dn"))
-    // pairs within each prefix shingle's posting list, generated from ONE
-    // computed prefix frame (a prefixes-to-prefixes self-join here would
-    // re-derive the whole shingle+freq+window chain for each side — the
-    // planner does not reuse it across self-join branches; measured 2x
-    // the generator and window work), block-bounded via postingPairs.
-    // The size-ratio filter is symmetric, so slot normalization is safe.
-    postingPairs(prefixes.groupBy(col("s"))
-        .agg(collect_list(col("dn")).as("ds")))
-      .filter(
-        col("a.n").cast(DoubleType) >= col("b.n").cast(DoubleType) * t - 1e-9 &&
-        col("b.n").cast(DoubleType) >= col("a.n").cast(DoubleType) * t - 1e-9)
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+  /** Ranked shingle frame `(doc_id, s, rk, n)`: rk = the shingle's
+    * rarest-first rank inside its doc under the GLOBAL total order
+    * (document-frequency, s) — the order every prefix-filter argument
+    * below counts in — and n = the doc's distinct-shingle count.
+    *
+    * MATERIALIZED once per (session, dir) like [[shingleDf]]: the ℓ=2
+    * candidate generators read it from THREE branches (probe pairs,
+    * index pairs, small-doc prefix), and Catalyst re-derives a
+    * window+join chain per self-join branch. Doc sizes come from a
+    * docs-bounded aggregate joined on doc_id, not a second
+    * count-over-partition window pass: the row_number window needs the
+    * doc_id exchange either way. At 100 TB this is a stored table
+    * refreshed with the shingle index itself.
+    */
+  private val rankedMemo =
+    new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
+
+  private def rankedShingles(s: SparkSession, d: String): DataFrame =
+    rankedMemo.getOrCompute((s, d)) {
+      val sh = shingleDf(s, d)
+      val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      sh.join(freq, Seq("s"))
+        .join(sizes, Seq("doc_id"))
+        .withColumn("rk", row_number().over(wr))
+        .select(col("doc_id"), col("s"), col("rk"), col("n"))
+        .localCheckpoint()
+    }
+
+  /** Unordered within-doc shingle-PAIR keys `(doc_id, n, s1, s2)`
+    * (s1 < s2 by value) over each doc's `plen`-rarest shingles —
+    * the ℓ=2 signature scheme of adaptive prefix filtering (Wang,
+    * Li, Feng, "Can We Beat the Prefix Filtering?", SIGMOD'12): a
+    * single rare shingle stops discriminating when the corpus is large
+    * relative to the shingle universe (the sf10 drive measured uniform
+    * df ≈ 1000 over a 3·10⁴ universe — EVERY single-shingle posting
+    * list pairs ~10⁶ docs, 2.4·10⁹ candidates in total), but a pair of
+    * co-occurring rare shingles keys a joint space of ~(universe²)/2,
+    * and candidate volume collapses to near-duplicate density
+    * (measured 36.6M at the same sf10, a 65× cut). Per-doc key count
+    * is C(plen, 2) — a constant (~80–300) — so probe and index frames
+    * stay LINEAR in the corpus at any scale.
+    */
+  private def prefixPairKeys(rnk: DataFrame,
+      plen: org.apache.spark.sql.Column): DataFrame =
+    postingPairs(rnk.filter(col("rk") <= plen)
+        .groupBy(col("doc_id"), col("n"))
+        .agg(array_sort(collect_list(col("s"))).as("ds")))
+      .select(col("doc_id"), col("n"),
+        col("a").as("s1"), col("b").as("s2"))
+
+  /** EXACT ℓ=2 candidate generation for Jaccard ≥ t (asymmetric
+    * probe/index prefixes).
+    *
+    * Every qualifying pair (A, B) with J(A,B) ≥ t has overlap
+    * I ≥ ⌈t·|A|⌉ (since I ≥ t·U ≥ t·|A|), so A misses at most
+    * |A| − ⌈t·|A|⌉ of its own shingles from B, and among A's
+    * (|A| − ⌊t·|A|⌋ + 2) rarest (the PROBE prefix; floor keeps the
+    * count conservative under float rounding) at least TWO are shared.
+    * Those two shared shingles rank in B at most
+    * (|B| − I) + rank_A ≤ (|B| − ⌈t·|B|⌉) + (|A| − ⌊t·|A|⌋ + 2), and
+    * with the length condition |A| ≤ |B|/t this is bounded by the
+    * INDEX prefix length (|B| − ⌈t·|B|⌉) + ⌊|B|(1−t)/t⌋ + 4 — so the
+    * pair {s₁,s₂} appears among BOTH A's probe keys and B's index keys
+    * and the equi-join on (s₁,s₂) emits the candidate. Docs with a
+    * single shingle can never form a pair key; the only qualifying
+    * partner of a 1-shingle doc (t > 0.5) is an identical 1-shingle
+    * doc, joined directly on the shingle. Exact ⇒ the oracle (plain
+    * inverted-index join) is unchanged. Verification still computes
+    * true Jaccard over full sorted sets.
+    */
+  private def pairPrefixCandidates(s: SparkSession, d: String,
+      t: Double): DataFrame = {
+    val rnk = rankedShingles(s, d)
+    // epsilons: floor(x−ε)/ceil(x−ε)/floor(x+ε) each err only toward a
+    // LONGER prefix, so float rounding can widen candidates, never lose
+    val probe = prefixPairKeys(rnk,
+      col("n") - floor(col("n") * t - 1e-9) + 2)
+    val idx = prefixPairKeys(rnk,
+      col("n") - ceil(col("n") * t - 1e-9) +
+        floor(col("n") * ((1 - t) / t) + 1e-9) + 4)
+    val paired = probe.alias("p").join(idx.alias("x"),
+        col("p.s1") === col("x.s1") && col("p.s2") === col("x.s2") &&
+          col("p.doc_id") =!= col("x.doc_id"))
+      .filter(least(col("p.n"), col("x.n")).cast(DoubleType) >=
+        greatest(col("p.n"), col("x.n")).cast(DoubleType) * t - 1e-9)
+      .select(least(col("p.doc_id"), col("x.doc_id")).as("i"),
+        greatest(col("p.doc_id"), col("x.doc_id")).as("j"))
+    val ones = rnk.filter(col("n") === 1).select(col("s"), col("doc_id"))
+    val onePairs = ones.alias("a").join(ones.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    paired.union(onePairs).distinct()
   }
 
   private val jaccardPairsSql: String =
@@ -247,9 +294,22 @@ object Dedup {
 
   // ---- MinHash --------------------------------------------------------
 
-  val K = 12        // minhash functions
-  val Bands = 4     // 4 bands × 3 rows
-  val Rows = 3
+  // Banding: 14 bands × 6 rows (K = 84). Rows-per-band is THE quadratic
+  // knob: a random pair with Jaccard j collides in some band with
+  // P ≈ Bands·j^Rows, and that constant multiplies n²/2 pairs. The r10
+  // sf10 drive measured the old 4×3 banding at 5·10⁻⁴ per random pair
+  // (corpus random-j p99 ≈ 0.014, max 0.06, but j³ decays too slowly) —
+  // ~60M spurious candidates, 19.8× the sf1 line. At r = 6, b = 14 the
+  // random constant drops ~800× (6.5·10⁻⁷) while recall at the 0.7
+  // verify threshold IMPROVES: 1−(1−0.7⁶)¹⁴ = 0.83 vs 0.81 for 4×3
+  // (0.99 at j = 0.8, 0.9997 at 0.9). At larger corpora Rows scales as
+  // log n against the random-j tail — the standard production knob
+  // (Lee et al. ACL'22 use r ≥ 13 at web scale); both engines derive
+  // bands and oracle SQL from these three constants, so retuning stays
+  // a one-line change.
+  val K = 84        // minhash functions
+  val Bands = 14
+  val Rows = 6
 
   /** Universal-hash family over the 32-bit shingle hash: h_k(s) =
     * (s·A_k + B_k) mod P, P prime > 2^32. s < 2^32 and A_k < 2^21 keep
@@ -542,11 +602,11 @@ object Dedup {
         .select(col("kept_doc_id"), col("group_n"))
         .orderBy(col("kept_doc_id"))),
 
-    // n-gram Jaccard near-dup, threshold 0.8: exact prefix-filtered
+    // n-gram Jaccard near-dup, threshold 0.8: exact ℓ=2 prefix-filtered
     // set-similarity self-join + per-candidate array intersection.
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => {
-      val sh = shingleDf(s, d)
-      verifyJaccard(prefixCandidates(sh, 0.8), docSets(sh))
+      verifyJaccard(pairPrefixCandidates(s, d, 0.8),
+          docSets(shingleDf(s, d)))
         .filter(col("jac") >= 0.8)
         .select(col("i"), col("j"), col("jac"))
         .orderBy(col("i"), col("j"))
@@ -556,45 +616,58 @@ object Dedup {
     // whose shingle set is (almost) a SUBSET of another's — the
     // quote/excerpt/boilerplate-wrapper duplication Jaccard misses (a
     // paragraph inside a long page has tiny Jaccard but containment ~1).
-    // C(i→j) = |S(i)∩S(j)| / |S(i)|; a pair with C ≥ t must share one of
-    // the CONTAINED side's (n - floor(t·n) + 1) rarest shingles
-    // (pigeonhole on the ceil(t·n) required overlap; floor keeps the
-    // prefix conservative), so candidates come from an equi-join of the
-    // contained-side prefix against the full inverted index — fan-out
-    // bounded by shingle document frequency (stop-shingle df cap applies
-    // at 100 TB exactly as in prefixCandidates), never corpus². Both
-    // directions emit independently: every doc contributes a prefix.
+    // C(i→j) = |S(i)∩S(j)| / |S(i)|. Candidates split by CONTAINED size
+    // (exact in union — branch boundaries partition the ni axis):
+    //  • ni < 25 (branch S): a pair with C ≥ t shares one of i's
+    //    (ni − ⌊t·ni⌋ + 1) rarest shingles (pigeonhole on the ⌈t·ni⌉
+    //    required overlap), so i's short prefix (≤ 3 shingles at
+    //    t = 0.9) equi-joins the full inverted index — fan-out is
+    //    prefix·df but only over the SHORT-doc minority.
+    //  • ni ≥ 25 (branch L): single rare shingles stop discriminating
+    //    once the corpus outgrows the shingle universe (the sf10 drive:
+    //    uniform df ≈ 1000 blew the full-corpus prefix×index join past
+    //    the machine's disk), so large docs use ℓ=2 PAIR keys
+    //    (prefixPairKeys): i probes with pairs of its ⌊(1−t)·ni⌋+2
+    //    rarest (≥ 2 of them are in j, pigeonhole on i-missing
+    //    ≤ ⌊(1−t)·ni⌋); each shared shingle ranks in j at most
+    //    (nj − I) + rank_i ≤ nj − ⌈t·25⌉ + ⌊(1−t)·25⌋ + 2 + 1 ≤ nj − 18
+    //    (rank_i ≤ ⌊(1−t)·ni⌋ + 2 and I ≥ ⌈t·ni⌉ shift together as ni
+    //    grows, so the bound is worst at ni = 25), so j indexes pairs
+    //    among its (nj − 18) rarest — a per-doc CONSTANT key budget,
+    //    linear in the corpus. Measured at sf10: 21M candidates vs the
+    //    3·10⁹-row explosion of the single-shingle form.
+    // Both directions emit independently: every doc probes as i.
     "dedup_containment" -> ((s: SparkSession, d: String) => {
       val tC = 0.9
-      // four consumers (df counts, prefix ranks, index side, doc sets)
-      // read the shingle frame — shingleDf is the materialized index,
-      // checkpointed once per (session, dir).
+      val niMin = 25
       val sh = shingleDf(s, d)
-      val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      val wr = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-      // doc-size side table: |docs| rows, MATERIALIZED once (two
-      // consumers with different renames defeat ReuseExchange) and
-      // joined twice — onto the prefix side (supplying n without a
-      // second count-over-partition WindowExec pass, same trade as
-      // prefixCandidates) and onto the index side so the size prune
-      // (inter ≤ nj ⇒ nj ≥ ceil(t·ni) for any qualifying pair) drops
-      // under-sized containers BEFORE the distinct and the set-array
-      // verify join ever see them. No broadcast hints: the frame is
-      // corpus-proportional at 100 TB — keyed shuffle joins are the
-      // scale-safe shape, and AQE broadcasts when it measures small.
+      val rnk = rankedShingles(s, d)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nj"))
-        .localCheckpoint()
-      val prefixes = sh.join(freq, Seq("s"))
-        .join(sizes.withColumnRenamed("nj", "n"), Seq("doc_id"))
-        .withColumn("rk", row_number().over(wr))
-        .filter(col("rk") <= col("n") - floor(col("n") * tC) + 1)
+      val candS = rnk
+        .filter(col("n") < niMin &&
+          col("rk") <= col("n") - floor(col("n") * tC - 1e-9) + 1)
         .select(col("s"), col("doc_id").as("i"), col("n").as("ni"))
-      val cand = prefixes
         .join(sh.select(col("s"), col("doc_id").as("j")), Seq("s"))
         .filter(col("i") =!= col("j"))
+        .select(col("i"), col("j"))
+      val probeL = prefixPairKeys(
+        rnk.filter(col("n") >= niMin),
+        floor(col("n") * (1 - tC) + 1e-9) + 2)
+      val idxL = prefixPairKeys(rnk, col("n") - lit(18))
+      val candL = probeL.alias("p").join(idxL.alias("x"),
+          col("p.s1") === col("x.s1") && col("p.s2") === col("x.s2") &&
+            col("p.doc_id") =!= col("x.doc_id"))
+        .select(col("p.doc_id").as("i"), col("x.doc_id").as("j"))
+      // size prune (inter ≤ nj ⇒ nj ≥ ceil(t·ni)) drops under-sized
+      // containers BEFORE the distinct and the set-array verify join.
+      // No broadcast hints: sizes is corpus-proportional at 100 TB —
+      // keyed shuffle joins are the scale-safe shape, and AQE
+      // broadcasts when it measures small.
+      val cand = candS.union(candL)
+        .join(sizes.withColumnRenamed("doc_id", "i")
+          .withColumnRenamed("nj", "ni"), Seq("i"))
         .join(sizes.withColumnRenamed("doc_id", "j"), Seq("j"))
-        .filter(col("nj") >= ceil(col("ni") * tC))
+        .filter(col("nj") >= ceil(col("ni") * tC - 1e-9))
         .select(col("i"), col("j")).distinct()
       val docs = docSets(sh)
       cand
@@ -1070,7 +1143,10 @@ object Dedup {
 
   private def posKgrams(s: SparkSession, d: String): DataFrame =
     kgramMemo.getOrCompute((s, d)) {
-      kgramsOf(t(s, d, "documents"))
+      // spread before the k-gram explode (the codec-stage rule — see
+      // shingleDf)
+      kgramsOf(t(s, d, "documents")
+          .repartition(s.sparkContext.defaultParallelism))
         .select(col("doc_id"), col("pos"), col("kh"))
         .localCheckpoint()
     }

@@ -112,7 +112,10 @@ object Events {
     // P7: JSON field extraction (reference parses data[0]['lon'] from the
     // Nominatim response; here get_json_object over events.props).
     "events_json_extract" -> ((s: SparkSession, d: String) =>
+      // JSON-parse-heavy per-row stage: spread off the file-layout-
+      // bound scan (the codec-stage rule, Multimodal.pngMedia)
       t(s, d, "events")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
         .filter(col("k") % 3 === 0)

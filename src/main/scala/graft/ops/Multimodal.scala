@@ -300,7 +300,10 @@ object Multimodal {
         lit(1L))
       val nS = ceil(col("n_chars").cast(DoubleType) /
         col("stride").cast(DoubleType)).cast(LongType)
+      // sampling-loop-heavy per-row stage: spread off the file-layout-
+      // bound scan (the codec-stage rule, pngMedia above)
       media(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("out_w",
           floor(col("width") * 128 / longSide).cast(LongType))
         .withColumn("out_h",

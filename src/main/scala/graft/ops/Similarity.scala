@@ -220,7 +220,11 @@ object Similarity {
   private def pcaParts(s: SparkSession, d: String): (DataFrame, DataFrame) =
     pcaMemo.getOrCompute((s, d)) {
       val dec = DecimalType(38, 0)
+      // spread before the 64-way explode: the checkpointed frame
+      // otherwise inherits the single-row-group scan's ONE partition
+      // (the codec-stage rule, Multimodal.pngMedia)
       val cells = t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"),
           posexplode(Dedup.qvec(col("embedding"))).as(Seq("dim", "qv")))
         .localCheckpoint()
@@ -762,7 +766,11 @@ object Similarity {
       // three consumers (self-join left/right, per-dim stats) fan into
       // the exploded frame — materialize it once (corpus×64 longs), the
       // same single-computation rule as the shingle index.
+      // spread before the 64-way explode: the checkpointed frame
+      // otherwise inherits the single-row-group scan's ONE partition
+      // (the codec-stage rule, Multimodal.pngMedia)
       val cells = t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"),
           posexplode(Dedup.qvec(col("embedding"))).as(Seq("dim", "qv")))
         .localCheckpoint()

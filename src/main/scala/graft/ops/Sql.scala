@@ -155,13 +155,19 @@ object Sql {
   // the open-schema column type a 100 TB event pipeline stores instead
   // of re-parsing JSON strings per query. DuckDB twin reads the same
   // semantics through its JSON functions.
+  // REPARTITION hint on the INPUT subquery (a hint on the outer SELECT
+  // lands above the aggregate — useless): the variant parse is a
+  // CPU-heavy per-row stage and the single-row-group events file pins
+  // the scan to 1-2 tasks (the codec-stage rule, Multimodal.pngMedia);
+  // the integer SUM is order-independent, so only parallelism changes.
   private val variantSpark =
     """SELECT CAST(variant_get(parse_json(props), '$.k', 'int') % 10 AS BIGINT)
       |    AS k_mod,
       |  COUNT(*) AS n,
       |  CAST(SUM(variant_get(parse_json(props), '$.k', 'int')) AS BIGINT)
       |    AS k_sum
-      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM (SELECT /*+ REPARTITION(32) */ props FROM events) ev
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val variantOracle =
     """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10

@@ -89,7 +89,11 @@ object Text {
       // four consumers fan into the tokenized frame (both pair-join
       // sides, the margins, the total) — materialize it once, the same
       // single-computation rule as the shingle index.
+      // spread before the tokenize explode: the checkpointed frame
+      // otherwise inherits the single-row-group scan's ONE partition
+      // (the codec-stage rule, Multimodal.pngMedia)
       val tk = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), posexplode(toks(col("text")))
           .as(Seq("pos", "w")))
         .localCheckpoint()
@@ -363,7 +367,12 @@ object Text {
       val deny = "\\b(key|hash)\\b"
       val scrub = regexp_replace(regexp_replace(regexp_replace(col("text"),
         email, "<EMAIL>"), num, "<NUM>"), deny, "<TERM>")
+      // regex-heavy per-row stage: spread off the file-layout-bound
+      // scan first (single-row-group parquet ⇒ one task otherwise —
+      // the codec-stage rule, Multimodal.pngMedia; sf10 measured this
+      // query 10× slower riding the 1-task scan)
       t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(
           col("doc_id"),
           regexp_count(col("text"), lit(email)).cast(LongType).as("n_email"),
@@ -413,7 +422,10 @@ object Text {
       // constant.
       def fracFor(n: Int): org.apache.spark.sql.Column =
         XF.r6(graft.functions.ArrayExprs.dupGramFrac(ws, n))
+      // kernel-heavy per-row stage: spread off the file-layout-bound
+      // scan (the codec-stage rule, Multimodal.pngMedia)
       t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .filter(size(ws) >= 3) // every testdata doc; guards the widths
         .select(col("doc_id"),
           size(ws).cast(LongType).as("n_tokens"),

@@ -116,14 +116,21 @@ object GenData {
     // Driver layout contract: each table is ONE parquet FILE named
     // `<table>.parquet` (TESTDATA.md; check.py's DuckDB views read the
     // same path). Compute stays parallel — only the final write rides
-    // a single task — and parquet row groups keep the single file
-    // splittable for every downstream scan. (A real 100 TB lake would
-    // keep the many-files layout; this mirrors the gate's fixture
-    // shape.)
+    // a single task — and 4 MB row groups keep the single file
+    // splittable for every downstream scan: with the default 128 MB
+    // block size a ≤128 MB table is ONE row group, so every scan of it
+    // collapses to ONE task no matter how many byte-range splits the
+    // planner makes (the r10 sf10 drive measured documents-scan
+    // queries 10-15× instead of ~3× for exactly this reason — the
+    // whole regex/JSON stage rode a single core). A real 100 TB lake
+    // has thousands of row groups per table; small-block writes make
+    // the single-file fixture behave like one.
     def write(name: String, df: DataFrame, files: Int): Unit = {
       val _ = files
       val tmp = s"$out/.tmp_$name"
-      df.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      df.repartition(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", 4L * 1024 * 1024)
+        .parquet(tmp)
       val conf = df.sparkSession.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
       val part = fs.globStatus(

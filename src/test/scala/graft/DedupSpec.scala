@@ -15,13 +15,13 @@ class DedupSpec extends SparkSpec {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     rows.foreach { case (pair, (nMatch, est, exact, err)) =>
-      // a shared band pins its 3 row hashes equal
-      assert(nMatch >= 3 && nMatch <= 12, pair)
-      assert(est === r6(nMatch / 12.0), pair)
+      // a shared band pins its Rows row hashes equal
+      assert(nMatch >= Dedup.Rows && nMatch <= Dedup.K, pair)
+      assert(est === r6(nMatch.toDouble / Dedup.K), pair)
       // exact_jac in the output is itself rounded, so replaying err
       // from it can differ by one more half-ulp at the 1e-6 scale
-      assert(math.abs(err - r6(math.abs(nMatch / 12.0 - exact))) <= 2e-6,
-        pair)
+      assert(math.abs(err -
+        r6(math.abs(nMatch.toDouble / Dedup.K - exact))) <= 2e-6, pair)
     }
     // the confirmed LSH near-dups all appear with their exact jaccard
     val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
@@ -156,6 +156,82 @@ class DedupSpec extends SparkSpec {
     clusters.groupBy(_._2).foreach { case (cl, members) =>
       assert(kept.contains(members.map(_._1).min), s"cluster $cl")
     }
+  }
+
+  test("ngram jaccard pairs equal the brute-force all-pairs answer") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "sf0.001 documents contain near-dups by construction")
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, text) =>
+        id -> text.split(" ").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val brute = for {
+      (i, si) <- sets; (j, sj) <- sets
+      if i < j
+      jac = si.intersect(sj).size.toDouble / si.union(sj).size
+      if jac >= 0.8
+    } yield (i, j)
+    assert(got.map(p => (p._1, p._2)).toSet === brute.toSet)
+  }
+
+  test("l2 candidate generators are exact on adversarial sizes and singletons") {
+    // corpus stressing the l=2 edges: 1-shingle docs (can never form a
+    // pair key — the singleton branch must catch identical ones),
+    // 2-3-shingle docs (prefix = whole set), the containment branch
+    // boundary ni in {24, 25, 26}, and a short doc 0.9-contained in a
+    // long one (the cross-branch direction). Vocabulary is ~40 tokens so
+    // shingle df is dense — the regime that broke the single-shingle
+    // prefix at sf10.
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"w$i")
+    def doc(ids: Seq[Int]): String = ids.map(words).mkString(" ")
+    val base = (0 until 30).toSeq
+    val docs = Seq(
+      1L -> doc(Seq(0, 1, 2)),              // 1 shingle
+      2L -> doc(Seq(0, 1, 2)),              // identical 1-shingle twin
+      3L -> doc(Seq(3, 4, 5)),              // different singleton
+      4L -> doc(Seq(0, 1, 2, 3)),           // 2 shingles
+      5L -> doc(Seq(0, 1, 2, 3)),           // identical 2-shingle twin
+      6L -> doc(base),                      // 28 shingles (>= 25: branch L)
+      7L -> doc(base :+ 30),                // 29 shingles, contains doc 6
+      8L -> doc(base.take(26)),             // 24 shingles (< 25: branch S)
+      9L -> doc(base.take(26) :+ 31),       // 25 shingles, contains doc 8
+      10L -> doc(Seq(6, 7, 8, 9, 10, 11)),  // 4 shingles, contained in 11
+      11L -> doc((6 to 14) ++ (20 to 29))   // long container of 10
+    ) ++ (0 until 8).map(k =>               // filler with overlapping windows
+      (20L + k) -> doc((k until k + 12) ++ Seq(35, 36, 37)))
+    val dir = java.nio.file.Files.createTempDirectory("l2corpus").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+    val bruteJac = (for {
+      (i, si) <- sets; (j, sj) <- sets
+      if i < j
+      jac = si.intersect(sj).size.toDouble / si.union(sj).size
+      if jac >= 0.8
+    } yield (i, j)).toSet
+    val bruteCon = (for {
+      (i, si) <- sets; (j, sj) <- sets
+      if i != j
+      if si.intersect(sj).size.toDouble / si.size >= 0.9
+    } yield (i, j)).toSet
+    assert(bruteJac.nonEmpty && bruteCon.nonEmpty,
+      "fixture must exercise both answers")
+    assert(bruteCon.exists { case (i, _) => sets.toMap.apply(i).size < 25 },
+      "fixture must exercise the small-doc containment branch")
+    assert(bruteCon.exists { case (i, _) => sets.toMap.apply(i).size >= 25 },
+      "fixture must exercise the l=2 containment branch")
+    val gotJac = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotCon = graft.SparkEntry.queries("dedup_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotJac === bruteJac)
+    assert(gotCon === bruteCon)
   }
 
   test("containment pairs are exact and include low-Jaccard subset dups") {

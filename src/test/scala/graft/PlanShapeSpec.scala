@@ -285,7 +285,10 @@ class PlanShapeSpec extends SparkSpec {
     // round 10: sweep-line count (no pair join) — union bucket window +
     // totals + offsets + final groupBy + output sort = 5 measured
     "events_session_overlap" -> 5, "dedup_exact" -> 2,
-    "dedup_containment" -> 5, "text_surprisal" -> 3,
+    // round 10: containment candidates split into the small-doc prefix
+    // branch + the l=2 pair-key branch (probe/index groupings + the
+    // pair join + union distinct) — measured 8, +1 BHJ<->SMJ headroom
+    "dedup_containment" -> 9, "text_surprisal" -> 3,
     // +1 in round 9: prefixSums' offsets window now partitions by a
     // constant pmod key (WARN silencing), so its ≤ nB+1-row exchange
     // reads as hashpartitioning instead of the uncounted
