@@ -117,8 +117,11 @@ object EraseArcs {
       buffersIn: Seq[(Double, Double)], r: Double)
       : (Seq[(Double, Double)],
          Seq[((Double, Double), Seq[(Double, Double)])]) = {
+    // IndexedSeq: the grid below addresses buffers BY INDEX, and a
+    // List-backed input would turn each lookup into an O(B) walk —
+    // quietly restoring the quadratic this grid exists to remove
     val buffers = buffersIn.distinct.sorted
-      .filter { case (x, y) => math.hypot(x, y) < bigR + r }
+      .filter { case (x, y) => math.hypot(x, y) < bigR + r }.toIndexedSeq
     // (a) surviving zone arcs, CCW around the origin
     val zoneCovered = buffers.flatMap { case (ox, oy) =>
       val d = math.hypot(ox, oy)
@@ -578,7 +581,9 @@ object EraseArcs {
       bufferArcs.flatMap { case ((ox, oy), arcs) =>
         arcs.map { case (s, e) =>
           RingPiece(ccw = false, ox, oy, r, s, e) } }
-    val (closed, open) = pieces.partition(_.isFullCircle)
+    val (closed, openSeq) = pieces.partition(_.isFullCircle)
+    // indexed: the stitcher addresses pieces by position (see byStart)
+    val open = openSeq.toIndexedSeq
     val tol = 1e-6 * (bigR + r)
     def dist(a: (Double, Double), b: (Double, Double)): Double =
       math.hypot(a._1 - b._1, a._2 - b._2)

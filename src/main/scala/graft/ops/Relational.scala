@@ -121,6 +121,111 @@ object Relational {
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
     (Long, Seq[Long], Seq[Long])](16)
 
+  /** Per-group (n, sketch band bounds, below/in-band counts) for
+    * [[groupedExactPercentiles]], memoized per (canonicalized input
+    * plan, quantile list) — same frozen-at-first-build contract as
+    * [[quantileBandsMemo]]. Row counts are ≤ |groups|·|qs| (a bounded
+    * catalog: group cardinality is a query constant here — order
+    * statuses — never corpus-sized).
+    */
+  private val groupQuantMemo = new graft.BoundedMemo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Seq[Double]),
+    Seq[(String, Double, Double, Double, Double, Long, Long, Long, Long)]](16)
+
+  /** EXACT interpolated per-group percentiles by GROUPED sketch-banded
+    * selection — the distributed replacement for Spark's `percentile`
+    * over corpus-sized groups. `percentile` is exact via a per-group
+    * value→count OpenHashMap whose merge and final sort ride ONE
+    * reducer per group: at the sf10 drive's 15M-row groups the three
+    * calibration queries spent 60-130 s each there, and the cost grows
+    * with group size forever. This runs the [[quantileBandsMemo]]
+    * pattern per group instead (the `agg_exact_quantiles_global`
+    * machinery, extended to interpolation): one grouped GK-sketch pass
+    * brackets each target rank inside a ±2/acc band (deterministic
+    * rank-error contract, re-verified below — never probabilistic),
+    * one pass counts below/in-band rows, and only the ε-thin band
+    * (~4·n/acc rows per target) is ranked, per (group, q), to pull the
+    * two order statistics the lerp needs. Interpolation mirrors
+    * quantile_cont's arithmetic (x_lo + frac·(x_hi − x_lo), frac from
+    * h = (n−1)·q) so the oracle comparison stays at the round-to-4
+    * agreement the direct form had.
+    *
+    * `in` must have columns (g: string, x: double, non-null). Returns
+    * (g, q, ex) with one row per group × quantile.
+    */
+  private def groupedExactPercentiles(s: SparkSession, in: DataFrame,
+      qs: Seq[Double]): DataFrame = {
+    val acc = 10000
+    val eps = 2.0 / acc
+    val probs = qs.flatMap(q =>
+      Seq(math.max(0.0, q - eps), math.min(1.0, q + eps)))
+    val cat = groupQuantMemo.getOrCompute(
+        (in.queryExecution.analyzed.canonicalized, qs)) {
+      val r0 = in.groupBy(col("g")).agg(count(lit(1)).as("n"),
+          percentile_approx(col("x"), array(probs.map(lit): _*), lit(acc))
+            .as("b"))
+        .collect().toSeq // ≤ |groups| rows — a bounded catalog
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2)))
+      val bands0 = r0.flatMap { case (g, n, b) =>
+        qs.zipWithIndex.map { case (q, i) =>
+          val h = (n - 1) * q
+          val k = math.floor(h).toLong
+          // small groups rank whole (n ≤ 4·acc — a CONSTANT bound, so
+          // the fallback slice never grows with the corpus): below
+          // ~2·acc rows the ±n/acc rank slack of the q±2/acc probes
+          // can undershoot the k+2 order statistic interpolation needs
+          // (measured at the sf0.01 gate: rank k+2 one past a 3-row
+          // band). Large groups get ≥ 8 ranks of slack — sound.
+          if (n <= 4L * acc)
+            (g, q, h, k, n, Double.NegativeInfinity, Double.PositiveInfinity)
+          else (g, q, h, k, n, b(2 * i), b(2 * i + 1))
+        }
+      }
+      import s.implicits._
+      val bDf = bands0.toDF("g", "q", "h", "k", "n", "lo", "hi")
+      val counted = in.join(broadcast(bDf), Seq("g"))
+        .groupBy(col("g"), col("q"))
+        .agg(
+          sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("below"),
+          sum(when(col("x") >= col("lo") && col("x") <= col("hi"), 1L)
+            .otherwise(0L)).as("inb"))
+        .collect().map(r =>
+          (r.getString(0), r.getDouble(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap // ≤ |groups|·|qs| rows
+      bands0.map { case (g, q, h, k, n, lo, hi) =>
+        val (below, inb) = counted((g, q))
+        // target 1-based local ranks of the two order statistics
+        val rkLo = k + 1 - below
+        val rkHi = math.min(k + 2, n) - below
+        // the sketch's deterministic ε-rank guarantee, re-verified
+        if (rkLo < 1 || rkHi > inb)
+          throw new IllegalStateException(
+            s"groupedExactPercentiles: ranks [$rkLo,$rkHi] for " +
+              s"(g=$g, q=$q) escaped their sketch band of $inb rows — " +
+              "percentile_approx violated its rank-error contract")
+        (g, q, h - k, lo, hi, rkLo, rkHi, below, inb)
+      }
+    }
+    import s.implicits._
+    val tDf = broadcast(cat.toDF(
+      "g", "q", "frac", "lo", "hi", "rk_lo", "rk_hi", "below", "inb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"), col("q")).orderBy(col("x"))
+    // only the in-band slice is ranked: ~4·n/acc rows per (g, q),
+    // window frames bounded by the band by construction
+    in.join(tDf, Seq("g"))
+      .filter(col("x") >= col("lo") && col("x") <= col("hi"))
+      .withColumn("lr", row_number().over(w).cast(LongType))
+      .filter(col("lr") === col("rk_lo") || col("lr") === col("rk_hi"))
+      .groupBy(col("g"), col("q"), col("frac"))
+      .agg(max(when(col("lr") === col("rk_lo"), col("x"))).as("x_lo"),
+        max(when(col("lr") === col("rk_hi"), col("x"))).as("x_hi"))
+      .select(col("g"), col("q"),
+        when(col("frac") === 0.0, col("x_lo"))
+          .otherwise(col("x_lo") +
+            col("frac") * (col("x_hi") - col("x_lo"))).as("ex"))
+  }
+
   /** Materialize this module's shared memoized artifacts (basket,
     * co-purchase pair graph, LPA label table) — Bench's untimed warmup
     * calls this so the one-time builds never land in a timed query.
@@ -453,17 +558,25 @@ object Relational {
     // median — the exact [p45, p55] window takes over, which the GK
     // rank guarantee (±0.1% of ranks) always satisfies. DuckDB's
     // t-digest twin asserts the same bound on its side.
-    "agg_approx_quantile_calib" -> ((s: SparkSession, d: String) =>
-      t(s, d, "orders").groupBy(col("o_orderstatus"))
-        .agg(expr("percentile(o_totalprice, 0.5D)").as("p50"),
-          expr("percentile(o_totalprice, 0.45D)").as("p45"),
-          expr("percentile(o_totalprice, 0.55D)").as("p55"),
-          expr("percentile_approx(o_totalprice, 0.5D, 1000)").as("est"))
+    "agg_approx_quantile_calib" -> ((s: SparkSession, d: String) => {
+      val in = t(s, d, "orders").select(col("o_orderstatus").as("g"),
+        col("o_totalprice").cast(DoubleType).as("x"))
+      // exact p45/p50/p55 via the grouped banded selection; only the
+      // sketch under calibration still runs as a grouped aggregate
+      val ex = groupedExactPercentiles(s, in, Seq(0.45, 0.5, 0.55))
+        .groupBy(col("g").as("o_orderstatus"))
+        .agg(max(when(col("q") === 0.5, col("ex"))).as("p50"),
+          max(when(col("q") === 0.45, col("ex"))).as("p45"),
+          max(when(col("q") === 0.55, col("ex"))).as("p55"))
+      val est = t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(expr("percentile_approx(o_totalprice, 0.5D, 1000)").as("est"))
+      ex.join(est, Seq("o_orderstatus"))
         .select(col("o_orderstatus"), round(col("p50"), 4).as("exact_p50"),
           (abs(col("est") - col("p50")) <=
             greatest(lit(0.01) * col("p50"), col("p55") - col("p45")))
             .as("within_tol"))
-        .orderBy(col("o_orderstatus"))),
+        .orderBy(col("o_orderstatus"))
+    }),
 
     // DDSKETCH QUANTILE CALIBRATION — the mergeable RELATIVE-error
     // quantile sketch (functions/DDSketchAgg, Masson et al. VLDB'19)
@@ -476,22 +589,36 @@ object Relational {
     // percentile(array(...)) pass.
     "agg_ddsketch_calibration" -> ((s: SparkSession, d: String) => {
       val dd = udaf(graft.functions.DDSketchAgg, Encoders.scalaDouble)
-      val ps = expr("percentile(o_totalprice, array(" +
-        "0.45D, 0.5D, 0.55D, 0.85D, 0.9D, 0.95D, 0.94D, 0.99D, 1.0D))")
-      def ex(i: Int): org.apache.spark.sql.Column = element_at(col("ex"), i)
+      // the nine exact quantiles come from the grouped banded selection
+      // (one sketch pass + one count pass + an ε-thin ranked slice);
+      // only the DDSketch under calibration runs as a grouped aggregate
+      val qs = Seq(0.45, 0.5, 0.55, 0.85, 0.9, 0.95, 0.94, 0.99, 1.0)
+      val in = t(s, d, "orders").select(col("o_orderstatus").as("g"),
+        col("o_totalprice").cast(DoubleType).as("x"))
+      def exq(q: Double): org.apache.spark.sql.Column =
+        max(when(col("q") === q, col("ex")))
+      val ex = groupedExactPercentiles(s, in, qs)
+        .groupBy(col("g").as("o_orderstatus"))
+        .agg(exq(0.45).as("e45"), exq(0.5).as("e50"), exq(0.55).as("e55"),
+          exq(0.85).as("e85"), exq(0.9).as("e90"), exq(0.95).as("e95"),
+          exq(0.94).as("e94"), exq(0.99).as("e99"), exq(1.0).as("e100"))
       def within(est: org.apache.spark.sql.Column,
           lo: org.apache.spark.sql.Column, mid: org.apache.spark.sql.Column,
           hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         abs(est - mid) <= lit(0.011) * mid + (hi - lo)
-      t(s, d, "orders").groupBy(col("o_orderstatus"))
-        .agg(ps.as("ex"), dd(col("o_totalprice")).as("sk"))
+      val sk = t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(dd(col("o_totalprice")).as("sk"))
+      ex.join(sk, Seq("o_orderstatus"))
         .select(col("o_orderstatus"),
-          round(ex(2), 4).as("exact_p50"),
-          round(ex(5), 4).as("exact_p90"),
-          round(ex(8), 4).as("exact_p99"),
-          within(col("sk.p50"), ex(1), ex(2), ex(3)).as("within_p50"),
-          within(col("sk.p90"), ex(4), ex(5), ex(6)).as("within_p90"),
-          within(col("sk.p99"), ex(7), ex(8), ex(9)).as("within_p99"))
+          round(col("e50"), 4).as("exact_p50"),
+          round(col("e90"), 4).as("exact_p90"),
+          round(col("e99"), 4).as("exact_p99"),
+          within(col("sk.p50"), col("e45"), col("e50"), col("e55"))
+            .as("within_p50"),
+          within(col("sk.p90"), col("e85"), col("e90"), col("e95"))
+            .as("within_p90"),
+          within(col("sk.p99"), col("e94"), col("e99"), col("e100"))
+            .as("within_p99"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -708,13 +835,20 @@ object Relational {
     // definition as quantile_cont); rounded to 4 digits because the
     // (1-f)*lo + f*hi interpolation is transcendental-free but
     // engine-order-sensitive in the last ulp.
-    "agg_percentiles" -> ((s: SparkSession, d: String) =>
-      t(s, d, "orders").groupBy(col("o_orderstatus"))
+    // exact interpolated per-status percentiles via the grouped banded
+    // selection (see groupedExactPercentiles — the direct `percentile`
+    // form was the sf10 drive's worst aggregate family)
+    "agg_percentiles" -> ((s: SparkSession, d: String) => {
+      val in = t(s, d, "orders").select(col("o_orderstatus").as("g"),
+        col("o_totalprice").cast(DoubleType).as("x"))
+      groupedExactPercentiles(s, in, Seq(0.25, 0.5, 0.9))
+        .groupBy(col("g").as("o_orderstatus"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.25D)"), 4).as("p25"),
-          round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9D)"), 4).as("p90"))
-        .orderBy(col("o_orderstatus"))),
+          round(max(when(col("q") === 0.25, col("ex"))), 4).as("p25"),
+          round(max(when(col("q") === 0.5, col("ex"))), 4).as("p50"),
+          round(max(when(col("q") === 0.9, col("ex"))), 4).as("p90"))
+        .orderBy(col("o_orderstatus"))
+    }),
 
     // EXACT GLOBAL QUANTILES BY SKETCH-BANDED SELECTION — the exact
     // p25/p50/p75/p99 of a corpus-sized measure WITHOUT a global sort

@@ -300,7 +300,12 @@ class PlanShapeSpec extends SparkSpec {
     "orders_rfm" -> 6,
     // round-7 bench reordering (full-scan warmup removed cold-read
     // noise): the queries that entered the top 10 get ceilings too
-    "text_cooc_lift" -> 4, "agg_ddsketch_calibration" -> 2,
+    // round 10: the nine exact quantiles moved to the grouped banded
+    // selection (sketch-artifact broadcast + thin-band window + the
+    // sketch-join reassembly) — measured 5, +1 BHJ<->SMJ headroom; the
+    // trade removes the per-group percentile hash-map whose one-reducer
+    // merge dominated the sf10 drive
+    "text_cooc_lift" -> 4, "agg_ddsketch_calibration" -> 6,
     "agg_approx_calibration" -> 3, "curate_boilerplate" -> 4,
     // round-7 additions (ceilings off ExchangeCount at sf0.001/4 cores,
     // +1 headroom where a borderline broadcast could flip)
