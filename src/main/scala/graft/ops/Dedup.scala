@@ -21,8 +21,9 @@ import graft.sources.Tables.t
   *     is bounded by shingle document frequency. At 100 TB, drop
   *     ultra-frequent shingles (doc-freq cap) before the self-join —
   *     the classic "stop-shingle" trick; not needed at test scale.
-  *   - MinHash/LSH: signatures are a groupBy-min over 12 md5-derived hash
-  *     functions; banding (4 bands × 3 rows) turns candidate generation
+  *   - MinHash/LSH: signatures are a groupBy-min over K = 84 universal
+  *     integer hash functions; banding (14 bands × 6 rows, see the
+  *     derivation at the Banding constants) turns candidate generation
   *     into an equi-join on (band, signature) that Catalyst plans as a
   *     plain shuffled hash join — the sub-quadratic path that survives
   *     100 TB. Candidates are then verified with exact Jaccard.
@@ -124,14 +125,18 @@ object Dedup {
 
   /** Exact Jaccard for a given (i, j) candidate-pair frame: join each
     * side's shingle array and intersect per pair — verification cost
-    * tracks candidate volume, never corpus size.
+    * tracks candidate volume, never corpus size. The doc-set side takes
+    * a shuffle_hash hint: sort-merge would SORT the candidate stream
+    * (and, on the second join, the array-widened intermediate — the
+    * spill-heavy step at sf10); hashing the docs side streams the
+    * candidates through unsorted.
     */
   private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame =
     cand
       .join(docs.select(col("doc_id").as("i"), col("ss").as("si"),
-        col("n").as("ni")), Seq("i"))
+        col("n").as("ni")).hint("shuffle_hash"), Seq("i"))
       .join(docs.select(col("doc_id").as("j"), col("ss").as("sj"),
-        col("n").as("nj")), Seq("j"))
+        col("n").as("nj")).hint("shuffle_hash"), Seq("j"))
       .withColumn("inter", interCount(col("si"), col("sj")))
       .withColumn("jac", col("inter").cast(DoubleType) /
         (col("ni") + col("nj") - col("inter")).cast(DoubleType))
@@ -224,55 +229,98 @@ object Dedup {
     * list pairs ~10⁶ docs, 2.4·10⁹ candidates in total), but a pair of
     * co-occurring rare shingles keys a joint space of ~(universe²)/2,
     * and candidate volume collapses to near-duplicate density
-    * (measured 36.6M at the same sf10, a 65× cut). Per-doc key count
-    * is C(plen, 2) — a constant (~80–300) — so probe and index frames
-    * stay LINEAR in the corpus at any scale.
+    * (measured 36.6M at the same sf10, a 65× cut).
+    *
+    * Per-doc key budget: C(plen, 2), and plen is LINEAR in the doc's
+    * shingle count (symmetric Jaccard keys n − ⌈t·n⌉ + 2; containment
+    * index n − ⌈t·NiPair⌉ + 2) — so per-doc keys are quadratic in DOC
+    * LENGTH with a small constant, not a constant. The frames stay linear in the CORPUS only under
+    * the bounded-document-length regime that every call site here and
+    * at 100 TB satisfies: the fixture's docs are ≤ ~120 shingles
+    * (≤ ~300 keys/doc), and a production crawl pipeline shards
+    * documents to a token cap (2–8 k) before shingling — an unbounded
+    * long-document corpus would need that cap (or a plen cap, trading
+    * the exactness contract for recall, like the retired maxDf knob)
+    * before this index frame is safe to build.
     */
   private def prefixPairKeys(rnk: DataFrame,
       plen: org.apache.spark.sql.Column): DataFrame =
     postingPairs(rnk.filter(col("rk") <= plen)
         .groupBy(col("doc_id"), col("n"))
-        .agg(array_sort(collect_list(col("s"))).as("ds")))
+        .agg(array_sort(collect_list(struct(col("s"), col("rk")))).as("ds")))
       .select(col("doc_id"), col("n"),
-        col("a").as("s1"), col("b").as("s2"))
+        // the unordered pair key PACKED into one long: shingle hashes
+        // are 32-bit values, so (s1 << 32) | s2 (s1 < s2) is a bijection
+        // into the 64-bit space (bitwise — wraps into the sign bit, never
+        // ANSI-overflows) — halves the join-key width and hash cost of
+        // the frame that dominates these queries' shuffles (the
+        // containment index is ~712M rows at sf10)
+        shiftleft(col("a.s"), 32).bitwiseOR(col("b.s")).as("sp"),
+        // deeper in-doc rank of the two key members — the positional
+        // filter each candidate join applies (the canonical key's r2 is
+        // bounded by n − I + 2, so pruning on it never drops a true pair)
+        greatest(col("a.rk"), col("b.rk")).as("r2"))
 
-  /** EXACT ℓ=2 candidate generation for Jaccard ≥ t (asymmetric
-    * probe/index prefixes).
+  /** EXACT ℓ=2 candidate generation for Jaccard ≥ t — SYMMETRIC
+    * prefixes (one shared pair-key frame, self-joined).
     *
-    * Every qualifying pair (A, B) with J(A,B) ≥ t has overlap
-    * I ≥ ⌈t·|A|⌉ (since I ≥ t·U ≥ t·|A|), so A misses at most
-    * |A| − ⌈t·|A|⌉ of its own shingles from B, and among A's
-    * (|A| − ⌊t·|A|⌋ + 2) rarest (the PROBE prefix; floor keeps the
-    * count conservative under float rounding) at least TWO are shared.
-    * Those two shared shingles rank in B at most
-    * (|B| − I) + rank_A ≤ (|B| − ⌈t·|B|⌉) + (|A| − ⌊t·|A|⌋ + 2), and
-    * with the length condition |A| ≤ |B|/t this is bounded by the
-    * INDEX prefix length (|B| − ⌈t·|B|⌉) + ⌊|B|(1−t)/t⌋ + 4 — so the
-    * pair {s₁,s₂} appears among BOTH A's probe keys and B's index keys
-    * and the equi-join on (s₁,s₂) emits the candidate. Docs with a
-    * single shingle can never form a pair key; the only qualifying
-    * partner of a 1-shingle doc (t > 0.5) is an identical 1-shingle
-    * doc, joined directly on the shingle. Exact ⇒ the oracle (plain
-    * inverted-index join) is unchanged. Verification still computes
-    * true Jaccard over full sorted sets.
+    * Canonical witness: for a qualifying pair (A, B), let (x₁, x₂) be
+    * the TWO GLOBALLY-RAREST elements of A∩B under the shared total
+    * order (df, s). In A, every element rarer than x₁ is outside B
+    * (else it would beat x₁'s minimality) — at most |A| − I of those —
+    * so rank_A(x₁) ≤ |A| − I + 1; likewise everything rarer than x₂ is
+    * x₁ or outside B, so rank_A(x₂) ≤ |A| − I + 2. The SAME argument
+    * holds verbatim in B. With I ≥ ⌈t·n⌉ on each side (J ≥ t ⇒
+    * I ≥ t/(1+t)·(|A|+|B|) ≥ t·min and ≥ t·max via the length filter),
+    * both witness members sit within each doc's
+    * (n − ⌈t·n⌉ + 2)-rarest prefix — so ONE pair-key frame serves as
+    * both probe and index, and the self-join on (s₁,s₂) emits every
+    * qualifying pair. (The previous asymmetric form transferred A-ranks
+    * into B — rank_B ≤ (|B| − I) + rank_A — which over-provisions the
+    * index by ~⌊n(1−t)/t⌋ extra prefix positions: 4.5× more index rows
+    * at sf10, and a 211M-row sort in the candidate join.)
+    *
+    * Positional prune (r2 carried by [[prefixPairKeys]]): the witness
+    * key satisfies r2 ≤ n − I + 2 ≤ n − ⌈t/(1+t)·(|A|+|B|)⌉ + 2 on
+    * EACH side; keys deeper than that cannot be the canonical witness
+    * of their pair, and dropping them never drops a pair (the witness
+    * key always survives and `.distinct()` collapses multiplicity).
+    *
+    * Docs with a single shingle can never form a pair key; the only
+    * qualifying partner of a 1-shingle doc (t > 0.5) is an identical
+    * 1-shingle doc, joined directly on the shingle. Exact ⇒ the oracle
+    * (plain inverted-index join) is unchanged. Verification still
+    * computes true Jaccard over full sorted sets.
     */
   private def pairPrefixCandidates(s: SparkSession, d: String,
       t: Double): DataFrame = {
+    // the 1-shingle branch below is exact ONLY for t > 0.5 (a 1-shingle
+    // doc's sole qualifying partner at t > 0.5 is an identical
+    // 1-shingle doc); enforce the precondition rather than letting a
+    // future t <= 0.5 call site silently drop true pairs. t > 0.5 also
+    // guarantees I ≥ 2 for every qualifying pair of ≥2-shingle docs,
+    // so the pair witness (x₁, x₂) exists.
+    require(t > 0.5,
+      s"pairPrefixCandidates is exact only for t > 0.5 (got $t): " +
+        "the singleton-doc branch joins 1-shingle docs on equality")
     val rnk = rankedShingles(s, d)
-    // epsilons: floor(x−ε)/ceil(x−ε)/floor(x+ε) each err only toward a
-    // LONGER prefix, so float rounding can widen candidates, never lose
-    val probe = prefixPairKeys(rnk,
-      col("n") - floor(col("n") * t - 1e-9) + 2)
-    val idx = prefixPairKeys(rnk,
-      col("n") - ceil(col("n") * t - 1e-9) +
-        floor(col("n") * ((1 - t) / t) + 1e-9) + 4)
-    val paired = probe.alias("p").join(idx.alias("x"),
-        col("p.s1") === col("x.s1") && col("p.s2") === col("x.s2") &&
-          col("p.doc_id") =!= col("x.doc_id"))
+    // ε discipline: ceil(x − ε) errs DOWNWARD on the required overlap,
+    // so float rounding can only widen the prefix / keep more keys
+    val keys = prefixPairKeys(rnk,
+      col("n") - ceil(col("n") * t - 1e-9) + 2)
+    val ireq = ceil((col("p.n") + col("x.n")).cast(DoubleType) *
+      lit(t / (1 + t)) - 1e-9)
+    // shuffle_hash: the sort-merge sort of the pair-key frames is the
+    // dominant cost at scale (measured 48 s of dedup_ngram_jaccard's
+    // 111 s at sf10 pre-hint); a shuffled hash join streams them unsorted
+    val paired = keys.alias("p").hint("shuffle_hash").join(keys.alias("x"),
+        col("p.sp") === col("x.sp") &&
+          col("p.doc_id") < col("x.doc_id"))
       .filter(least(col("p.n"), col("x.n")).cast(DoubleType) >=
         greatest(col("p.n"), col("x.n")).cast(DoubleType) * t - 1e-9)
-      .select(least(col("p.doc_id"), col("x.doc_id")).as("i"),
-        greatest(col("p.doc_id"), col("x.doc_id")).as("j"))
+      .filter(col("p.r2") <= col("p.n") - ireq + 2 &&
+        col("x.r2") <= col("x.n") - ireq + 2)
+      .select(col("p.doc_id").as("i"), col("x.doc_id").as("j"))
     val ones = rnk.filter(col("n") === 1).select(col("s"), col("doc_id"))
     val onePairs = ones.alias("a").join(ones.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -312,14 +360,22 @@ object Dedup {
   val Rows = 6
 
   /** Universal-hash family over the 32-bit shingle hash: h_k(s) =
-    * (s·A_k + B_k) mod P, P prime > 2^32. s < 2^32 and A_k < 2^21 keep
-    * the product < 2^53 — exact in both engines' BIGINT (and even in a
-    * double). Replaces re-hashing the shingle STRING per k (K md5 calls
-    * per shingle → K integer mults).
+    * (s·A_k + B_k) mod P, P prime > 2^32. s < 2^32 and A_k < 2^31
+    * (checked below; at K = 84, mhA(83) ≈ 2^23.07) keep the product
+    * < 2^63 — exact in both engines' 64-bit integer arithmetic (NOT in
+    * a double once A_k exceeded 2^21 at the K = 12 → 84 widening; both
+    * Spark and DuckDB evaluate this expression in BIGINT, never
+    * double, so results stay bit-exact). Replaces re-hashing the
+    * shingle STRING per k (K md5 calls per shingle → K integer mults).
     */
   val MinhashP = 4294967311L
   private def mhA(k: Int): Long = 104729L * (k + 1) + 12345L
   private def mhB(k: Int): Long = 7919L * (k + 1) + 271L
+  // int64-exactness guard for the comment above: s < 2^32 and
+  // A_k < 2^31 ⇒ s·A_k + B_k < 2^63. Fails at class-init if K is ever
+  // raised past the family's safe range (~20k hash functions).
+  require(mhA(K - 1) < (1L << 31) && MinhashP > (1L << 32),
+    s"minhash family overflows int64: mhA(${K - 1}) = ${mhA(K - 1)}")
   private def mhCol(k: Int): Column =
     (col("s") * mhA(k) + mhB(k)) % MinhashP
   private def mhSql(k: Int): String =
@@ -594,6 +650,66 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Stage-by-stage wall timing of the two prefix-filtered whales
+    * (ngram Jaccard, containment) — the scale-drive diagnostic that
+    * tells WHICH stage (pair-key frame build, candidate join, distinct,
+    * array verification) dominates at a given SF before any redesign.
+    * Counts force full evaluation like Bench. Not a driver query.
+    */
+  private[graft] def profileScale(s: SparkSession, d: String): Unit = {
+    def timed(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.toRdd.count()
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%12d rows")
+    }
+    val rnk = rankedShingles(s, d)
+    val sh = shingleDf(s, d)
+    timed("rankedShingles (warm)")(rnk)
+    timed("docSets")(docSets(sh))
+    val tJ = 0.8
+    timed("ngram sym key pairs")(prefixPairKeys(rnk,
+      col("n") - ceil(col("n") * tJ - 1e-9) + 2))
+    timed("ngram cand distinct")(pairPrefixCandidates(s, d, tJ))
+    timed("ngram verify (no sort)")(
+      verifyJaccard(pairPrefixCandidates(s, d, tJ), docSets(sh))
+        .filter(col("jac") >= tJ)
+        .select(col("i"), col("j"), col("jac")))
+    timed("ngram full (barrier+sort)")(
+      verifyJaccard(pairPrefixCandidates(s, d, tJ), docSets(sh))
+        .filter(col("jac") >= tJ)
+        .select(col("i"), col("j"), col("jac"))
+        .repartition(col("i"))
+        .orderBy(col("i"), col("j")))
+    val tC = 0.9; val niPair = 8
+    timed("cont candT pre-distinct")(rnk
+      .filter(col("n") < niPair &&
+        col("rk") <= col("n") - ceil(col("n") * tC - 1e-9) + 1)
+      .select(col("s"), col("doc_id").as("i"), col("n").as("ni"))
+      .join(rnk.select(col("s"), col("doc_id").as("j"), col("n").as("nj"),
+        col("rk").as("rj")), Seq("s"))
+      .filter(col("i") =!= col("j") &&
+        col("nj") >= ceil(col("ni") * tC - 1e-9) &&
+        col("rj") <= col("nj") - ceil(col("ni") * tC - 1e-9) + 1)
+      .select(col("i"), col("j")))
+    timed("cont probe pairs")(prefixPairKeys(
+      rnk.filter(col("n") >= niPair),
+      col("n") - ceil(col("n") * tC - 1e-9) + 2))
+    timed("cont idx pairs")(prefixPairKeys(rnk,
+      col("n") - lit(math.ceil(tC * niPair - 1e-9).toInt) + 2))
+    timed("cont candP pre-distinct")({
+      val probe = prefixPairKeys(rnk.filter(col("n") >= niPair),
+        col("n") - ceil(col("n") * tC - 1e-9) + 2)
+      val idx = prefixPairKeys(rnk,
+        col("n") - lit(math.ceil(tC * niPair - 1e-9).toInt) + 2)
+      probe.alias("p").hint("shuffle_hash").join(idx.alias("x"),
+          col("p.sp") === col("x.sp") &&
+            col("p.doc_id") =!= col("x.doc_id"))
+        .filter(col("x.n") >= ceil(col("p.n") * tC - 1e-9) &&
+          col("x.r2") <= col("x.n") - ceil(col("p.n") * tC - 1e-9) + 2)
+        .select(col("p.doc_id").as("i"), col("x.doc_id").as("j"))
+    })
+  }
+
   // ---- driver-contract queries ---------------------------------------
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -623,6 +739,13 @@ object Dedup {
           docSets(shingleDf(s, d)))
         .filter(col("jac") >= 0.8)
         .select(col("i"), col("j"), col("jac"))
+        // shuffle barrier before the global sort: the range exchange's
+        // SAMPLING pass re-executes its child plan, and here the child
+        // is the whole candidate+verify pipeline (measured 16.7 s of
+        // re-execution at sf10 for a 20k-row result). Behind a hash
+        // exchange the sampler reads shuffle files instead. Stays
+        // distributed — no single-partition funnel.
+        .repartition(col("i"))
         .orderBy(col("i"), col("j"))
     }),
 
@@ -632,68 +755,84 @@ object Dedup {
     // paragraph inside a long page has tiny Jaccard but containment ~1).
     // C(i→j) = |S(i)∩S(j)| / |S(i)|. Candidates split by CONTAINED size
     // (exact in union — branch boundaries partition the ni axis):
-    //  • ni < 25 (branch S): a pair with C ≥ t shares one of i's
-    //    (ni − ⌊t·ni⌋ + 1) rarest shingles (pigeonhole on the ⌈t·ni⌉
-    //    required overlap), so i's short prefix (≤ 3 shingles at
-    //    t = 0.9) equi-joins the full inverted index — fan-out is
-    //    prefix·df but only over the SHORT-doc minority.
-    //  • ni ≥ 25 (branch L): single rare shingles stop discriminating
-    //    once the corpus outgrows the shingle universe (the sf10 drive:
-    //    uniform df ≈ 1000 blew the full-corpus prefix×index join past
-    //    the machine's disk), so large docs use ℓ=2 PAIR keys
-    //    (prefixPairKeys): i probes with pairs of its ⌊(1−t)·ni⌋+2
-    //    rarest (≥ 2 of them are in j, pigeonhole on i-missing
-    //    ≤ ⌊(1−t)·ni⌋); each shared shingle ranks in j at most
-    //    (nj − I) + rank_i ≤ nj − ⌈t·25⌉ + ⌊(1−t)·25⌋ + 2 + 1 ≤ nj − 18
-    //    (rank_i ≤ ⌊(1−t)·ni⌋ + 2 and I ≥ ⌈t·ni⌉ shift together as ni
-    //    grows, so the bound is worst at ni = 25), so j indexes pairs
-    //    among its (nj − 18) rarest — a per-doc CONSTANT key budget,
-    //    linear in the corpus. Measured at sf10: 21M candidates vs the
-    //    3·10⁹-row explosion of the single-shingle form.
+    //  • ni ≥ NiPair (branch P — the bulk): ℓ=2 PAIR keys with the
+    //    two-globally-rarest-shared witness (see pairPrefixCandidates'
+    //    derivation): both witness members rank ≤ n − I + 2 in EACH
+    //    doc, with I ≥ ⌈t·ni⌉. The probe (contained side) knows its
+    //    own ni, so its prefix is ni − ⌈t·ni⌉ + 2 (~⌊0.1·ni⌋+2). The
+    //    index (container side) must serve any probe of size ≥ NiPair,
+    //    so it enumerates pairs among its nj − ⌈t·NiPair⌉ + 2 rarest —
+    //    and the per-pair POSITIONAL filter
+    //    r2 ≤ nj − ⌈t·ni⌉ + 2 (valid for the canonical witness; the
+    //    size filter nj ≥ ⌈t·ni⌉ rides the same stage) re-tightens
+    //    each deep index row to exactly the probes that need it. The
+    //    round-10 form routed ni < 25 through a single-shingle join
+    //    with the FULL inverted index — at sf10's uniform df ≈ 950
+    //    that emitted 263M candidates (measured) whose array
+    //    verification dominated the query's 622 s; pair keys hold
+    //    candidate volume at near-dup density (~22M) instead.
+    //  • ni < NiPair (branch T — tiny docs): a pair key needs ≥ 2
+    //    shared shingles and an index depth of nj − ⌈t·ni⌉ + 2, which
+    //    degenerates toward ALL of j's pairs as ni → 2; tiny docs
+    //    instead probe their single rarest-shared witness (ℓ=1:
+    //    rank ≤ n − I + 1 on BOTH sides, same canonical-witness
+    //    argument at ℓ=1) against the inverted index with the
+    //    positional filter rj ≤ nj − ⌈t·ni⌉ + 1. Fan-out is
+    //    prefix·df — affordable precisely because the branch is
+    //    rare-to-empty (the generator floors docs at 8 shingles;
+    //    DedupSpec's adversarial corpus exercises it with 1-4-shingle
+    //    docs).
     // Both directions emit independently: every doc probes as i.
     "dedup_containment" -> ((s: SparkSession, d: String) => {
       val tC = 0.9
-      val niMin = 25
+      val NiPair = 8 // smallest contained size served by pair keys
+      val idxDepth = math.ceil(tC * NiPair - 1e-9).toInt // ⌈t·NiPair⌉ = 8
       val sh = shingleDf(s, d)
       val rnk = rankedShingles(s, d)
-      // both branches carry n on BOTH sides of their candidate join
-      // (rnk/prefixPairKeys supply it), so the size prune
-      // (inter ≤ nj ⇒ nj ≥ ceil(t·ni)) runs INSIDE the join's own
-      // stage — the earlier shape re-joined a sizes table onto the
-      // unioned candidate stream, two extra full-width shuffles of the
-      // pre-distinct volume (the sf10 drive measured them at most of
-      // the query's 492 s). No broadcast hints: every join here is
-      // keyed, the scale-safe shape; AQE broadcasts what measures small.
-      val candS = rnk
-        .filter(col("n") < niMin &&
-          col("rk") <= col("n") - floor(col("n") * tC - 1e-9) + 1)
+      // all prunes (size + positional) run INSIDE the candidate joins'
+      // own stage — n and r2 are carried by the key frames, never
+      // re-joined onto the candidate stream. No broadcast hints: every
+      // join is keyed; shuffle_hash picks the hash family over the
+      // sort-merge sort (the sf10 drive measured the SMJ sort of the
+      // 468M-row index frame at 205 s of the query's 622 s).
+      val candT = rnk
+        .filter(col("n") < NiPair &&
+          col("rk") <= col("n") - ceil(col("n") * tC - 1e-9) + 1)
         .select(col("s"), col("doc_id").as("i"), col("n").as("ni"))
         .join(rnk.select(col("s"), col("doc_id").as("j"),
-          col("n").as("nj")), Seq("s"))
+          col("n").as("nj"), col("rk").as("rj")), Seq("s"))
         .filter(col("i") =!= col("j") &&
-          col("nj") >= ceil(col("ni") * tC - 1e-9))
+          col("nj") >= ceil(col("ni") * tC - 1e-9) &&
+          col("rj") <= col("nj") - ceil(col("ni") * tC - 1e-9) + 1)
         .select(col("i"), col("j"))
-      val probeL = prefixPairKeys(
-        rnk.filter(col("n") >= niMin),
-        floor(col("n") * (1 - tC) + 1e-9) + 2)
-      val idxL = prefixPairKeys(rnk, col("n") - lit(18))
-      val candL = probeL.alias("p").join(idxL.alias("x"),
-          col("p.s1") === col("x.s1") && col("p.s2") === col("x.s2") &&
+      val probe = prefixPairKeys(
+        rnk.filter(col("n") >= NiPair),
+        col("n") - ceil(col("n") * tC - 1e-9) + 2)
+      val idx = prefixPairKeys(rnk, col("n") - lit(idxDepth) + 2)
+      val candP = probe.alias("p").hint("shuffle_hash").join(idx.alias("x"),
+          col("p.sp") === col("x.sp") &&
             col("p.doc_id") =!= col("x.doc_id"))
-        .filter(col("x.n") >= ceil(col("p.n") * tC - 1e-9))
+        .filter(col("x.n") >= ceil(col("p.n") * tC - 1e-9) &&
+          col("x.r2") <= col("x.n") - ceil(col("p.n") * tC - 1e-9) + 2)
         .select(col("p.doc_id").as("i"), col("x.doc_id").as("j"))
-      val cand = candS.union(candL).distinct()
+      val cand = candT.union(candP).distinct()
       val docs = docSets(sh)
+      // shuffle_hash on the docs side for the same reason as
+      // verifyJaccard: never sort the (array-widened) candidate stream
       cand
         .join(docs.select(col("doc_id").as("i"), col("ss").as("si"),
-          col("n").as("ni")), Seq("i"))
-        .join(docs.select(col("doc_id").as("j"), col("ss").as("sj")), Seq("j"))
+          col("n").as("ni")).hint("shuffle_hash"), Seq("i"))
+        .join(docs.select(col("doc_id").as("j"), col("ss").as("sj"))
+          .hint("shuffle_hash"), Seq("j"))
         .withColumn("inter", interCount(col("si"), col("sj")))
         .withColumn("containment",
           col("inter").cast(DoubleType) / col("ni").cast(DoubleType))
         .filter(col("containment") >= tC)
         .select(col("i").as("contained"), col("j").as("container"),
           col("containment"))
+        // same sampling barrier as dedup_ngram_jaccard: never let the
+        // range exchange re-execute the verify pipeline
+        .repartition(col("contained"))
         .orderBy(col("contained"), col("container"))
     }),
 
@@ -728,8 +867,8 @@ object Dedup {
     "dedup_minhash_estimate" -> ((s: SparkSession, d: String) => {
       val sh = shingleDf(s, d)
       // the signature frame feeds both the band explode and the
-      // per-pair match-count join — materialize it once (docs × 12
-      // longs; without this the shingle scan + 12-way min aggregation
+      // per-pair match-count join — materialize it once (docs × K
+      // longs; without this the shingle scan + K-way min aggregation
       // run once per branch)
       val mh = corpusSigs(s, d)
       val bands = bandsFromSigs(mh)

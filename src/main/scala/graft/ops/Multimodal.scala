@@ -277,6 +277,11 @@ object Multimodal {
     // which the stub family could only assert structurally.
     "mm_decode_image" -> ((s: SparkSession, d: String) =>
       decodeImages(pngMedia(s, d))
+        // barrier before the global sort: the range exchange SAMPLES by
+        // re-executing its child, and the child here is the whole
+        // encode→decode codec stage — without the barrier the PNG work
+        // runs twice (the general rule in BASELINE.md's round-11 notes)
+        .repartition(col("doc_id"))
         .orderBy(col("doc_id")))
   ,
 

@@ -292,6 +292,13 @@ object Wnv {
       a.join(b, col("i") < col("j") && d2 <= lit(1500.0 * 1500.0))
         .select(col("i"), col("j"),
           graft.functions.XF.r6(sqrt(d2)).as("dist_ft"))
+        // NO sampling barrier here, deliberately: the barrier rule
+        // (BASELINE.md round-11) trades re-executing the sort's child
+        // against one extra exchange of the RESULT. This query's child
+        // is a cheap broadcast grid join while the result (~46M pairs
+        // at sf10) is the dominant volume — the sf10 drive measured the
+        // barrier form ~15 s SLOWER; queries with tiny outputs under
+        // expensive pipelines (ngram/containment/decode) go the other way
         .orderBy(col("i"), col("j"))
     }),
 
@@ -467,6 +474,9 @@ object Wnv {
           XF.r6(col("start_deg")).as("start_deg"),
           XF.r6(col("end_deg")).as("end_deg"),
           XF.r6(col("ring_area_sqft")).as("ring_area_sqft"))
+        // barrier before the global sort: the range sampler would
+        // otherwise re-run the per-zone ring stitcher (mapGroups)
+        .repartition(col("zone_id"))
         .orderBy(col("zone_id"), col("ring_id"), col("piece_seq")))
   )
 

@@ -280,15 +280,22 @@ class PlanShapeSpec extends SparkSpec {
     // round 10: embedding cosine moved to the trained IVF cell artifact
     // (two keyed artifact joins + the cell join + the pair fold,
     // measured 4; +1 headroom for a BHJ<->SMJ flip)
-    "dedup_ngram_jaccard" -> 8, "dedup_embedding_cosine" -> 5,
+    // round 11 ngram: symmetric l=2 keys (two groupings for the
+    // self-join branches Catalyst won't share) + candidate join +
+    // distinct + two verify joins + the sampling BARRIER exchange
+    // before the output sort (the deliberate round-11 trade: one extra
+    // exchange of the tiny result instead of re-executing the verify
+    // pipeline in the range sampler) — measured 11
+    "dedup_ngram_jaccard" -> 11, "dedup_embedding_cosine" -> 5,
     "join_bloom_prefilter" -> 5, "profile_columns" -> 1,
     // round 10: sweep-line count (no pair join) — union bucket window +
     // totals + offsets + final groupBy + output sort = 5 measured
     "events_session_overlap" -> 5, "dedup_exact" -> 2,
-    // round 10: containment candidates split into the small-doc prefix
-    // branch + the l=2 pair-key branch (probe/index groupings + the
-    // pair join + union distinct) — measured 8, +1 BHJ<->SMJ headroom
-    "dedup_containment" -> 9, "text_surprisal" -> 3,
+    // round 11: containment = tiny-doc l=1 branch + l=2 pair branch
+    // (probe/index groupings + pair join) + union distinct + two
+    // verify joins + the sampling barrier before the output sort
+    // (same trade as dedup_ngram_jaccard) — measured 11
+    "dedup_containment" -> 11, "text_surprisal" -> 3,
     // +1 in round 9: prefixSums' offsets window now partitions by a
     // constant pmod key (WARN silencing), so its ≤ nB+1-row exchange
     // reads as hashpartitioning instead of the uncounted
