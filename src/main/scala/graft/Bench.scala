@@ -168,6 +168,25 @@ object Bench {
       st <- gitLine(Seq("git", "status", "--porcelain",
         "BENCH_FULL.json"))
     } yield (rev, st.nonEmpty)
+    // 2x regression tripwire (the r10 blind spot): the `suspect` marker
+    // fires only at 5x, which let 2-3x plan regressions (the sf0.1
+    // containment/ngram-mass lines) ship silently. A query whose
+    // STEAL-NORMALIZED ratio vs the committed record exceeds 2x is
+    // listed in `regressed` — normalizing by the sweep-median factor
+    // separates "this host is slow today" (uniform) from "this plan got
+    // slower" (non-uniform). Floor at 0.25 s: sub-quarter-second lines
+    // flip 2x on JIT/page-cache noise alone and would make the field
+    // cry wolf.
+    val RegressRatio = 2.0
+    val regressed = stealFactor.map { sfv =>
+      timed.collect { case (k, v)
+          if v >= 0.25 && prevTimes.get(k).exists(p =>
+            p > 0 && v / p / sfv > RegressRatio) => k }
+    }.getOrElse(Seq.empty)
+    val regressedField =
+      if (regressed.isEmpty) ""
+      else regressed.sorted.map("\"" + _ + "\"")
+        .mkString(""","regressed":[""", ",", "]")
     val stealField = stealFactor.map { sfv =>
       val base = prevParsed.map { case (_, tot, nq) =>
         val rev = baseRev.map { case (r, dirty) =>
@@ -186,7 +205,7 @@ object Bench {
     val total = timed.map(_._2).filter(_ >= 0).sum
     // full per-query detail → file (committed per-round as the record)
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size}$stealField$suspectField$warmField,"queries":${jmap(timed)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size}$stealField$suspectField$regressedField$warmField,"queries":${jmap(timed)},"sf":"$sfDir"}"""
     // the committed record is the driver's sweep (sf0.1, unfiltered);
     // local smoke runs at other SFs land in a per-SF file instead of
     // clobbering the round artifact. A FILTERED run never writes a
