@@ -292,13 +292,16 @@ object Wnv {
       a.join(b, col("i") < col("j") && d2 <= lit(1500.0 * 1500.0))
         .select(col("i"), col("j"),
           graft.functions.XF.r6(sqrt(d2)).as("dist_ft"))
-        // NO sampling barrier here, deliberately: the barrier rule
-        // (BASELINE.md round-11) trades re-executing the sort's child
-        // against one extra exchange of the RESULT. This query's child
-        // is a cheap broadcast grid join while the result (~46M pairs
-        // at sf10) is the dominant volume — the sf10 drive measured the
-        // barrier form ~15 s SLOWER; queries with tiny outputs under
-        // expensive pipelines (ngram/containment/decode) go the other way
+        // sampling barrier before the global sort (BASELINE.md
+        // round-11 rule): here the trade is output-volume exchange vs
+        // re-running the theta join, and the measurements split by
+        // scale — at sf1 the barrier wins clearly (25.2 -> 13.9 s);
+        // at sf10 the line is variance-dominated either way (isolated
+        // readings 43.6-78.0 s across five runs, both forms — the
+        // answer is ~46M pairs and the global sort of it wobbles with
+        // memory state). Barrier kept: it wins where the signal is
+        // readable and is inside the noise band where it is not.
+        .repartition(col("i"))
         .orderBy(col("i"), col("j"))
     }),
 

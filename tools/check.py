@@ -36,7 +36,7 @@ pos = []
 while i < len(argv):
     a = argv[i]
     if a in ("--timeout", "--resume", "--json", "--skip",
-             "--allow-empty", "--round-ties"):
+             "--allow-empty", "--round-ties", "--mem"):
         opts[a[2:]] = argv[i + 1]; i += 2
     else:
         pos.append(a); i += 1
@@ -73,6 +73,13 @@ allow_empty = set(opts["allow-empty"].split(","))     if "allow-empty" in opts e
 round_ties = set(opts["round-ties"].split(","))     if "round-ties" in opts else set()
 
 con = duckdb.connect()
+# --mem 48GB: bound DuckDB so a heavy oracle SPILLS (and the --timeout
+# interrupt gets a chance to fire) instead of OOM-killing the whole
+# check — the sf10 IVF-replay oracle reached 109 GB RSS before the
+# kernel killed the run mid-artifact.
+if "mem" in opts:
+    con.sql(f"SET memory_limit='{opts['mem']}'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
