@@ -147,10 +147,7 @@ object Bench {
     val ratios = timed.collect { case (k, v)
         if v > 0 && prevTimes.get(k).exists(_ > 0) => v / prevTimes(k) }
       .sorted
-    val stealFactor: Option[Double] =
-      if (ratios.isEmpty) None
-      else Some(if (ratios.size % 2 == 1) ratios(ratios.size / 2)
-        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
+    val stealFactor: Option[Double] = BenchGuard.stealMedian(ratios)
     // provenance: which sweep the factor was computed against — the
     // baseline file's last-committed git revision plus a dirty flag
     // (an uncommitted BENCH_FULL.json from an earlier sweep THIS round
@@ -168,32 +165,29 @@ object Bench {
       st <- gitLine(Seq("git", "status", "--porcelain",
         "BENCH_FULL.json"))
     } yield (rev, st.nonEmpty)
-    // 2x regression tripwire (the r10 blind spot): the `suspect` marker
-    // fires only at 5x, which let 2-3x plan regressions (the sf0.1
-    // containment/ngram-mass lines) ship silently. A query whose
-    // STEAL-NORMALIZED ratio vs the committed record exceeds 2x is
-    // listed in `regressed` — normalizing by the sweep-median factor
-    // separates "this host is slow today" (uniform) from "this plan got
-    // slower" (non-uniform). Floor at 0.25 s: sub-quarter-second lines
-    // flip 2x on JIT/page-cache noise alone and would make the field
-    // cry wolf.
-    val RegressRatio = 2.0
-    val regressed = stealFactor.map { sfv =>
-      timed.collect { case (k, v)
-          if v >= 0.25 && prevTimes.get(k).exists(p =>
-            p > 0 && v / p / sfv > RegressRatio) => k }
-    }.getOrElse(Seq.empty)
+    // Regression tripwire (thresholds + rationale live in BenchGuard,
+    // which is unit-tested against doctored records in BenchGuardSpec):
+    // a query whose STEAL-NORMALIZED ratio vs the committed record
+    // exceeds its tier threshold (1.4x at >= 0.5 s, 2x below — the r11
+    // blind spot: every real regression that round sat at 1.3-1.73x,
+    // under the old uniform 2x trigger) is listed in `regressed`.
+    val regressed = BenchGuard.regressed(timed, prevTimes, stealFactor)
     val regressedField =
       if (regressed.isEmpty) ""
-      else regressed.sorted.map("\"" + _ + "\"")
+      else regressed.map("\"" + _ + "\"")
         .mkString(""","regressed":[""", ",", "]")
+    // a uniform slowdown inflates the steal median itself and hides
+    // every per-query regression behind the normalization — flag it
+    val stealAlertField =
+      if (BenchGuard.stealAlert(stealFactor)) ""","steal_alert":true"""
+      else ""
     val stealField = stealFactor.map { sfv =>
       val base = prevParsed.map { case (_, tot, nq) =>
         val rev = baseRev.map { case (r, dirty) =>
           s""","rev":"$r","dirty":$dirty""" }.getOrElse("")
         s""","steal_baseline":{"file":"BENCH_FULL.json","total":${r3(tot)},"nq":$nq$rev}"""
       }.getOrElse("")
-      s""","steal_factor":${r3(sfv)}$base"""
+      s""","steal_factor":${r3(sfv)}$base$stealAlertField"""
     }.getOrElse("")
     val suspectField =
       if (suspects.isEmpty) ""

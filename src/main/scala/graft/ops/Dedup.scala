@@ -123,20 +123,66 @@ object Dedup {
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.ArrayExprs.sortedIntersectCount(a, b)
 
+  // ---- ShuffledHashJoin build-memory gate (round-11 ADVICE) ----------
+  // A shuffle_hash hint puts the hinted side's rows into a PER-PARTITION
+  // in-memory hash relation that, unlike sort-merge, does not spill: the
+  // bound is rowsPerPartition × rowWidth ≤ task memory. Two build-side
+  // families take the hint in this file:
+  //   • doc-set frames (ss shingle arrays, the heavy rows): width ≈
+  //     avgShinglesPerDoc × 8 B + overhead — assumed ≤ DocSetRowBytes
+  //     (the generator's docs average ~250 tokens; a production corpus
+  //     enforces this via the token-cap sharding already documented at
+  //     prefixPairKeys). These sides are GATED below: the hint is applied
+  //     only while nDocs/shufflePartitions × DocSetRowBytes fits the
+  //     per-task budget; past that the join falls back to sort-merge,
+  //     which spills. Skew is not a concern on these sides — the build
+  //     key is doc_id, unique per row.
+  //   • pair-key frames (sp, doc_id, n, r2 — ~36 B packed rows): volume
+  //     is Σ_doc C(prefix,2), corpus-dependent (sf10 measured 468M rows
+  //     ≈ 527 MB/partition at 32 partitions, inside the drive's heap).
+  //     On a cluster, shuffle partitions scale with input (SCALE.md
+  //     global posture: 100k–1M initial partitions at 100 TB), so
+  //     rows/partition stays roughly flat; the hint stays unconditional
+  //     there because the r2/positional prunes run INSIDE that join —
+  //     falling back to SMJ would re-introduce the measured 205 s sort.
+  /** Assumed doc-set row width for the gate (bytes). */
+  private val DocSetRowBytes = 4096L
+  /** Per-task build budget: a quarter of an even heap share. */
+  private def buildBudgetBytes(s: SparkSession): Long = {
+    val cores = math.max(1, s.sparkContext.defaultParallelism)
+    Runtime.getRuntime.maxMemory() / cores / 4
+  }
+  private val docCountMemo =
+    new graft.BoundedMemo[(SparkSession, String), java.lang.Long](8)
+  /** documents row count — parquet-footer metadata, memoized. */
+  private def nDocs(s: SparkSession, d: String): Long =
+    docCountMemo.getOrCompute((s, d))(
+      java.lang.Long.valueOf(t(s, d, "documents").count())).longValue()
+  /** The docs-side hint, applied only while the per-partition hash build
+    * provably fits; huge regimes fall back to spilling sort-merge. */
+  private def hashHintIfBounded(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame = {
+    val parts = math.max(1, s.sessionState.conf.numShufflePartitions).toLong
+    if (nDocs(s, d) / parts * DocSetRowBytes <= buildBudgetBytes(s))
+      docs.hint("shuffle_hash")
+    else docs
+  }
+
   /** Exact Jaccard for a given (i, j) candidate-pair frame: join each
     * side's shingle array and intersect per pair — verification cost
     * tracks candidate volume, never corpus size. The doc-set side takes
-    * a shuffle_hash hint: sort-merge would SORT the candidate stream
-    * (and, on the second join, the array-widened intermediate — the
-    * spill-heavy step at sf10); hashing the docs side streams the
-    * candidates through unsorted.
+    * a (gated, see above) shuffle_hash hint: sort-merge would SORT the
+    * candidate stream (and, on the second join, the array-widened
+    * intermediate — the spill-heavy step at sf10); hashing the docs side
+    * streams the candidates through unsorted.
     */
-  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame =
+  private def verifyJaccard(s: SparkSession, d: String,
+      cand: DataFrame, docs: DataFrame): DataFrame =
     cand
-      .join(docs.select(col("doc_id").as("i"), col("ss").as("si"),
-        col("n").as("ni")).hint("shuffle_hash"), Seq("i"))
-      .join(docs.select(col("doc_id").as("j"), col("ss").as("sj"),
-        col("n").as("nj")).hint("shuffle_hash"), Seq("j"))
+      .join(hashHintIfBounded(s, d, docs.select(col("doc_id").as("i"),
+        col("ss").as("si"), col("n").as("ni"))), Seq("i"))
+      .join(hashHintIfBounded(s, d, docs.select(col("doc_id").as("j"),
+        col("ss").as("sj"), col("n").as("nj"))), Seq("j"))
       .withColumn("inter", interCount(col("si"), col("sj")))
       .withColumn("jac", col("inter").cast(DoubleType) /
         (col("ni") + col("nj") - col("inter")).cast(DoubleType))
@@ -671,11 +717,11 @@ object Dedup {
       col("n") - ceil(col("n") * tJ - 1e-9) + 2))
     timed("ngram cand distinct")(pairPrefixCandidates(s, d, tJ))
     timed("ngram verify (no sort)")(
-      verifyJaccard(pairPrefixCandidates(s, d, tJ), docSets(sh))
+      verifyJaccard(s, d, pairPrefixCandidates(s, d, tJ), docSets(sh))
         .filter(col("jac") >= tJ)
         .select(col("i"), col("j"), col("jac")))
     timed("ngram full (barrier+sort)")(
-      verifyJaccard(pairPrefixCandidates(s, d, tJ), docSets(sh))
+      verifyJaccard(s, d, pairPrefixCandidates(s, d, tJ), docSets(sh))
         .filter(col("jac") >= tJ)
         .select(col("i"), col("j"), col("jac"))
         .repartition(col("i"))
@@ -735,7 +781,7 @@ object Dedup {
     // n-gram Jaccard near-dup, threshold 0.8: exact ℓ=2 prefix-filtered
     // set-similarity self-join + per-candidate array intersection.
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => {
-      verifyJaccard(pairPrefixCandidates(s, d, 0.8),
+      verifyJaccard(s, d, pairPrefixCandidates(s, d, 0.8),
           docSets(shingleDf(s, d)))
         .filter(col("jac") >= 0.8)
         .select(col("i"), col("j"), col("jac"))
@@ -817,13 +863,13 @@ object Dedup {
         .select(col("p.doc_id").as("i"), col("x.doc_id").as("j"))
       val cand = candT.union(candP).distinct()
       val docs = docSets(sh)
-      // shuffle_hash on the docs side for the same reason as
+      // gated shuffle_hash on the docs side for the same reason as
       // verifyJaccard: never sort the (array-widened) candidate stream
       cand
-        .join(docs.select(col("doc_id").as("i"), col("ss").as("si"),
-          col("n").as("ni")).hint("shuffle_hash"), Seq("i"))
-        .join(docs.select(col("doc_id").as("j"), col("ss").as("sj"))
-          .hint("shuffle_hash"), Seq("j"))
+        .join(hashHintIfBounded(s, d, docs.select(col("doc_id").as("i"),
+          col("ss").as("si"), col("n").as("ni"))), Seq("i"))
+        .join(hashHintIfBounded(s, d, docs.select(col("doc_id").as("j"),
+          col("ss").as("sj"))), Seq("j"))
         .withColumn("inter", interCount(col("si"), col("sj")))
         .withColumn("containment",
           col("inter").cast(DoubleType) / col("ni").cast(DoubleType))
@@ -849,7 +895,7 @@ object Dedup {
           .agg(collect_list(col("doc_id")).as("ds")))
         .select(col("a").as("i"), col("b").as("j")).distinct()
       // verify candidates with exact Jaccard per pair.
-      verifyJaccard(cand, docSets(sh))
+      verifyJaccard(s, d, cand, docSets(sh))
         .filter(col("jac") >= 0.7)
         .select(col("i"), col("j"), col("jac"))
         .orderBy(col("i"), col("j"))
@@ -882,7 +928,7 @@ object Dedup {
         .join(mh.as("a"), col("i") === col("a.doc_id"))
         .join(mh.as("b"), col("j") === col("b.doc_id"))
         .select(col("i"), col("j"), matches.as("n_match"))
-      val exact = verifyJaccard(cand, docSets(sh))
+      val exact = verifyJaccard(s, d, cand, docSets(sh))
         .select(col("i"), col("j"), col("jac"))
       est.join(exact, Seq("i", "j"))
         .select(col("i"), col("j"), col("n_match"),

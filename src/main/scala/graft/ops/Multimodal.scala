@@ -79,20 +79,58 @@ object Multimodal {
   // hash-compare verifies the full encode→bytes→decode round trip
   // through the real codec, not a fixture.
 
-  /** JVM twin of [[XF.h32]] (8 hex chars of md5, parsed base 16) for
-    * the image-pixel closed form. A thread-local MessageDigest: the
-    * sf1 sweep measured `getInstance("MD5")` per call as a real cost
-    * at 13M pixel hashes (MessageDigest is not thread-safe, so the
-    * reuse is per task thread, reset by `digest()` itself).
+  /** Thread-local MessageDigest for the JVM twin of [[XF.h32]] (8 hex
+    * chars of md5, parsed base 16): the sf1 sweep measured
+    * `getInstance("MD5")` per call as a real cost at 13M pixel hashes
+    * (MessageDigest is not thread-safe, so the reuse is per task
+    * thread, reset by `digest()` itself).
     */
   private val md5Local =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     }
-  private def h32jvm(s: String): Long = {
-    val d = md5Local.get().digest(s.getBytes("UTF-8"))
-    // first 4 bytes as an unsigned 32-bit value == parseLong(hex8, 16)
+  // ---- allocation-free h32 for the per-pixel hot path ---------------
+  // The sf10 decode drive (BENCH_TAILS 64 s line) is dominated by GC:
+  // the string form of the closed-form key costs ~3 allocations per
+  // pixel (interpolated String, UTF-8 byte[], 16-byte digest) — ~440
+  // per image, 220M across the 500k-image corpus. The hot path below
+  // writes ASCII digits into a reusable per-thread buffer and digests
+  // in place; the bytes fed to MD5 are identical to
+  // `s"px:$id:$x:$y".getBytes("UTF-8")`, so the closed form (and the
+  // SQL oracle that recomputes it) is unchanged.
+  private val PxPrefix = "px:".getBytes("UTF-8")
+  private val ImwPrefix = "imw:".getBytes("UTF-8")
+  private val ImhPrefix = "imh:".getBytes("UTF-8")
+  private val keyBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](48)
+  }
+  private val digBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+  /** ASCII digits of v (>= 0) into buf at off; returns the end offset.
+    * Matches Long.toString for the non-negative ids/coords used here. */
+  private def putDigits(buf: Array[Byte], off: Int, v: Long): Int = {
+    if (v == 0) { buf(off) = '0'; return off + 1 }
+    var n = 0; var d = v
+    while (d > 0) { n += 1; d /= 10 }
+    var i = off + n - 1; var r = v
+    while (r > 0) { buf(i) = ('0' + (r % 10).toInt).toByte; r /= 10; i -= 1 }
+    off + n
+  }
+  /** h32 of "<prefix><id>" (x < 0) or "<prefix><id>:<x>:<y>". */
+  private def h32fast(prefix: Array[Byte], id: Long, x: Int, y: Int): Long = {
+    val buf = keyBuf.get()
+    System.arraycopy(prefix, 0, buf, 0, prefix.length)
+    var off = putDigits(buf, prefix.length, id)
+    if (x >= 0) {
+      buf(off) = ':'; off = putDigits(buf, off + 1, x.toLong)
+      buf(off) = ':'; off = putDigits(buf, off + 1, y.toLong)
+    }
+    val md = md5Local.get()
+    md.update(buf, 0, off)
+    val d = digBuf.get()
+    md.digest(d, 0, 16)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
@@ -104,22 +142,44 @@ object Multimodal {
     * RGB values equal the closed form exactly.
     */
   def pngBytes(id: Long): Array[Byte] = {
-    val w = (8 + h32jvm(s"imw:$id") % 9).toInt
-    val h = (8 + h32jvm(s"imh:$id") % 9).toInt
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
+    val w = (8 + h32fast(ImwPrefix, id, -1, -1) % 9).toInt
+    val h = (8 + h32fast(ImhPrefix, id, -1, -1) % 9).toInt
+    // reuse one BufferedImage per (w, h) per thread (dims span 8..16,
+    // 81 shapes) and write pixels straight into the INT_RGB backing
+    // array — setRGB per pixel routes through the ColorModel. Every
+    // pixel is overwritten, so reuse cannot bleed between images.
+    val cache = encImgCache.get()
+    val key = Integer.valueOf(w * 32 + h)
+    var img = cache.get(key)
+    if (img == null) {
+      img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      cache.put(key, img)
+    }
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var y = 0; var i = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (h32jvm(s"px:$id:$x:$y") % 16777216).toInt)
-        x += 1
+        px(i) = (h32fast(PxPrefix, id, x, y) % 16777216).toInt
+        i += 1; x += 1
       }
       y += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
+    val baos = baosLocal.get()
+    baos.reset()
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
+  }
+
+  private val encImgCache = new ThreadLocal[
+      java.util.HashMap[Integer, java.awt.image.BufferedImage]] {
+    override def initialValue() =
+      new java.util.HashMap[Integer, java.awt.image.BufferedImage]()
+  }
+  private val baosLocal = new ThreadLocal[java.io.ByteArrayOutputStream] {
+    override def initialValue() = new java.io.ByteArrayOutputStream(2048)
   }
 
   /** Real-PNG media frame: (doc_id, payload) with payload = actual PNG
@@ -162,25 +222,63 @@ object Multimodal {
     private val readers = javax.imageio.ImageIO
       .getImageReadersByFormatName("png")
     private val reader = if (readers.hasNext) readers.next() else null
+    // Reused per-decoder state (one decoder per partition): destination
+    // images per (w, h) so the reader fills an existing raster instead
+    // of allocating one per row (full-frame reads overwrite every
+    // pixel, so reuse cannot bleed), plus a samples buffer for the bulk
+    // raster read — getRGB per pixel routes each sample through the
+    // ColorModel. The sf10 line (64 s / 500k images) was adjudicated
+    // allocator/GC-bound, so the shave is allocation count, not math.
+    private val dest =
+      new java.util.HashMap[Integer, java.awt.image.BufferedImage]()
+    private val param = if (reader != null) reader.getDefaultReadParam else null
+    private var samples = new Array[Int](16 * 16 * 3)
     def decode(bytes: Array[Byte]): (Int, Int, Long) = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val img = try {
         if (reader != null) {
           reader.setInput(iis)
-          try reader.read(0) finally reader.setInput(null)
+          try {
+            val w = reader.getWidth(0); val h = reader.getHeight(0)
+            val key = Integer.valueOf(w * 1024 + h)
+            var d = dest.get(key)
+            if (d == null) {
+              d = reader.getImageTypes(0).next().createBufferedImage(w, h)
+              dest.put(key, d)
+            }
+            param.setDestination(d)
+            reader.read(0, param)
+          } finally reader.setInput(null)
         } else javax.imageio.ImageIO.read(iis)
       } finally iis.close()
       val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
       var sum = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          sum += (img.getRGB(x, y) & 0xffffff).toLong
-          x += 1
+      if (raster.getNumBands == 3) {
+        // bulk read: samples in band order R,G,B per pixel — for the
+        // 8-bit sRGB rasters the PNG reader produces this equals
+        // getRGB & 0xffffff with no per-pixel ColorModel hop (the
+        // round-trip spec pins the equality against the closed form)
+        val n = w * h * 3
+        if (samples.length < n) samples = new Array[Int](n)
+        raster.getPixels(0, 0, w, h, samples)
+        var i = 0
+        while (i < n) {
+          sum += (samples(i).toLong << 16) | (samples(i + 1) << 8) |
+            samples(i + 2)
+          i += 3
         }
-        y += 1
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += (img.getRGB(x, y) & 0xffffff).toLong
+            x += 1
+          }
+          y += 1
+        }
       }
       (w, h, sum)
     }
