@@ -36,7 +36,7 @@ pos = []
 while i < len(argv):
     a = argv[i]
     if a in ("--timeout", "--resume", "--json", "--skip",
-             "--allow-empty", "--round-ties", "--mem"):
+             "--allow-empty", "--round-ties", "--mem", "--only"):
         opts[a[2:]] = argv[i + 1]; i += 2
     else:
         pos.append(a); i += 1
@@ -158,6 +158,15 @@ def col_diffs(a, b, tie_ok=False):
 
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# --only a,b: restrict this process to the named queries. One fresh
+# process per heavy query is the recovery path when a prior sweep's
+# OOM poisoned the shared connection (the sf10 drive: after one real
+# out-of-memory every later query — even a 749-byte allocation — died
+# "bad allocation" in the SAME process; per-query processes isolate
+# the verdicts).
+if "only" in opts:
+    only = set(opts["only"].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in only}
 results = {}
 ok = bad = timed_out = skipped = 0
 for name, sql in sorted(oracle.items()):
