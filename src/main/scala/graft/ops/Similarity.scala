@@ -763,25 +763,28 @@ object Similarity {
     // case (ANSI mode faults double division by zero).
     "emb_covariance" -> ((s: SparkSession, d: String) => {
       val scale2 = 1048576.0 * 1048576.0
-      // three consumers (self-join left/right, per-dim stats) fan into
-      // the exploded frame — materialize it once (corpus×64 longs), the
-      // same single-computation rule as the shingle index.
-      // spread before the 64-way explode: the checkpointed frame
-      // otherwise inherits the single-row-group scan's ONE partition
-      // (the codec-stage rule, Multimodal.pngMedia)
-      val cells = t(s, d, "embeddings")
+      // Upper-triangle pair products generated PER VECTOR from the
+      // quantized array (inline over a nested transform/slice): the
+      // previous vec_id self-join paid 4,096 joined rows per vector,
+      // two exchanges, and a localCheckpoint write before reaching the
+      // same 2,080 groups. Here the only exchange is the 2,080-group
+      // aggregation itself, with map-side partial combine absorbing
+      // the corpus — at 100 TB the reduce side stays 2,080 rows per
+      // partition no matter the vector count. Integer sums are
+      // identical addend-for-addend, so the oracle is unchanged.
+      val emb = t(s, d, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"),
-          posexplode(Dedup.qvec(col("embedding"))).as(Seq("dim", "qv")))
-        .localCheckpoint()
-      val pairs = cells
-        .select(col("vec_id"), col("dim").as("d1"), col("qv").as("q1"))
-        .join(cells.select(col("vec_id"), col("dim").as("d2"),
-          col("qv").as("q2")), Seq("vec_id"))
-        .filter(col("d1") <= col("d2"))
+        .select(Dedup.qvec(col("embedding")).as("qv"))
+      val pairs = emb
+        .select(expr(
+          "inline(flatten(transform(qv, (x, i) -> " +
+            "transform(slice(qv, i + 1, size(qv)), (y, k) -> " +
+            "struct(i AS d1, i + k AS d2, x * y AS p)))))"))
         .groupBy(col("d1"), col("d2"))
-        .agg(count(lit(1)).as("n"), sum(col("q1") * col("q2")).as("s12"))
-      val stats = cells.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("s12"))
+      val stats = emb
+        .select(posexplode(col("qv")).as(Seq("dim", "qv")))
+        .groupBy(col("dim"))
         .agg(sum(col("qv")).as("s"), sum(col("qv") * col("qv")).as("s2"))
       def m(c: Column): Column = c.cast(DoubleType) / col("n").cast(DoubleType)
       val covQ = m(col("s12")) - m(col("s1v")) * m(col("s2v"))
