@@ -530,6 +530,249 @@ object EraseArcs {
     all.toDF("zone_id", "area_sqft")
   }
 
+  // ---- GENERAL POLYGON SUBTRAHEND (round 12) -------------------------
+  // arcpy Erase accepts ARBITRARY erase features, not only buffer
+  // disks (the reference's only actual use is the 1500 ft buffer,
+  // GSheetsETL_Lab2.py:129-133); this family completes the operator's
+  // general contract: zone polygon − union of SUBTRAHEND POLYGONS.
+  // Same Green's-theorem boundary decomposition as the disk kernels,
+  // with the angular-interval machinery replaced by parametric
+  // t-intervals on straight edges ("edge clipping"):
+  //   (a) zone edges CCW, minus the t-intervals covered by any
+  //       subtrahend (segment-in-polygon: crossing params + midpoint
+  //       point-in-polygon per sub-interval);
+  //   (b) each subtrahend's edges clipped to the convex zone and to
+  //       the OUTSIDE of every other subtrahend, traversed REVERSED
+  //       (the kept region lies right of the subtrahend's CCW edge).
+  // All intersection points are rational in the vertex coordinates —
+  // no transcendentals — but the clipping algorithm itself has no SQL
+  // form, so the query keeps the erase family's declared no-oracle
+  // rule with GeoSpec pinning hand cases, rectangle algebra,
+  // inclusion-exclusion, winding invariance, grid sampling, and
+  // convergence to the circle kernel on a fine n-gon subtrahend.
+
+  /** Ray-cast point-in-polygon (strict interior for generic points;
+    * boundary points are resolved arbitrarily — callers only test
+    * interval MIDPOINTS, which are off-boundary in general position).
+    */
+  private def pointInPoly(px: Double, py: Double,
+      poly: Seq[(Double, Double)]): Boolean = {
+    var in = false
+    var j = poly.size - 1
+    var i = 0
+    while (i < poly.size) {
+      val (xi, yi) = poly(i); val (xj, yj) = poly(j)
+      if ((yi > py) != (yj > py) &&
+          px < (xj - xi) * (py - yi) / (yj - yi) + xi) in = !in
+      j = i; i += 1
+    }
+    in
+  }
+
+  /** Merged t-intervals of segment A→B lying inside simple polygon
+    * `poly` (winding-agnostic): crossing parameters against every
+    * polygon edge split [0,1]; each sub-interval is classified by its
+    * midpoint. Degenerate polygon edges fail loudly (same discipline
+    * as the convex kernel).
+    */
+  private def segInPolyIntervals(ax: Double, ay: Double, bx: Double,
+      by: Double, poly: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    val dx = bx - ax; val dy = by - ay
+    val ts = Seq.newBuilder[Double]
+    poly.indices.foreach { i =>
+      val (cx, cy) = poly(i)
+      val (ex, ey) = poly((i + 1) % poly.size)
+      val fx = ex - cx; val fy = ey - cy
+      require(fx != 0.0 || fy != 0.0,
+        s"erasedAreaPolySub: degenerate subtrahend edge at ($cx,$cy)")
+      val denom = dx * fy - dy * fx
+      if (denom != 0.0) {
+        val t = ((cx - ax) * fy - (cy - ay) * fx) / denom
+        val u = ((cx - ax) * dy - (cy - ay) * dx) / denom
+        if (t > 0.0 && t < 1.0 && u >= 0.0 && u <= 1.0) ts += t
+      }
+    }
+    val bounds = (0.0 +: ts.result().sorted :+ 1.0).distinct
+    bounds.sliding(2).collect { case Seq(s, e) if e > s &&
+        pointInPoly(ax + (s + e) / 2 * dx, ay + (s + e) / 2 * dy, poly) =>
+      (s, e)
+    }.toSeq
+  }
+
+  /** 1-D interval merge (inputs clamped to [0,1], sorted by start). */
+  private def mergeIntervals(
+      in: Seq[(Double, Double)]): List[(Double, Double)] =
+    in.sortBy(_._1).foldLeft(List.empty[(Double, Double)]) {
+      case (acc, (s, e)) => acc match {
+        case (ps, pe) :: tl if s <= pe => (ps, math.max(pe, e)) :: tl
+        case _ => (s, e) :: acc
+      }
+    }.reverse
+
+  /** EXACT area of (convex zone polygon − union of subtrahend simple
+    * polygons) — see the family header above. Zone ring requirements
+    * match [[erasedAreaPoly]] (convex, loud guards); subtrahends may
+    * be any simple rings in either winding and in general position
+    * (no exactly-shared boundary segments between subtrahends).
+    */
+  private[graft] def erasedAreaPolySub(verticesIn: Seq[(Double, Double)],
+      subsIn: Seq[Seq[(Double, Double)]]): Double = {
+    require(verticesIn.size >= 3, "polygon needs >= 3 vertices")
+    val shoelace = verticesIn.indices.map { i =>
+      val (x1, y1) = verticesIn(i)
+      val (x2, y2) = verticesIn((i + 1) % verticesIn.size)
+      x1 * y2 - x2 * y1
+    }.sum
+    val vertices = if (shoelace >= 0) verticesIn else verticesIn.reverse
+    vertices.indices.foreach { i =>
+      val (ax, ay) = vertices(i)
+      val (bx, by) = vertices((i + 1) % vertices.size)
+      val (cx2, cy2) = vertices((i + 2) % vertices.size)
+      val cross = (bx - ax) * (cy2 - by) - (by - ay) * (cx2 - bx)
+      require(cross >= -1e-9 * math.abs(shoelace),
+        s"erasedAreaPolySub: concave vertex at ($bx,$by) — " +
+          "use erasedAreaConcaveSub for non-convex zones")
+    }
+    // normalize subtrahends to CCW; drop degenerate (<3 vertex) rings
+    val subs = subsIn.distinct.map { ring =>
+      require(ring.size >= 3, "subtrahend needs >= 3 vertices")
+      val sl = ring.indices.map { i =>
+        val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % ring.size)
+        x1 * y2 - x2 * y1
+      }.sum
+      if (sl >= 0) ring else ring.reverse
+    }
+    val zEdges = vertices.indices.map { i =>
+      (vertices(i), vertices((i + 1) % vertices.size))
+    }
+    // (a) zone-edge pieces outside every subtrahend, CCW
+    val edgePart = zEdges.map { case ((ax, ay), (bx, by)) =>
+      val dx = bx - ax; val dy = by - ay
+      require(dx != 0.0 || dy != 0.0,
+        s"erasedAreaPolySub: degenerate zero-length edge at ($ax,$ay)")
+      val covered =
+        mergeIntervals(subs.flatMap(p => segInPolyIntervals(ax, ay, bx, by, p)))
+      val bounds = 0.0 +: covered.flatMap { case (s, e) => Seq(s, e) } :+ 1.0
+      bounds.grouped(2).collect { case Seq(s, e) if e > s =>
+        val x1 = ax + s * dx; val y1 = ay + s * dy
+        val x2 = ax + e * dx; val y2 = ay + e * dy
+        0.5 * (x1 * y2 - x2 * y1)
+      }.sum
+    }.sum
+    // (b) subtrahend-edge pieces inside the zone and outside every
+    // other subtrahend, traversed REVERSED (kept region on the left)
+    val subPart = subs.zipWithIndex.map { case (p, k) =>
+      p.indices.map { i =>
+        val (cx, cy) = p(i)
+        val (ex, ey) = p((i + 1) % p.size)
+        val dx = ex - cx; val dy = ey - cy
+        require(dx != 0.0 || dy != 0.0,
+          s"erasedAreaPolySub: degenerate subtrahend edge at ($cx,$cy)")
+        // parametric clip of C→E to the convex CCW zone (inside = left
+        // of every zone edge)
+        var t0 = 0.0; var t1 = 1.0
+        zEdges.foreach { case ((zax, zay), (zbx, zby)) =>
+          val nx = zbx - zax; val ny = zby - zay
+          val f0 = nx * (cy - zay) - ny * (cx - zax)
+          val fd = nx * dy - ny * dx
+          if (fd == 0.0) { if (f0 < 0.0) { t0 = 1.0; t1 = 0.0 } }
+          else {
+            val tc = -f0 / fd
+            if (fd > 0.0) t0 = math.max(t0, tc)
+            else t1 = math.min(t1, tc)
+          }
+        }
+        if (t0 >= t1) 0.0
+        else {
+          val coveredByOthers = mergeIntervals(
+            subs.indices.filter(_ != k).flatMap(j =>
+              segInPolyIntervals(cx, cy, ex, ey, subs(j))))
+          // survivors of [t0, t1] minus coveredByOthers
+          var cur = t0
+          var acc = 0.0
+          def reversedGreen(s: Double, e: Double): Double = {
+            val x1 = cx + s * dx; val y1 = cy + s * dy
+            val x2 = cx + e * dx; val y2 = cy + e * dy
+            0.5 * (x2 * y1 - x1 * y2) // traversed e→s: kept side left
+          }
+          coveredByOthers.foreach { case (s, e) =>
+            if (e > cur && s < t1) {
+              if (s > cur) acc += reversedGreen(cur, math.min(s, t1))
+              cur = math.max(cur, math.min(e, t1))
+            }
+          }
+          if (cur < t1) acc += reversedGreen(cur, t1)
+          acc
+        }
+      }.sum
+    }.sum
+    math.max(0.0, edgePart + subPart)
+  }
+
+  /** GENERAL zone rings with polygon subtrahends: ear-clip the outer
+    * and hole rings and sum the convex kernel per triangle — the same
+    * additive-measure reduction as [[erasedAreaConcave]].
+    */
+  private[graft] def erasedAreaConcaveSub(outer: Seq[(Double, Double)],
+      holes: Seq[Seq[(Double, Double)]],
+      subs: Seq[Seq[(Double, Double)]]): Double = {
+    def piece(ring: Seq[(Double, Double)]): Double =
+      triangulate(ring).map(t => erasedAreaPolySub(t, subs)).sum
+    math.max(0.0, piece(outer) - holes.map(piece).sum)
+  }
+
+  /** Surviving area per CONVEX polygon zone under POLYGON subtrahends
+    * (see [[erasedAreaPolySub]]): zones as (zone_id, vertex ring),
+    * subtrahends as (sub_id, vertex ring) — the subtrahend side is
+    * corpus-scale (one footprint per opt-out address), so it streams:
+    * bounding circles are computed IN-FRAME from the vertex arrays,
+    * the touch join broadcasts only the bounded zone catalog, and the
+    * kernel runs inside mapGroups so only (zone_id, area) pairs reach
+    * the driver. Zones with no candidate subtrahend keep the exact
+    * shoelace area.
+    */
+  def eraseAreaPolySub(spark: SparkSession, zones: DataFrame,
+      subs: DataFrame): DataFrame = {
+    import spark.implicits._
+    def shoelace(vs: Seq[(Double, Double)]): Double =
+      math.abs(vs.indices.map { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+        x1 * y2 - x2 * y1
+      }.sum) / 2
+    val zcat = zones.select(col("zone_id").cast("int"), col("vertices"))
+      .as[(Int, Seq[(Double, Double)])]
+      .collect().toSeq
+    val bound = zcat.map { case (z, vs) =>
+      val cx = vs.map(_._1).sum / vs.size
+      val cy = vs.map(_._2).sum / vs.size
+      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      (z, cx, cy, rad)
+    }.toDF("zone_id", "bcx", "bcy", "brad")
+    val verts = zcat.toMap
+    // subtrahend bounding circle from its vertex array, in-frame
+    val xs = transform(col("vertices"), v => v.getField("_1"))
+    val ys = transform(col("vertices"), v => v.getField("_2"))
+    val scx = (array_min(xs) + array_max(xs)) / 2
+    val scy = (array_min(ys) + array_max(ys)) / 2
+    val srad = sqrt(Geo.dist2(array_min(xs), array_min(ys),
+      array_max(xs), array_max(ys))) / 2
+    val pairs = subs
+      .select(col("vertices"), scx.as("scx"), scy.as("scy"),
+        srad.as("srad"))
+      .join(broadcast(bound),
+        Geo.dist2(col("scx"), col("scy"), col("bcx"), col("bcy"))
+          < (col("brad") + col("srad")) * (col("brad") + col("srad")))
+      .select(col("zone_id").cast("int"), col("vertices"))
+      .as[(Int, Seq[(Double, Double)])]
+    val touched = pairs.groupByKey(_._1).mapGroups { (zid, rows) =>
+      zid -> erasedAreaPolySub(verts(zid), rows.map(_._2).toSeq)
+    }.collect().toMap
+    val all = zcat.sortBy(_._1).map { case (z, vs) =>
+      (z, touched.getOrElse(z, shoelace(vs)))
+    }
+    all.toDF("zone_id", "area_sqft")
+  }
+
   /** One directed boundary piece of an erased-zone output ring
     * (coordinates RELATIVE to the zone center): a circular arc of the
     * circle centered (cx, cy) radius rho over the CCW-parameterized

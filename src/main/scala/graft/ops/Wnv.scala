@@ -437,6 +437,24 @@ object Wnv {
         .select(col("zone_id"), XF.r6(col("area_sqft")).as("area_sqft"))
         .orderBy(col("zone_id"))),
 
+    // J2 GEOMETRY, POLYGON SUBTRAHENDS (round 12): the general arcpy
+    // Erase contract — erase features are ARBITRARY polygons, not only
+    // buffer disks (the reference's one concrete use). Diamond zone
+    // rings minus rotated-square parcel footprints around the opt-out
+    // addresses (geo/EraseArcs.erasedAreaPolySub: Green's-theorem
+    // boundary decomposition with parametric edge clipping in place of
+    // the angular-interval machinery). All intersection points are
+    // rational in the vertex coordinates, but the clipping algorithm
+    // has no SQL form — same declared no-oracle rule as the other
+    // erase-geometry queries; GeoSpec pins exact rectangle algebra,
+    // inclusion-exclusion, winding invariance, grid sampling, n-gon
+    // convergence to the disk kernel, and the distributed-path replay.
+    "wnv_erase_poly_sub" -> ((s: SparkSession, d: String) =>
+      graft.geo.EraseArcs.eraseAreaPolySub(s, polygonZones(s, d),
+          parcelFootprints(s, d))
+        .select(col("zone_id"), XF.r6(col("area_sqft")).as("area_sqft"))
+        .orderBy(col("zone_id"))),
+
     // J2 GEOMETRY, GENERAL polygon zones (round 9): concave rings WITH
     // holes — the full arcpy-Erase input domain (reference
     // GSheetsETL_Lab2.py:133). Each zone as a concave 4-point star
@@ -514,6 +532,28 @@ object Wnv {
         v(cx - r * 0.15, cy + r * 0.15),
         v(cx - r * 0.15, cy - r * 0.15),
         v(cx + r * 0.15, cy - r * 0.15))).as("holes"))
+  }
+
+  /** Polygon ERASE FEATURES (round 12): a rotated-square "parcel
+    * footprint" per opt-out address — the general-subtrahend analogue
+    * of the 1500 ft buffer disk (arcpy Erase takes arbitrary erase
+    * features; the reference's only actual subtrahend is the circular
+    * buffer, GSheetsETL_Lab2.py:129-133). Half-diagonal 1200 ft,
+    * rotated 30° (rational cos/sin would be nicer, but the constants
+    * are exact doubles shared by the kernel and its GeoSpec replay) so
+    * the squares are NOT axis-aligned — the kernel sees generic edge
+    * orientations, not a grid-friendly special case.
+    */
+  def parcelFootprints(spark: SparkSession, dir: String): DataFrame = {
+    val hd = lit(1200.0)
+    val c30 = lit(math.cos(math.Pi / 6)); val s30 = lit(math.sin(math.Pi / 6))
+    def v(dx: org.apache.spark.sql.Column, dy: org.apache.spark.sql.Column) =
+      struct((col("x_ft") + dx * c30 - dy * s30).as("_1"),
+        (col("y_ft") + dx * s30 + dy * c30).as("_2"))
+    optOut(spark, dir).select(
+      col("c_custkey").as("sub_id"),
+      array(v(hd, lit(0.0)), v(lit(0.0), hd),
+        v(-hd, lit(0.0)), v(lit(0.0), -hd)).as("vertices"))
   }
 
   def polygonZones(spark: SparkSession, dir: String): DataFrame =

@@ -15,13 +15,15 @@ class EntrySpec extends SparkSpec {
   test("every oracle key has a query and every query runs at sf0.001") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // the only no-oracle queries are the documented ones: HLL sketch
-    // values are implementation-defined, and the erase geometry
-    // (circle arcs + polygon areas) is transcendental (atan2/acos —
-    // not bit-stable across engines, the Lcc rule); all are pinned by
-    // their own specs instead
+    // values are implementation-defined, the erase geometry (circle
+    // arcs + polygon areas) is transcendental (atan2/acos — not
+    // bit-stable across engines, the Lcc rule), and the
+    // polygon-subtrahend clipping algorithm has no SQL form; all are
+    // pinned by their own specs instead
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === Set("agg_approx_distinct", "wnv_erase_arcs",
-      "wnv_erase_poly", "wnv_erase_concave", "wnv_erase_rings"))
+      "wnv_erase_poly", "wnv_erase_concave", "wnv_erase_rings",
+      "wnv_erase_poly_sub"))
   }
 
   test("every query returns at least one row at sf0.001 (driver gate)") {

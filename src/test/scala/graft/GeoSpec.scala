@@ -608,4 +608,165 @@ class GeoSpec extends SparkSpec {
       assert(a <= circ(z) + 1e-6, s"zone $z star $a > circle ${circ(z)}")
     }
   }
+
+  // ---- round 12: POLYGON subtrahends (general Erase contract) --------
+
+  test("polygon-subtrahend erase: rectangle algebra is exact") {
+    import graft.geo.EraseArcs
+    val square = Seq((-1000.0, -1000.0), (1000.0, -1000.0),
+      (1000.0, 1000.0), (-1000.0, 1000.0))
+    def sq(cx: Double, cy: Double, hw: Double) = Seq(
+      (cx - hw, cy - hw), (cx + hw, cy - hw),
+      (cx + hw, cy + hw), (cx - hw, cy + hw))
+    def area(subs: Seq[(Double, Double)]*): Double =
+      EraseArcs.erasedAreaPolySub(square, subs)
+    val full = 4e6
+    assert(math.abs(area() - full) < 1e-6)
+    // disjoint subtrahend leaves the zone whole
+    assert(math.abs(area(sq(9000, 0, 300)) - full) < 1e-6)
+    // centered interior square: a² − b² exactly
+    assert(math.abs(area(sq(0, 0, 300)) - (full - 600.0 * 600.0)) < 1e-6)
+    // duplicate subtrahends erase once (union semantics)
+    assert(math.abs(area(sq(0, 0, 300), sq(0, 0, 300)) -
+      (full - 600.0 * 600.0)) < 1e-6)
+    // corner overlap: only the intersecting rectangle is erased
+    assert(math.abs(area(sq(1000, 1000, 400)) -
+      (full - 400.0 * 400.0)) < 1e-6)
+    // two OVERLAPPING interior squares: inclusion-exclusion
+    val a1 = sq(0, 0, 300); val a2 = sq(200, 0, 300)
+    val inter = 400.0 * 600.0
+    assert(math.abs(area(a1, a2) -
+      (full - (360000.0 + 360000.0 - inter))) < 1e-6)
+    // subtrahend covering the zone entirely -> empty
+    assert(area(sq(0, 0, 5000)) === 0.0)
+    // winding invariance: CW subtrahend input normalizes
+    assert(math.abs(EraseArcs.erasedAreaPolySub(square,
+      Seq(sq(0, 0, 300).reverse)) - (full - 600.0 * 600.0)) < 1e-6)
+    // subtrahend poking OUT of the zone: only the inside part erases
+    assert(math.abs(area(sq(1000, 0, 300)) -
+      (full - 300.0 * 600.0)) < 1e-6)
+  }
+
+  test("polygon-subtrahend erase: grid sampling over rotated subtrahends") {
+    import graft.geo.EraseArcs
+    val pent = Seq((-900.0, -700.0), (800.0, -1000.0), (1100.0, 200.0),
+      (200.0, 1000.0), (-1000.0, 500.0))
+    // rotated squares and triangles in pseudo-random positions
+    val subs = (1 to 10).map { i =>
+      val a = i * 2.399963229728653
+      val rad = 150.0 + (i * 173) % 900
+      val cx = rad * math.cos(a); val cy = rad * math.sin(a)
+      val rot = i * 0.7; val hw = 120.0 + (i * 37) % 180
+      if (i % 2 == 0)
+        (0 until 4).map { k =>
+          val b = rot + math.Pi / 2 * k
+          (cx + hw * math.cos(b), cy + hw * math.sin(b))
+        }
+      else
+        (0 until 3).map { k =>
+          val b = rot + 2 * math.Pi / 3 * k
+          (cx + hw * math.cos(b), cy + hw * math.sin(b))
+        }
+    }
+    val got = EraseArcs.erasedAreaPolySub(pent, subs)
+    def insideConvex(p: Seq[(Double, Double)], x: Double, y: Double) =
+      p.indices.forall { i =>
+        val (ax, ay) = p(i); val (bx, by) = p((i + 1) % p.size)
+        (bx - ax) * (y - ay) - (by - ay) * (x - ax) >= 0
+      }
+    val n = 600
+    var in = 0; var tot = 0
+    for (ix <- -n to n; iy <- -n to n) {
+      val x = ix * 1100.0 / n; val y = iy * 1100.0 / n
+      if (insideConvex(pent, x, y)) {
+        tot += 1
+        if (!subs.exists(s => insideConvex(s, x, y))) in += 1
+      }
+    }
+    val pentArea = ringArea(pent)
+    val sampled = pentArea * in / tot
+    assert(math.abs(got - sampled) / pentArea < 2e-3,
+      s"green $got vs grid $sampled")
+  }
+
+  test("polygon-subtrahend erase: fine n-gon subtrahend converges to the disk kernel") {
+    import graft.geo.EraseArcs
+    val square = Seq((-1000.0, -1000.0), (1000.0, -1000.0),
+      (1000.0, 1000.0), (-1000.0, 1000.0))
+    val r = 300.0
+    val centers = Seq((100.0, 50.0), (-400.0, 300.0), (950.0, -200.0))
+    val subs = centers.map { case (cx, cy) =>
+      (0 until 512).map { k =>
+        val a = 2 * math.Pi * k / 512
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+    }
+    val got = EraseArcs.erasedAreaPolySub(square, subs)
+    val want = EraseArcs.erasedAreaPoly(square, centers, r)
+    assert(math.abs(got - want) / want < 1e-3, s"ngon $got vs disk $want")
+  }
+
+  test("polygon-subtrahend erase: concave zone reduction and hole algebra") {
+    import graft.geo.EraseArcs
+    // L-shaped (concave) zone: 3000x2000 minus the top-right 1500x1000
+    val ell = Seq((0.0, 0.0), (3000.0, 0.0), (3000.0, 1000.0),
+      (1500.0, 1000.0), (1500.0, 2000.0), (0.0, 2000.0))
+    def sq(cx: Double, cy: Double, hw: Double) = Seq(
+      (cx - hw, cy - hw), (cx + hw, cy - hw),
+      (cx + hw, cy + hw), (cx - hw, cy + hw))
+    val ellArea = 3000.0 * 1000.0 + 1500.0 * 1000.0
+    // interior square in the lower arm
+    val got = EraseArcs.erasedAreaConcaveSub(ell, Nil, Seq(sq(2200, 500, 200)))
+    assert(math.abs(got - (ellArea - 400.0 * 400.0)) < 1e-6)
+    // square straddling the concave notch: only the in-zone half erases
+    val got2 = EraseArcs.erasedAreaConcaveSub(ell, Nil, Seq(sq(1500, 1500, 200)))
+    assert(math.abs(got2 - (ellArea - 200.0 * 400.0)) < 1e-6)
+    // hole algebra: a hole and a subtrahend in disjoint regions
+    val hole = sq(500, 500, 150)
+    val got3 = EraseArcs.erasedAreaConcaveSub(ell, Seq(hole),
+      Seq(sq(2200, 500, 200)))
+    assert(math.abs(got3 - (ellArea - 300.0 * 300.0 - 400.0 * 400.0)) < 1e-6)
+    // convex agreement: the reduction equals the direct kernel
+    val square = Seq((-1000.0, -1000.0), (1000.0, -1000.0),
+      (1000.0, 1000.0), (-1000.0, 1000.0))
+    val subs = Seq(sq(100, 50, 300), sq(-300, 200, 250))
+    assert(math.abs(
+      EraseArcs.erasedAreaConcaveSub(square, Nil, subs) -
+        EraseArcs.erasedAreaPolySub(square, subs)) < 1e-6)
+  }
+
+  test("polygon-subtrahend erase: the distributed path equals a driver-side replay") {
+    import graft.geo.EraseArcs
+    val zones = graft.ops.Wnv.polygonZones(spark, sf)
+    val subs = graft.ops.Wnv.parcelFootprints(spark, sf)
+    val got = EraseArcs.eraseAreaPolySub(spark, zones, subs)
+      .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+    def ring(rows: Seq[org.apache.spark.sql.Row]): Seq[(Double, Double)] =
+      rows.map(v => (v.getDouble(0), v.getDouble(1)))
+    val zs = zones.select(col("zone_id").cast("int"), col("vertices"))
+      .collect().map(w => (w.getInt(0), ring(w.getSeq[org.apache.spark.sql.Row](1))))
+    val ss = subs.select(col("vertices")).collect()
+      .map(w => ring(w.getSeq[org.apache.spark.sql.Row](0)))
+    assert(got.keySet === zs.map(_._1).toSet)
+    assert(ss.nonEmpty, "no parcel footprints at this sf")
+    zs.foreach { case (z, vs) =>
+      val cx = vs.map(_._1).sum / vs.size
+      val cy = vs.map(_._2).sum / vs.size
+      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      val near = ss.filter { s =>
+        val sx = (s.map(_._1).min + s.map(_._1).max) / 2
+        val sy = (s.map(_._2).min + s.map(_._2).max) / 2
+        val sr = math.hypot(s.map(_._1).max - s.map(_._1).min,
+          s.map(_._2).max - s.map(_._2).min) / 2
+        (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) < (rad + sr) * (rad + sr)
+      }.toSeq
+      val want =
+        if (near.isEmpty) ringArea(vs)
+        else EraseArcs.erasedAreaPolySub(vs, near)
+      assert(math.abs(got(z) - want) <= 1e-9 * math.max(1.0, want),
+        s"zone $z: spark ${got(z)} vs replay $want")
+      // monotone: polygon-subtrahend area never exceeds the full zone
+      assert(got(z) <= ringArea(vs) + 1e-6)
+    }
+  }
 }
