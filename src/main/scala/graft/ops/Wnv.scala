@@ -455,6 +455,13 @@ object Wnv {
         .select(col("zone_id"), XF.r6(col("area_sqft")).as("area_sqft"))
         .orderBy(col("zone_id"))),
 
+    // SELECTION semantics of the same polygon-subtrahend erase —
+    // oracle-checked (rational rotation, see erasePolySubSelection).
+    "wnv_erase_poly_sub_selection" -> ((s: SparkSession, d: String) =>
+      erasePolySubSelection(s, d)
+        .select(col("c_custkey"), col("x_ft"), col("y_ft"))
+        .orderBy(col("c_custkey"))),
+
     // J2 GEOMETRY, GENERAL polygon zones (round 9): concave rings WITH
     // holes — the full arcpy-Erase input domain (reference
     // GSheetsETL_Lab2.py:133). Each zone as a concave 4-point star
@@ -539,21 +546,60 @@ object Wnv {
     * of the 1500 ft buffer disk (arcpy Erase takes arbitrary erase
     * features; the reference's only actual subtrahend is the circular
     * buffer, GSheetsETL_Lab2.py:129-133). Half-diagonal 1200 ft,
-    * rotated 30° (rational cos/sin would be nicer, but the constants
-    * are exact doubles shared by the kernel and its GeoSpec replay) so
-    * the squares are NOT axis-aligned — the kernel sees generic edge
-    * orientations, not a grid-friendly special case.
+    * rotated by the RATIONAL 3-4-5 angle (cos 0.8, sin 0.6): the
+    * squares are not axis-aligned (the kernel sees generic edge
+    * orientations), and every constant is an exactly-representable
+    * double — so the SELECTION companion query's membership predicate
+    * evaluates bit-identically in Spark and DuckDB and stays on the
+    * hash-compared oracle surface.
     */
+  val ParcelHalfDiag = 1200.0
+  private val RotC = 0.8
+  private val RotS = 0.6
   def parcelFootprints(spark: SparkSession, dir: String): DataFrame = {
-    val hd = lit(1200.0)
-    val c30 = lit(math.cos(math.Pi / 6)); val s30 = lit(math.sin(math.Pi / 6))
+    val hd = lit(ParcelHalfDiag)
+    val c = lit(RotC); val s = lit(RotS)
     def v(dx: org.apache.spark.sql.Column, dy: org.apache.spark.sql.Column) =
-      struct((col("x_ft") + dx * c30 - dy * s30).as("_1"),
-        (col("y_ft") + dx * s30 + dy * c30).as("_2"))
+      struct((col("x_ft") + dx * c - dy * s).as("_1"),
+        (col("y_ft") + dx * s + dy * c).as("_2"))
     optOut(spark, dir).select(
       col("c_custkey").as("sub_id"),
       array(v(hd, lit(0.0)), v(lit(0.0), hd),
         v(-hd, lit(0.0)), v(lit(0.0), -hd)).as("vertices"))
+  }
+
+  /** J2 SELECTION semantics under POLYGON subtrahends (the
+    * oracle-checked companion of `wnv_erase_poly_sub`): in-risk points
+    * minus the points inside any parcel footprint. Same grid-cell
+    * hash anti-join shape as [[eraseSelectionFrom]]; the residual
+    * predicate is rotated-L1 square membership |u| + |v| ≤ hd with
+    * (u, v) the point offset in the footprint's frame — rational
+    * rotation, so the DuckDB twin computes the bit-identical IEEE
+    * expression (the area queries' clipping has no SQL form; the
+    * selection predicate does).
+    */
+  def erasePolySubSelection(spark: SparkSession, dir: String): DataFrame = {
+    val cell = BufferFt
+    val bbox = ParcelHalfDiag // footprint bbox half-extent hd·max(c,s) < hd
+    val inRisk = points(spark, dir)
+      .join(broadcast(zones(spark, dir).filter(col("high_risk"))),
+        inZone(col("x_ft"), col("y_ft")), "left_semi")
+      .withColumn("gx", floor(col("x_ft") / cell))
+      .withColumn("gy", floor(col("y_ft") / cell))
+    val footCells = optOut(spark, dir)
+      .select(col("x_ft").as("ox"), col("y_ft").as("oy"))
+      .withColumn("gx", explode(sequence(
+        floor((col("ox") - bbox) / cell), floor((col("ox") + bbox) / cell))))
+      .withColumn("gy", explode(sequence(
+        floor((col("oy") - bbox) / cell), floor((col("oy") + bbox) / cell))))
+    val dx = col("x_ft") - col("ox"); val dy = col("y_ft") - col("oy")
+    val u = dx * lit(RotC) + dy * lit(RotS)
+    val v = dy * lit(RotC) - dx * lit(RotS)
+    inRisk.join(footCells,
+        inRisk("gx") === footCells("gx") && inRisk("gy") === footCells("gy") &&
+          (abs(u) + abs(v) <= lit(ParcelHalfDiag)),
+        "left_anti")
+      .drop("gx", "gy")
   }
 
   def polygonZones(spark: SparkSession, dir: String): DataFrame =
@@ -677,6 +723,24 @@ object Wnv {
          |    WHERE o.c_custkey % 10 = 0
          |      AND ${Geo.dist2Sql(px, py, "o.x_ft", "o.y_ft")}
          |          <= CAST(2250000 AS DOUBLE))
+         |ORDER BY p.c_custkey""".stripMargin,
+
+    // rotated-L1 membership with the RATIONAL 3-4-5 rotation: both
+    // engines evaluate the bit-identical IEEE expression (same
+    // operand order as erasePolySubSelection's Column tree)
+    "wnv_erase_poly_sub_selection" ->
+      s"""WITH pts AS ($pointsSql), z AS ($zonesSql)
+         |SELECT p.c_custkey, p.x_ft, p.y_ft
+         |FROM pts p
+         |WHERE EXISTS (SELECT 1 FROM z WHERE z.high_risk AND ${inZoneSql(px, py)})
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM pts o
+         |    WHERE o.c_custkey % 10 = 0
+         |      AND abs((p.x_ft - o.x_ft) * CAST(0.8 AS DOUBLE)
+         |              + (p.y_ft - o.y_ft) * CAST(0.6 AS DOUBLE))
+         |        + abs((p.y_ft - o.y_ft) * CAST(0.8 AS DOUBLE)
+         |              - (p.x_ft - o.x_ft) * CAST(0.6 AS DOUBLE))
+         |          <= CAST(1200 AS DOUBLE))
          |ORDER BY p.c_custkey""".stripMargin,
 
     "wnv_target_report" ->

@@ -66,6 +66,40 @@ class WnvSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("polygon-footprint erase selection: brute force parity and hash-join plan") {
+    val pts = Wnv.points(spark, sf).select("c_custkey", "x_ft", "y_ft")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val zones = Wnv.zones(spark, sf)
+      .filter(col("high_risk"))
+      .select("cx_ft", "cy_ft", "radius_ft")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val optOut = pts.filter(_._1 % 10 == 0)
+    def d2(ax: Double, ay: Double, bx: Double, by: Double) =
+      (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+    // brute-force rotated-L1 membership, same 3-4-5 rotation
+    def inFootprint(x: Double, y: Double, ox: Double, oy: Double) = {
+      val dx = x - ox; val dy = y - oy
+      math.abs(dx * 0.8 + dy * 0.6) + math.abs(dy * 0.8 - dx * 0.6) <=
+        Wnv.ParcelHalfDiag
+    }
+    val expected = pts.filter { case (_, x, y) =>
+      zones.exists { case (cx, cy, r) => d2(x, y, cx, cy) <= r * r } &&
+        !optOut.exists { case (_, ox, oy) => inFootprint(x, y, ox, oy) }
+    }.map(_._1).toSet
+    val sel = Wnv.erasePolySubSelection(spark, sf)
+    val got = sel.select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // the corpus-scale ANTI join must plan as a grid-cell HASH join
+    // (the 100 TB shape) — never a nested loop over points ×
+    // footprints. The zone SEMI join against the 25-row catalog is the
+    // intended broadcast theta join and MAY be a nested loop.
+    val p = sel.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.linesIterator.filter(_.contains("LeftAnti"))
+      .forall(l => l.contains("HashJoin")), p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
   test("spatial join_count equals brute-force zone membership count") {
     val pts = Wnv.points(spark, sf).select("c_custkey", "x_ft", "y_ft")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
