@@ -609,14 +609,22 @@ object EraseArcs {
       }
     }.reverse
 
-  /** EXACT area of (convex zone polygon − union of subtrahend simple
-    * polygons) — see the family header above. Zone ring requirements
-    * match [[erasedAreaPoly]] (convex, loud guards); subtrahends may
-    * be any simple rings in either winding and in general position
-    * (no exactly-shared boundary segments between subtrahends).
-    */
-  private[graft] def erasedAreaPolySub(verticesIn: Seq[(Double, Double)],
-      subsIn: Seq[Seq[(Double, Double)]]): Double = {
+  /** CCW-normalize a subtrahend ring (loud guard on degenerate rings) —
+    * one code path for the kernel and the distributed wrapper so their
+    * per-piece arithmetic is identical. */
+  private def normalizeCcw(ring: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    require(ring.size >= 3, "subtrahend needs >= 3 vertices")
+    val sl = ring.indices.map { i =>
+      val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % ring.size)
+      x1 * y2 - x2 * y1
+    }.sum
+    if (sl >= 0) ring else ring.reverse
+  }
+
+  /** CCW-normalized vertices + edges of a CONVEX zone ring (loud
+    * guards), shared by the kernel and the distributed wrapper. */
+  private def convexZoneEdges(verticesIn: Seq[(Double, Double)])
+      : IndexedSeq[((Double, Double), (Double, Double))] = {
     require(verticesIn.size >= 3, "polygon needs >= 3 vertices")
     val shoelace = verticesIn.indices.map { i =>
       val (x1, y1) = verticesIn(i)
@@ -633,78 +641,157 @@ object EraseArcs {
         s"erasedAreaPolySub: concave vertex at ($bx,$by) — " +
           "use erasedAreaConcaveSub for non-convex zones")
     }
-    // normalize subtrahends to CCW; drop degenerate (<3 vertex) rings
-    val subs = subsIn.distinct.map { ring =>
-      require(ring.size >= 3, "subtrahend needs >= 3 vertices")
-      val sl = ring.indices.map { i =>
-        val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % ring.size)
-        x1 * y2 - x2 * y1
-      }.sum
-      if (sl >= 0) ring else ring.reverse
-    }
-    val zEdges = vertices.indices.map { i =>
+    vertices.indices.map { i =>
       (vertices(i), vertices((i + 1) % vertices.size))
+    }.toIndexedSeq
+  }
+
+  /** Green's contribution of one zone edge traversed CCW minus its
+    * covered intervals (MERGED, sorted). */
+  private def zoneEdgeGreen(ax: Double, ay: Double, bx: Double, by: Double,
+      covered: List[(Double, Double)]): Double = {
+    val dx = bx - ax; val dy = by - ay
+    require(dx != 0.0 || dy != 0.0,
+      s"erasedAreaPolySub: degenerate zero-length edge at ($ax,$ay)")
+    val bounds = 0.0 +: covered.flatMap { case (s, e) => Seq(s, e) } :+ 1.0
+    bounds.grouped(2).collect { case Seq(s, e) if e > s =>
+      val x1 = ax + s * dx; val y1 = ay + s * dy
+      val x2 = ax + e * dx; val y2 = ay + e * dy
+      0.5 * (x1 * y2 - x2 * y1)
+    }.sum
+  }
+
+  /** The (b) term for ONE CCW subtrahend ring `p` against a convex
+    * zone: its edge pieces inside the zone and outside every OTHER
+    * subtrahend (the `others` rings, any exact superset of the actual
+    * coverers — non-coverers contribute empty interval lists),
+    * traversed reversed. Shared by the kernel and the distributed
+    * wrapper; arithmetic per piece is identical in both.
+    */
+  private def subContribution(
+      zEdges: IndexedSeq[((Double, Double), (Double, Double))],
+      p: Seq[(Double, Double)],
+      others: Int => Seq[Seq[(Double, Double)]]): Double =
+    p.indices.map { i =>
+      val (cx, cy) = p(i)
+      val (ex, ey) = p((i + 1) % p.size)
+      val dx = ex - cx; val dy = ey - cy
+      require(dx != 0.0 || dy != 0.0,
+        s"erasedAreaPolySub: degenerate subtrahend edge at ($cx,$cy)")
+      // parametric clip of C→E to the convex CCW zone (inside = left
+      // of every zone edge)
+      var t0 = 0.0; var t1 = 1.0
+      zEdges.foreach { case ((zax, zay), (zbx, zby)) =>
+        val nx = zbx - zax; val ny = zby - zay
+        val f0 = nx * (cy - zay) - ny * (cx - zax)
+        val fd = nx * dy - ny * dx
+        if (fd == 0.0) { if (f0 < 0.0) { t0 = 1.0; t1 = 0.0 } }
+        else {
+          val tc = -f0 / fd
+          if (fd > 0.0) t0 = math.max(t0, tc)
+          else t1 = math.min(t1, tc)
+        }
+      }
+      if (t0 >= t1) 0.0
+      else {
+        val coveredByOthers = mergeIntervals(
+          others(i).flatMap(o => segInPolyIntervals(cx, cy, ex, ey, o)))
+        // survivors of [t0, t1] minus coveredByOthers
+        var cur = t0
+        var acc = 0.0
+        def reversedGreen(s: Double, e: Double): Double = {
+          val x1 = cx + s * dx; val y1 = cy + s * dy
+          val x2 = cx + e * dx; val y2 = cy + e * dy
+          0.5 * (x2 * y1 - x1 * y2) // traversed e→s: kept side left
+        }
+        coveredByOthers.foreach { case (s, e) =>
+          if (e > cur && s < t1) {
+            if (s > cur) acc += reversedGreen(cur, math.min(s, t1))
+            cur = math.max(cur, math.min(e, t1))
+          }
+        }
+        if (cur < t1) acc += reversedGreen(cur, t1)
+        acc
+      }
+    }.sum
+
+  /** EXACT area of (convex zone polygon − union of subtrahend simple
+    * polygons) — see the family header above. Zone ring requirements
+    * match [[erasedAreaPoly]] (convex, loud guards); subtrahends may
+    * be any simple rings in either winding and in general position
+    * (no exactly-shared boundary segments between subtrahends).
+    */
+  private[graft] def erasedAreaPolySub(verticesIn: Seq[(Double, Double)],
+      subsIn: Seq[Seq[(Double, Double)]]): Double = {
+    val zEdges = convexZoneEdges(verticesIn)
+    // normalize subtrahends to CCW (duplicates erase once — distinct
+    // is load-bearing: two identical rings would otherwise each see
+    // the other covering all their edges and the union boundary
+    // would vanish)
+    val subs = subsIn.distinct.map(normalizeCcw)
+    // Spatial prune for the pairwise term: a subtrahend whose bounding
+    // box misses a segment's bounding box cannot cover any part of it,
+    // so bucket subtrahends on a grid (cell = the largest bbox extent)
+    // and probe only the cells a segment's bbox touches. Without this
+    // the ∂P_k-vs-P_j term is quadratic in the LOCAL footprint count —
+    // measured 17 s at sf1 (~700 footprints/zone) and unusable at
+    // sf10; physically near-disjoint parcels prune to O(1) candidates
+    // per edge, restoring the linear shape the disk kernels have.
+    val bboxes = subs.map { p =>
+      (p.map(_._1).min, p.map(_._2).min, p.map(_._1).max, p.map(_._2).max)
+    }
+    val cellSz = math.max(1.0, bboxes.map { case (x0, y0, x1, y1) =>
+      math.max(x1 - x0, y1 - y0) }.foldLeft(0.0)(math.max))
+    val grid = new java.util.HashMap[Long, List[Int]]()
+    def cellKey(cx: Long, cy: Long): Long = cx * 0x100000000L + cy
+    bboxes.zipWithIndex.foreach { case ((x0, y0, x1, y1), k) =>
+      var cx = math.floor(x0 / cellSz).toLong
+      while (cx <= math.floor(x1 / cellSz).toLong) {
+        var cy = math.floor(y0 / cellSz).toLong
+        while (cy <= math.floor(y1 / cellSz).toLong) {
+          val key = cellKey(cx, cy)
+          grid.put(key, k :: Option(grid.get(key)).getOrElse(Nil))
+          cy += 1
+        }
+        cx += 1
+      }
+    }
+    /** Distinct subtrahend indices whose bbox may intersect the given
+      * segment bbox (exact superset of the covering subs). */
+    def candidatesNear(ax: Double, ay: Double, bx: Double,
+        by: Double): Seq[Int] = {
+      val x0 = math.min(ax, bx); val x1 = math.max(ax, bx)
+      val y0 = math.min(ay, by); val y1 = math.max(ay, by)
+      val out = scala.collection.mutable.SortedSet.empty[Int]
+      var cx = math.floor(x0 / cellSz).toLong
+      while (cx <= math.floor(x1 / cellSz).toLong) {
+        var cy = math.floor(y0 / cellSz).toLong
+        while (cy <= math.floor(y1 / cellSz).toLong) {
+          val l = grid.get(cellKey(cx, cy))
+          if (l != null) l.foreach { k =>
+            val (bx0, by0, bx1, by1) = bboxes(k)
+            if (bx0 <= x1 && x0 <= bx1 && by0 <= y1 && y0 <= by1) out += k
+          }
+          cy += 1
+        }
+        cx += 1
+      }
+      out.toSeq
     }
     // (a) zone-edge pieces outside every subtrahend, CCW
     val edgePart = zEdges.map { case ((ax, ay), (bx, by)) =>
-      val dx = bx - ax; val dy = by - ay
-      require(dx != 0.0 || dy != 0.0,
-        s"erasedAreaPolySub: degenerate zero-length edge at ($ax,$ay)")
-      val covered =
-        mergeIntervals(subs.flatMap(p => segInPolyIntervals(ax, ay, bx, by, p)))
-      val bounds = 0.0 +: covered.flatMap { case (s, e) => Seq(s, e) } :+ 1.0
-      bounds.grouped(2).collect { case Seq(s, e) if e > s =>
-        val x1 = ax + s * dx; val y1 = ay + s * dy
-        val x2 = ax + e * dx; val y2 = ay + e * dy
-        0.5 * (x1 * y2 - x2 * y1)
-      }.sum
+      zoneEdgeGreen(ax, ay, bx, by,
+        mergeIntervals(candidatesNear(ax, ay, bx, by)
+          .flatMap(k => segInPolyIntervals(ax, ay, bx, by, subs(k)))))
     }.sum
     // (b) subtrahend-edge pieces inside the zone and outside every
     // other subtrahend, traversed REVERSED (kept region on the left)
     val subPart = subs.zipWithIndex.map { case (p, k) =>
-      p.indices.map { i =>
+      subContribution(zEdges, p, { i =>
         val (cx, cy) = p(i)
         val (ex, ey) = p((i + 1) % p.size)
-        val dx = ex - cx; val dy = ey - cy
-        require(dx != 0.0 || dy != 0.0,
-          s"erasedAreaPolySub: degenerate subtrahend edge at ($cx,$cy)")
-        // parametric clip of C→E to the convex CCW zone (inside = left
-        // of every zone edge)
-        var t0 = 0.0; var t1 = 1.0
-        zEdges.foreach { case ((zax, zay), (zbx, zby)) =>
-          val nx = zbx - zax; val ny = zby - zay
-          val f0 = nx * (cy - zay) - ny * (cx - zax)
-          val fd = nx * dy - ny * dx
-          if (fd == 0.0) { if (f0 < 0.0) { t0 = 1.0; t1 = 0.0 } }
-          else {
-            val tc = -f0 / fd
-            if (fd > 0.0) t0 = math.max(t0, tc)
-            else t1 = math.min(t1, tc)
-          }
-        }
-        if (t0 >= t1) 0.0
-        else {
-          val coveredByOthers = mergeIntervals(
-            subs.indices.filter(_ != k).flatMap(j =>
-              segInPolyIntervals(cx, cy, ex, ey, subs(j))))
-          // survivors of [t0, t1] minus coveredByOthers
-          var cur = t0
-          var acc = 0.0
-          def reversedGreen(s: Double, e: Double): Double = {
-            val x1 = cx + s * dx; val y1 = cy + s * dy
-            val x2 = cx + e * dx; val y2 = cy + e * dy
-            0.5 * (x2 * y1 - x1 * y2) // traversed e→s: kept side left
-          }
-          coveredByOthers.foreach { case (s, e) =>
-            if (e > cur && s < t1) {
-              if (s > cur) acc += reversedGreen(cur, math.min(s, t1))
-              cur = math.max(cur, math.min(e, t1))
-            }
-          }
-          if (cur < t1) acc += reversedGreen(cur, t1)
-          acc
-        }
-      }.sum
+        candidatesNear(cx, cy, ex, ey).filter(_ != k).map(subs)
+      })
     }.sum
     math.max(0.0, edgePart + subPart)
   }
@@ -722,14 +809,35 @@ object EraseArcs {
   }
 
   /** Surviving area per CONVEX polygon zone under POLYGON subtrahends
-    * (see [[erasedAreaPolySub]]): zones as (zone_id, vertex ring),
-    * subtrahends as (sub_id, vertex ring) — the subtrahend side is
-    * corpus-scale (one footprint per opt-out address), so it streams:
-    * bounding circles are computed IN-FRAME from the vertex arrays,
-    * the touch join broadcasts only the bounded zone catalog, and the
-    * kernel runs inside mapGroups so only (zone_id, area) pairs reach
-    * the driver. Zones with no candidate subtrahend keep the exact
-    * shoelace area.
+    * (see [[erasedAreaPolySub]]) — the DISTRIBUTED plan. A first cut
+    * ran the whole JVM kernel per zone inside `mapGroups`; at sf10 the
+    * generator's opt-out density gives ~30× footprint over-coverage
+    * per zone and that single task serialized ~10⁴ footprints' pairwise
+    * interval work (measured 262 s). The area decomposes exactly into
+    * per-piece terms, so the plan now distributes them:
+    *
+    *   (a) per (zone, zone-edge): covered t-intervals are produced by a
+    *       flatMap over the zone-assigned footprint frame (one row per
+    *       footprint), merged per edge in a 4-groups-per-zone
+    *       mapGroups — interval endpoints, never rings, shuffle here;
+    *   (b) per (zone, footprint): the footprint's reversed-Green
+    *       contribution needs only its bbox-overlapping NEIGHBORS — a
+    *       grid-cell self-join of the zone-assigned frame (cell = the
+    *       largest footprint bbox extent, one tiny agg job) bounds the
+    *       group to local overlap density, and every (zone, footprint)
+    *       group computes independently across the cluster.
+    *
+    * A footprint covering part of another's edge inside the zone has
+    * interior points in the zone, so it is in the zone's touch set —
+    * the zone-local self-join sees every true coverer (non-coverers in
+    * the bbox superset contribute empty interval lists; the merged
+    * result is identical to the kernel's). Per-piece arithmetic is the
+    * kernel's own ([[subContribution]]/[[zoneEdgeGreen]], shared code);
+    * only float summation ORDER across footprints differs, and GeoSpec
+    * pins the wrapper against a driver-side kernel replay at 1e-9
+    * relative. Duplicate rings are dropped before the join (duplicates
+    * erase once — same load-bearing distinct as the kernel). Zones
+    * with no candidate footprint keep the exact shoelace area.
     */
   def eraseAreaPolySub(spark: SparkSession, zones: DataFrame,
       subs: DataFrame): DataFrame = {
@@ -748,27 +856,103 @@ object EraseArcs {
       val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
       (z, cx, cy, rad)
     }.toDF("zone_id", "bcx", "bcy", "brad")
-    val verts = zcat.toMap
-    // subtrahend bounding circle from its vertex array, in-frame
+    // zone edges (bounded catalog) ride task closures
+    val zEdgesMap = zcat.map { case (z, vs) => z -> convexZoneEdges(vs) }.toMap
+    // footprint frame: distinct rings, bbox in-frame, a 64-bit ring id
+    // for self-pair exclusion (hash of the vertex array — collisions
+    // at ~10⁵ rings are ~1e-9 and only widen the exclusion)
     val xs = transform(col("vertices"), v => v.getField("_1"))
     val ys = transform(col("vertices"), v => v.getField("_2"))
-    val scx = (array_min(xs) + array_max(xs)) / 2
-    val scy = (array_min(ys) + array_max(ys)) / 2
-    val srad = sqrt(Geo.dist2(array_min(xs), array_min(ys),
-      array_max(xs), array_max(ys))) / 2
-    val pairs = subs
-      .select(col("vertices"), scx.as("scx"), scy.as("scy"),
-        srad.as("srad"))
+    val foot = subs.select(col("vertices")).dropDuplicates("vertices")
+      .select(col("vertices"), xxhash64(col("vertices")).as("pk"),
+        array_min(xs).as("x0"), array_min(ys).as("y0"),
+        array_max(xs).as("x1"), array_max(ys).as("y1"))
+    // grid cell = the largest footprint bbox extent (one tiny agg job)
+    val cellSz = math.max(1.0, Option(foot
+      .agg(max(greatest(col("x1") - col("x0"), col("y1") - col("y0"))))
+      .head().get(0)).map(_.asInstanceOf[Double]).getOrElse(1.0))
+    // assign footprints to the zones they can touch
+    val scx = (col("x0") + col("x1")) / 2
+    val scy = (col("y0") + col("y1")) / 2
+    val srad = sqrt(Geo.dist2(col("x0"), col("y0"), col("x1"), col("y1"))) / 2
+    val zf = foot
       .join(broadcast(bound),
-        Geo.dist2(col("scx"), col("scy"), col("bcx"), col("bcy"))
-          < (col("brad") + col("srad")) * (col("brad") + col("srad")))
-      .select(col("zone_id").cast("int"), col("vertices"))
+        Geo.dist2(scx, scy, col("bcx"), col("bcy"))
+          < (col("brad") + srad) * (col("brad") + srad))
+      .select(col("zone_id").cast("int"), col("pk"), col("vertices"),
+        col("x0"), col("y0"), col("x1"), col("y1"))
+    zf.cache()
+    // ---- (a) zone-edge coverage intervals, merged per (zone, edge) --
+    val aEdge = zf.select(col("zone_id"), col("vertices"))
       .as[(Int, Seq[(Double, Double)])]
-    val touched = pairs.groupByKey(_._1).mapGroups { (zid, rows) =>
-      zid -> erasedAreaPolySub(verts(zid), rows.map(_._2).toSeq)
-    }.collect().toMap
+      .flatMap { case (z, ringIn) =>
+        val ring = normalizeCcw(ringIn)
+        zEdgesMap(z).zipWithIndex.flatMap {
+          case (((ax, ay), (bx, by)), ei) =>
+            segInPolyIntervals(ax, ay, bx, by, ring)
+              .map { case (s, e) => (z, ei, s, e) }
+        }
+      }
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Double, Double)]) =>
+        val (z, ei) = key
+        val ((ax, ay), (bx, by)) = zEdgesMap(z)(ei)
+        (z, ei, zoneEdgeGreen(ax, ay, bx, by,
+          mergeIntervals(rows.map(r => (r._3, r._4)).toSeq)))
+      }
+      .collect() // bounded: zones × edges
+    // keyed on the zones with ANY candidate footprint (a zone whose
+    // footprints are strictly interior yields no (a) intervals but
+    // still has (b) holes); untouched edges keep their full Green term
+    val touchedZones = zf.select(col("zone_id")).distinct()
+      .as[Int].collect()
+    val aEdgeGot = aEdge.map(r => (r._1, r._2) -> r._3).toMap
+    val aByZone = touchedZones.map { z =>
+      z -> zEdgesMap(z).zipWithIndex.map { case (((ax, ay), (bx, by)), ei) =>
+        aEdgeGot.getOrElse((z, ei), zoneEdgeGreen(ax, ay, bx, by, Nil))
+      }.sum
+    }.toMap
+    // ---- (b) per-footprint contributions via a grid-cell self-join --
+    def withCells(df: DataFrame): DataFrame = df
+      .withColumn("cx", explode(sequence(
+        floor(col("x0") / cellSz), floor(col("x1") / cellSz))))
+      .withColumn("cy", explode(sequence(
+        floor(col("y0") / cellSz), floor(col("y1") / cellSz))))
+    val left = withCells(zf)
+    val right = withCells(zf).select(col("zone_id").as("rz"),
+      col("pk").as("rpk"), col("vertices").as("rvertices"),
+      col("x0").as("rx0"), col("y0").as("ry0"),
+      col("x1").as("rx1"), col("y1").as("ry1"),
+      col("cx").as("rcx"), col("cy").as("rcy"))
+    val bRows = left.join(right,
+        col("zone_id") === col("rz") && col("cx") === col("rcx") &&
+          col("cy") === col("rcy") && col("pk") =!= col("rpk") &&
+          col("rx0") <= col("x1") && col("x0") <= col("rx1") &&
+          col("ry0") <= col("y1") && col("y0") <= col("ry1"),
+        "left_outer")
+      .select(col("zone_id"), col("pk"), col("vertices"), col("rvertices"))
+      .as[(Int, Long, Seq[(Double, Double)], Option[Seq[(Double, Double)]])]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Int, Long),
+          rows: Iterator[(Int, Long, Seq[(Double, Double)],
+            Option[Seq[(Double, Double)]])]) =>
+        val buf = rows.toSeq
+        val ring = normalizeCcw(buf.head._3)
+        // the cell explode can deliver a neighbor once per shared cell
+        val neighbors = buf.flatMap(_._4).distinct.map(normalizeCcw)
+        (key._1, subContribution(zEdgesMap(key._1), ring, _ => neighbors))
+      }
+      .groupByKey(_._1)
+      .mapGroups((z: Int, rows: Iterator[(Int, Double)]) =>
+        (z, rows.map(_._2).sum))
+      .collect().toMap
+    zf.unpersist()
     val all = zcat.sortBy(_._1).map { case (z, vs) =>
-      (z, touched.getOrElse(z, shoelace(vs)))
+      aByZone.get(z) match {
+        case Some(aPart) =>
+          (z, math.max(0.0, aPart + bRows.getOrElse(z, 0.0)))
+        case None => (z, shoelace(vs))
+      }
     }
     all.toDF("zone_id", "area_sqft")
   }
