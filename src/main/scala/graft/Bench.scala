@@ -72,17 +72,23 @@ object Bench {
         catch { case _: Throwable => () })
     val warmupSec = (System.nanoTime() - warmup0) / 1e9
     // steal_factor baseline: per-query times of the previous full
-    // sweep, read BEFORE this run overwrites the file. The baseline's
-    // own total/nq are recorded in the emitted JSON (steal_baseline)
-    // so a consumer can tell WHICH sweep the factor was computed
-    // against — consecutive sweeps in one round compare against each
-    // other, which is run-order dependent, and the provenance field is
-    // what keeps that honest.
+    // sweep AT THE SAME SCALE FACTOR, read BEFORE this run overwrites
+    // the file — the driver's sf0.1 record is BENCH_FULL.json, other
+    // scales keep per-SF records (BENCH_FULL_sf1.json is committed
+    // since round 12, so sf1 drives now get the same steal
+    // normalization and regression guard). The baseline's own total/nq
+    // are recorded in the emitted JSON (steal_baseline) so a consumer
+    // can tell WHICH sweep the factor was computed against —
+    // consecutive sweeps in one round compare against each other,
+    // which is run-order dependent, and the provenance field is what
+    // keeps that honest.
+    val sfBase = new java.io.File(sfDir).getName
+    val baselineFile =
+      if (sfBase == "sf0.1") "BENCH_FULL.json"
+      else s"BENCH_FULL_$sfBase.json"
     val prevParsed: Option[(Map[String, Double], Double, Int)] = (try {
-      if (new java.io.File(sfDir).getName != "sf0.1")
-        throw new NoSuchElementException("prev sweep is sf0.1-only")
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+        java.nio.file.Paths.get(baselineFile)), "UTF-8")
       val qpart = txt.split("\"queries\":\\{", 2)
       if (qpart.length < 2) None
       else {
@@ -161,9 +167,9 @@ object Bench {
     } catch { case _: Throwable => None }
     val baseRev: Option[(String, Boolean)] = for {
       rev <- gitLine(Seq("git", "log", "-n", "1", "--format=%h",
-        "--", "BENCH_FULL.json")).filter(_.nonEmpty)
+        "--", baselineFile)).filter(_.nonEmpty)
       st <- gitLine(Seq("git", "status", "--porcelain",
-        "BENCH_FULL.json"))
+        baselineFile))
     } yield (rev, st.nonEmpty)
     // Regression tripwire (thresholds + rationale live in BenchGuard,
     // which is unit-tested against doctored records in BenchGuardSpec):
@@ -185,7 +191,7 @@ object Bench {
       val base = prevParsed.map { case (_, tot, nq) =>
         val rev = baseRev.map { case (r, dirty) =>
           s""","rev":"$r","dirty":$dirty""" }.getOrElse("")
-        s""","steal_baseline":{"file":"BENCH_FULL.json","total":${r3(tot)},"nq":$nq$rev}"""
+        s""","steal_baseline":{"file":"$baselineFile","total":${r3(tot)},"nq":$nq$rev}"""
       }.getOrElse("")
       s""","steal_factor":${r3(sfv)}$base$stealAlertField"""
     }.getOrElse("")
@@ -207,13 +213,12 @@ object Bench {
     // BENCH_PART_<sf> artifact instead, so targeted scale drives (the
     // sf10 tail set) still produce machine-readable JSON without
     // clobbering any committed full-sweep file.
-    // getName (not endsWith) so a trailing slash cannot divert the
-    // committed round record into a gitignored per-SF file
-    val sfName = new java.io.File(sfDir).getName
+    // sfBase uses getName (not endsWith) so a trailing slash cannot
+    // divert the committed round record into a gitignored per-SF file.
+    // An unfiltered run overwrites exactly the file it used as its
+    // steal baseline (same-SF compare, by construction).
     val fullPath =
-      if (only.nonEmpty) s"BENCH_PART_$sfName.json"
-      else if (sfName == "sf0.1") "BENCH_FULL.json"
-      else s"BENCH_FULL_$sfName.json"
+      if (only.nonEmpty) s"BENCH_PART_$sfBase.json" else baselineFile
     val wrote = {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
