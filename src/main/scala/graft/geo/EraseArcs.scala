@@ -621,6 +621,23 @@ object EraseArcs {
     if (sl >= 0) ring else ring.reverse
   }
 
+  /** Canonical form of a ring for duplicate detection: CCW winding,
+    * rotated to start at the lexicographically smallest vertex. Two
+    * rings listing the same polygon through a rotated vertex order or
+    * opposite winding canonicalize identically (r12 ADVICE: plain
+    * representation `distinct` missed those, and two same-polygon
+    * rings would then each see the other covering all their edges —
+    * the union boundary silently vanished instead of erasing once).
+    * Rings that differ in vertex SET (e.g. an inserted collinear
+    * vertex) remain distinct representations — out of scope, same as
+    * the general-position contract. Geometry is unchanged. */
+  private[geo] def canonicalRing(ringIn: Seq[(Double, Double)])
+      : Seq[(Double, Double)] = {
+    val ring = normalizeCcw(ringIn)
+    val i = ring.indices.minBy(ring(_))
+    ring.drop(i) ++ ring.take(i)
+  }
+
   /** CCW-normalized vertices + edges of a CONVEX zone ring (loud
     * guards), shared by the kernel and the distributed wrapper. */
   private def convexZoneEdges(verticesIn: Seq[(Double, Double)])
@@ -724,11 +741,12 @@ object EraseArcs {
   private[graft] def erasedAreaPolySub(verticesIn: Seq[(Double, Double)],
       subsIn: Seq[Seq[(Double, Double)]]): Double = {
     val zEdges = convexZoneEdges(verticesIn)
-    // normalize subtrahends to CCW (duplicates erase once — distinct
-    // is load-bearing: two identical rings would otherwise each see
-    // the other covering all their edges and the union boundary
-    // would vanish)
-    val subs = subsIn.distinct.map(normalizeCcw)
+    // canonicalize subtrahends (CCW + rotation-normalized) so
+    // duplicates erase once regardless of vertex order or winding —
+    // distinct is load-bearing: two same-polygon rings would
+    // otherwise each see the other covering all their edges and the
+    // union boundary would vanish
+    val subs = subsIn.map(canonicalRing).distinct
     // Spatial prune for the pairwise term: a subtrahend whose bounding
     // box misses a segment's bounding box cannot cover any part of it,
     // so bucket subtrahends on a grid (cell = the largest bbox extent)
@@ -858,13 +876,20 @@ object EraseArcs {
     }.toDF("zone_id", "bcx", "bcy", "brad")
     // zone edges (bounded catalog) ride task closures
     val zEdgesMap = zcat.map { case (z, vs) => z -> convexZoneEdges(vs) }.toMap
-    // footprint frame: distinct rings, bbox in-frame, a 64-bit ring id
-    // for self-pair exclusion (hash of the vertex array — collisions
-    // at ~10⁵ rings are ~1e-9 and only widen the exclusion)
+    // footprint frame: CANONICAL rings (CCW + rotation-normalized,
+    // [[canonicalRing]] — so dropDuplicates also catches re-wound /
+    // rotated copies of the same polygon), bbox in-frame. The ring
+    // array is its own key downstream (r12 ADVICE: the previous
+    // xxhash64 pk served as both the self-pair exclusion and the
+    // group key, and a collision between two distinct same-zone rings
+    // would have collapsed their groups, silently dropping one ring's
+    // boundary contribution — not merely widening the exclusion).
+    val footCanon = subs.select(col("vertices"))
+      .as[Seq[(Double, Double)]].map(canonicalRing(_)).toDF("vertices")
     val xs = transform(col("vertices"), v => v.getField("_1"))
     val ys = transform(col("vertices"), v => v.getField("_2"))
-    val foot = subs.select(col("vertices")).dropDuplicates("vertices")
-      .select(col("vertices"), xxhash64(col("vertices")).as("pk"),
+    val foot = footCanon.dropDuplicates("vertices")
+      .select(col("vertices"),
         array_min(xs).as("x0"), array_min(ys).as("y0"),
         array_max(xs).as("x1"), array_max(ys).as("y1"))
     // grid cell = the largest footprint bbox extent (one tiny agg job)
@@ -879,7 +904,7 @@ object EraseArcs {
       .join(broadcast(bound),
         Geo.dist2(scx, scy, col("bcx"), col("bcy"))
           < (col("brad") + srad) * (col("brad") + srad))
-      .select(col("zone_id").cast("int"), col("pk"), col("vertices"),
+      .select(col("zone_id").cast("int"), col("vertices"),
         col("x0"), col("y0"), col("x1"), col("y1"))
     zf.cache()
     // ---- (a) zone-edge coverage intervals, merged per (zone, edge) --
@@ -920,27 +945,29 @@ object EraseArcs {
         floor(col("y0") / cellSz), floor(col("y1") / cellSz))))
     val left = withCells(zf)
     val right = withCells(zf).select(col("zone_id").as("rz"),
-      col("pk").as("rpk"), col("vertices").as("rvertices"),
+      col("vertices").as("rvertices"),
       col("x0").as("rx0"), col("y0").as("ry0"),
       col("x1").as("rx1"), col("y1").as("ry1"),
       col("cx").as("rcx"), col("cy").as("rcy"))
+    // self-pair exclusion and grouping both key on the canonical ring
+    // ITSELF — exact, no hash-collision failure mode
     val bRows = left.join(right,
         col("zone_id") === col("rz") && col("cx") === col("rcx") &&
-          col("cy") === col("rcy") && col("pk") =!= col("rpk") &&
+          col("cy") === col("rcy") &&
+          col("vertices") =!= col("rvertices") &&
           col("rx0") <= col("x1") && col("x0") <= col("rx1") &&
           col("ry0") <= col("y1") && col("y0") <= col("ry1"),
         "left_outer")
-      .select(col("zone_id"), col("pk"), col("vertices"), col("rvertices"))
-      .as[(Int, Long, Seq[(Double, Double)], Option[Seq[(Double, Double)]])]
+      .select(col("zone_id"), col("vertices"), col("rvertices"))
+      .as[(Int, Seq[(Double, Double)], Option[Seq[(Double, Double)]])]
       .groupByKey(r => (r._1, r._2))
-      .mapGroups { (key: (Int, Long),
-          rows: Iterator[(Int, Long, Seq[(Double, Double)],
+      .mapGroups { (key: (Int, Seq[(Double, Double)]),
+          rows: Iterator[(Int, Seq[(Double, Double)],
             Option[Seq[(Double, Double)]])]) =>
-        val buf = rows.toSeq
-        val ring = normalizeCcw(buf.head._3)
+        // rings arrive canonical (CCW) from the footprint frame
         // the cell explode can deliver a neighbor once per shared cell
-        val neighbors = buf.flatMap(_._4).distinct.map(normalizeCcw)
-        (key._1, subContribution(zEdgesMap(key._1), ring, _ => neighbors))
+        val neighbors = rows.flatMap(_._3).toSeq.distinct
+        (key._1, subContribution(zEdgesMap(key._1), key._2, _ => neighbors))
       }
       .groupByKey(_._1)
       .mapGroups((z: Int, rows: Iterator[(Int, Double)]) =>

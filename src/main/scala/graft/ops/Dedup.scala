@@ -129,14 +129,14 @@ object Dedup {
   // bound is rowsPerPartition × rowWidth ≤ task memory. Two build-side
   // families take the hint in this file:
   //   • doc-set frames (ss shingle arrays, the heavy rows): width ≈
-  //     avgShinglesPerDoc × 8 B + overhead — assumed ≤ DocSetRowBytes
-  //     (the generator's docs average ~250 tokens; a production corpus
-  //     enforces this via the token-cap sharding already documented at
-  //     prefixPairKeys). These sides are GATED below: the hint is applied
-  //     only while nDocs/shufflePartitions × DocSetRowBytes fits the
-  //     per-task budget; past that the join falls back to sort-merge,
-  //     which spills. Skew is not a concern on these sides — the build
-  //     key is doc_id, unique per row.
+  //     avgShinglesPerDoc × 8 B + overhead — MEASURED per corpus (one
+  //     tiny avg-words agg, memoized) rather than assumed; a production
+  //     corpus additionally bounds the tail via the token-cap sharding
+  //     already documented at prefixPairKeys. These sides are GATED
+  //     below: the hint is applied only while nDocs/shufflePartitions ×
+  //     rowWidth fits the per-task budget; past that the join falls
+  //     back to sort-merge, which spills. Skew is not a concern on
+  //     these sides — the build key is doc_id, unique per row.
   //   • pair-key frames (sp, doc_id, n, r2 — ~36 B packed rows): volume
   //     is Σ_doc C(prefix,2), corpus-dependent (sf10 measured 468M rows
   //     ≈ 527 MB/partition at 32 partitions, inside the drive's heap).
@@ -145,12 +145,28 @@ object Dedup {
   //     rows/partition stays roughly flat; the hint stays unconditional
   //     there because the r2/positional prunes run INSIDE that join —
   //     falling back to SMJ would re-introduce the measured 205 s sort.
-  /** Assumed doc-set row width for the gate (bytes). */
-  private val DocSetRowBytes = 4096L
-  /** Per-task build budget: a quarter of an even heap share. */
+  /** Row-width floor for the gate (bytes) — covers the fixed doc_id +
+    * UnsafeRow/array headers even on a tiny-doc corpus. */
+  private val DocSetRowBytesFloor = 512L
+  /** Per-task build budget: a quarter of an even heap share of the
+    * JVM that actually BUILDS the hash relation. On a cluster that is
+    * the executor (spark.executor.memory / spark.executor.cores — the
+    * r12 ADVICE hole: dividing DRIVER heap by cluster-wide
+    * defaultParallelism underestimated the executor budget by ~the
+    * executor count and silently disabled the hint exactly in the
+    * deployment the gate targets); in local mode the driver JVM is the
+    * executor and its heap is shared by defaultParallelism task slots.
+    */
   private def buildBudgetBytes(s: SparkSession): Long = {
-    val cores = math.max(1, s.sparkContext.defaultParallelism)
-    Runtime.getRuntime.maxMemory() / cores / 4
+    val conf = s.sparkContext.getConf
+    if (!s.sparkContext.isLocal && conf.contains("spark.executor.memory")) {
+      val heap = conf.getSizeAsBytes("spark.executor.memory")
+      val cores = math.max(1, conf.getInt("spark.executor.cores", 1))
+      heap / cores / 4
+    } else {
+      val slots = math.max(1, s.sparkContext.defaultParallelism)
+      Runtime.getRuntime.maxMemory() / slots / 4
+    }
   }
   private val docCountMemo =
     new graft.BoundedMemo[(SparkSession, String), java.lang.Long](8)
@@ -158,12 +174,27 @@ object Dedup {
   private def nDocs(s: SparkSession, d: String): Long =
     docCountMemo.getOrCompute((s, d))(
       java.lang.Long.valueOf(t(s, d, "documents").count())).longValue()
+  private val docWidthMemo =
+    new graft.BoundedMemo[(SparkSession, String), java.lang.Long](8)
+  /** Measured doc-set row width (bytes): a shingle row carries ~one
+    * 8-byte hash per word, and the 2× factor covers the UnsafeArrayData
+    * header, the doc_id column, and the hash-relation entry overhead.
+    * One tiny avg agg over the corpus, memoized per (session, dir) —
+    * replaces the r11 gate's unchecked 4 KB assumption. */
+  private def docSetRowBytes(s: SparkSession, d: String): Long =
+    docWidthMemo.getOrCompute((s, d))({
+      val avgWords = Option(t(s, d, "documents")
+        .agg(avg(size(split(col("text"), " ")))).head().get(0))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      java.lang.Long.valueOf(math.max(DocSetRowBytesFloor,
+        math.ceil(avgWords * 8 * 2).toLong))
+    }).longValue()
   /** The docs-side hint, applied only while the per-partition hash build
     * provably fits; huge regimes fall back to spilling sort-merge. */
   private def hashHintIfBounded(s: SparkSession, d: String,
       docs: DataFrame): DataFrame = {
     val parts = math.max(1, s.sessionState.conf.numShufflePartitions).toLong
-    if (nDocs(s, d) / parts * DocSetRowBytes <= buildBudgetBytes(s))
+    if (nDocs(s, d) / parts * docSetRowBytes(s, d) <= buildBudgetBytes(s))
       docs.hint("shuffle_hash")
     else docs
   }

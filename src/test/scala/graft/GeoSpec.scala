@@ -647,6 +647,36 @@ class GeoSpec extends SparkSpec {
       (full - 300.0 * 600.0)) < 1e-6)
   }
 
+  test("polygon-subtrahend erase: rotated / re-wound duplicates erase once") {
+    // r12 ADVICE: representation-level distinct missed a duplicate ring
+    // given through a rotated vertex order or opposite winding — each
+    // copy then saw the other covering all its edges and the union
+    // boundary vanished (area inflated back toward the full zone).
+    // canonicalRing (CCW + rotate-to-smallest-vertex) makes them equal.
+    import graft.geo.EraseArcs
+    val square = Seq((-1000.0, -1000.0), (1000.0, -1000.0),
+      (1000.0, 1000.0), (-1000.0, 1000.0))
+    val base = Seq((-300.0, -300.0), (300.0, -300.0),
+      (300.0, 300.0), (-300.0, 300.0))
+    val rotated = base.drop(2) ++ base.take(2)       // same ring, shifted start
+    val rewound = base.reverse                       // same ring, CW
+    val rotRewound = rotated.reverse
+    val want = 4e6 - 600.0 * 600.0
+    for (dup <- Seq(rotated, rewound, rotRewound)) {
+      val got = EraseArcs.erasedAreaPolySub(square, Seq(base, dup))
+      assert(math.abs(got - want) < 1e-6,
+        s"kernel: duplicate variant not canonicalized (got $got, want $want)")
+    }
+    // distributed path: same canonicalization before dropDuplicates
+    import spark.implicits._
+    val zones = Seq((1, square)).toDF("zone_id", "vertices")
+    val subs = Seq(base, rotated, rewound).toDF("vertices")
+    val got = EraseArcs.eraseAreaPolySub(spark, zones, subs)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1) - want) < 1e-6,
+      s"distributed: duplicate variants not canonicalized (got ${got(1)})")
+  }
+
   test("polygon-subtrahend erase: grid sampling over rotated subtrahends") {
     import graft.geo.EraseArcs
     val pent = Seq((-900.0, -700.0), (800.0, -1000.0), (1100.0, 200.0),

@@ -11,7 +11,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * suite over a cosmetic line shift (rounds 10 and 11 both shipped red
   * on exactly that). The pre-commit hook (tools/githooks) still blocks
   * builder commits with a stale index so the healed file gets
-  * committed, not just written.
+  * committed, not just written — and because hooks only run where
+  * core.hooksPath is configured, CI runs (CI=… or GRAFT_STRICT_INDEX=1
+  * in the env) FAIL on a stale committed index instead of healing it
+  * (r12 ADVICE: self-heal alone would let a stale commit pass every
+  * automated check).
   */
 class QueryIndexSpec extends AnyFunSuite {
 
@@ -23,6 +27,12 @@ class QueryIndexSpec extends AnyFunSuite {
         new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
       else ""
     if (onDisk != want) {
+      val strict = sys.env.contains("CI") ||
+        sys.env.get("GRAFT_STRICT_INDEX").contains("1")
+      assert(!strict,
+        "QUERIES.md is stale relative to the source tree — regenerate " +
+          "with `sbt 'runMain graft.tools.QueryIndex'` (or run the " +
+          "suite locally, which heals it) and commit the result")
       java.nio.file.Files.write(path, want.getBytes("UTF-8"))
       info("QUERIES.md was stale — regenerated in place; commit the refreshed file")
     }
