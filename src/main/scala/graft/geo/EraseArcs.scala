@@ -663,20 +663,42 @@ object EraseArcs {
     }.toIndexedSeq
   }
 
-  /** Green's contribution of one zone edge traversed CCW minus its
-    * covered intervals (MERGED, sorted). */
-  private def zoneEdgeGreen(ax: Double, ay: Double, bx: Double, by: Double,
-      covered: List[(Double, Double)]): Double = {
+  /** One directed boundary piece of a polygon-subtrahend erased
+    * region: the straight segment (x1,y1) → (x2,y2) traversed with the
+    * KEPT region on the left — zone-edge pieces run along the zone's
+    * CCW ring; subtrahend-edge pieces run REVERSED (the hole side).
+    * The linear analogue of [[RingPiece]]; `signedArea` is the
+    * segment's Green's-theorem term along the traversal direction, so
+    * Σ signedArea over all of a zone's pieces == [[erasedAreaPolySub]]
+    * term-for-term (the area kernel sums exactly these).
+    */
+  private[graft] case class LinePiece(kind: String, x1: Double, y1: Double,
+      x2: Double, y2: Double) {
+    def start: (Double, Double) = (x1, y1)
+    def end: (Double, Double) = (x2, y2)
+    def signedArea: Double = 0.5 * (x1 * y2 - x2 * y1)
+  }
+
+  /** Surviving pieces of one zone edge traversed CCW minus its covered
+    * intervals (MERGED, sorted) — the boundary (a) term piecewise;
+    * [[zoneEdgeGreen]] is their signed-area sum (identical terms,
+    * identical order, so the area and ring paths agree bitwise). */
+  private def zoneEdgePieces(ax: Double, ay: Double, bx: Double, by: Double,
+      covered: List[(Double, Double)]): Seq[LinePiece] = {
     val dx = bx - ax; val dy = by - ay
     require(dx != 0.0 || dy != 0.0,
       s"erasedAreaPolySub: degenerate zero-length edge at ($ax,$ay)")
     val bounds = 0.0 +: covered.flatMap { case (s, e) => Seq(s, e) } :+ 1.0
     bounds.grouped(2).collect { case Seq(s, e) if e > s =>
-      val x1 = ax + s * dx; val y1 = ay + s * dy
-      val x2 = ax + e * dx; val y2 = ay + e * dy
-      0.5 * (x1 * y2 - x2 * y1)
-    }.sum
+      LinePiece("zone", ax + s * dx, ay + s * dy, ax + e * dx, ay + e * dy)
+    }.toSeq
   }
+
+  /** Green's contribution of one zone edge traversed CCW minus its
+    * covered intervals (MERGED, sorted). */
+  private def zoneEdgeGreen(ax: Double, ay: Double, bx: Double, by: Double,
+      covered: List[(Double, Double)]): Double =
+    zoneEdgePieces(ax, ay, bx, by, covered).map(_.signedArea).sum
 
   /** The (b) term for ONE CCW subtrahend ring `p` against a convex
     * zone: its edge pieces inside the zone and outside every OTHER
@@ -685,11 +707,11 @@ object EraseArcs {
     * traversed reversed. Shared by the kernel and the distributed
     * wrapper; arithmetic per piece is identical in both.
     */
-  private def subContribution(
+  private def subEdgePieces(
       zEdges: IndexedSeq[((Double, Double), (Double, Double))],
       p: Seq[(Double, Double)],
-      others: Int => Seq[Seq[(Double, Double)]]): Double =
-    p.indices.map { i =>
+      others: Int => Seq[Seq[(Double, Double)]]): Seq[LinePiece] =
+    p.indices.flatMap { i =>
       val (cx, cy) = p(i)
       val (ex, ey) = p((i + 1) % p.size)
       val dx = ex - cx; val dy = ey - cy
@@ -709,28 +731,33 @@ object EraseArcs {
           else t1 = math.min(t1, tc)
         }
       }
-      if (t0 >= t1) 0.0
+      if (t0 >= t1) Nil
       else {
         val coveredByOthers = mergeIntervals(
           others(i).flatMap(o => segInPolyIntervals(cx, cy, ex, ey, o)))
-        // survivors of [t0, t1] minus coveredByOthers
+        // survivors of [t0, t1] minus coveredByOthers, each traversed
+        // e → s (kept side left — the hole side of the subtrahend)
         var cur = t0
-        var acc = 0.0
-        def reversedGreen(s: Double, e: Double): Double = {
-          val x1 = cx + s * dx; val y1 = cy + s * dy
-          val x2 = cx + e * dx; val y2 = cy + e * dy
-          0.5 * (x2 * y1 - x1 * y2) // traversed e→s: kept side left
-        }
+        val acc = Seq.newBuilder[LinePiece]
+        def reversedPiece(s: Double, e: Double): LinePiece =
+          LinePiece("sub", cx + e * dx, cy + e * dy,
+            cx + s * dx, cy + s * dy)
         coveredByOthers.foreach { case (s, e) =>
           if (e > cur && s < t1) {
-            if (s > cur) acc += reversedGreen(cur, math.min(s, t1))
+            if (s > cur) acc += reversedPiece(cur, math.min(s, t1))
             cur = math.max(cur, math.min(e, t1))
           }
         }
-        if (cur < t1) acc += reversedGreen(cur, t1)
-        acc
+        if (cur < t1) acc += reversedPiece(cur, t1)
+        acc.result()
       }
-    }.sum
+    }
+
+  private def subContribution(
+      zEdges: IndexedSeq[((Double, Double), (Double, Double))],
+      p: Seq[(Double, Double)],
+      others: Int => Seq[Seq[(Double, Double)]]): Double =
+    subEdgePieces(zEdges, p, others).map(_.signedArea).sum
 
   /** EXACT area of (convex zone polygon − union of subtrahend simple
     * polygons) — see the family header above. Zone ring requirements
@@ -738,23 +765,25 @@ object EraseArcs {
     * be any simple rings in either winding and in general position
     * (no exactly-shared boundary segments between subtrahends).
     */
-  private[graft] def erasedAreaPolySub(verticesIn: Seq[(Double, Double)],
-      subsIn: Seq[Seq[(Double, Double)]]): Double = {
-    val zEdges = convexZoneEdges(verticesIn)
-    // canonicalize subtrahends (CCW + rotation-normalized) so
-    // duplicates erase once regardless of vertex order or winding —
-    // distinct is load-bearing: two same-polygon rings would
-    // otherwise each see the other covering all their edges and the
-    // union boundary would vanish
-    val subs = subsIn.map(canonicalRing).distinct
-    // Spatial prune for the pairwise term: a subtrahend whose bounding
-    // box misses a segment's bounding box cannot cover any part of it,
-    // so bucket subtrahends on a grid (cell = the largest bbox extent)
-    // and probe only the cells a segment's bbox touches. Without this
-    // the ∂P_k-vs-P_j term is quadratic in the LOCAL footprint count —
-    // measured 17 s at sf1 (~700 footprints/zone) and unusable at
-    // sf10; physically near-disjoint parcels prune to O(1) candidates
-    // per edge, restoring the linear shape the disk kernels have.
+  /** Canonical distinct subtrahends + a bbox-grid candidate lookup —
+    * the spatial prune for the pairwise term, shared by the area and
+    * ring kernels. A subtrahend whose bounding box misses a segment's
+    * bounding box cannot cover any part of it, so bucket subtrahends
+    * on a grid (cell = the largest bbox extent) and probe only the
+    * cells a segment's bbox touches. Without this the ∂P_k-vs-P_j term
+    * is quadratic in the LOCAL footprint count — measured 17 s at sf1
+    * (~700 footprints/zone) and unusable at sf10; physically
+    * near-disjoint parcels prune to O(1) candidates per edge,
+    * restoring the linear shape the disk kernels have.
+    * Canonicalization (CCW + rotation-normalized) + distinct is
+    * load-bearing: two same-polygon rings would otherwise each see the
+    * other covering all their edges and the union boundary would
+    * vanish.
+    */
+  private def subPruneIndex(subsIn: Seq[Seq[(Double, Double)]])
+      : (IndexedSeq[Seq[(Double, Double)]],
+         (Double, Double, Double, Double) => Seq[Int]) = {
+    val subs = subsIn.map(canonicalRing).distinct.toIndexedSeq
     val bboxes = subs.map { p =>
       (p.map(_._1).min, p.map(_._2).min, p.map(_._1).max, p.map(_._2).max)
     }
@@ -774,8 +803,8 @@ object EraseArcs {
         cx += 1
       }
     }
-    /** Distinct subtrahend indices whose bbox may intersect the given
-      * segment bbox (exact superset of the covering subs). */
+    // distinct subtrahend indices whose bbox may intersect the given
+    // segment bbox (exact superset of the covering subs)
     def candidatesNear(ax: Double, ay: Double, bx: Double,
         by: Double): Seq[Int] = {
       val x0 = math.min(ax, bx); val x1 = math.max(ax, bx)
@@ -796,6 +825,13 @@ object EraseArcs {
       }
       out.toSeq
     }
+    (subs, candidatesNear)
+  }
+
+  private[graft] def erasedAreaPolySub(verticesIn: Seq[(Double, Double)],
+      subsIn: Seq[Seq[(Double, Double)]]): Double = {
+    val zEdges = convexZoneEdges(verticesIn)
+    val (subs, candidatesNear) = subPruneIndex(subsIn)
     // (a) zone-edge pieces outside every subtrahend, CCW
     val edgePart = zEdges.map { case ((ax, ay), (bx, by)) =>
       zoneEdgeGreen(ax, ay, bx, by,
@@ -813,6 +849,120 @@ object EraseArcs {
     }.sum
     math.max(0.0, edgePart + subPart)
   }
+
+  /** ALL directed boundary pieces of (convex zone − union of
+    * subtrahend polygons): the zone-edge survivors (CCW) and the
+    * subtrahend-edge survivors (reversed) — exactly the terms
+    * [[erasedAreaPolySub]] integrates, emitted as segments instead of
+    * summed. [[eraseRingsPolySub]] stitches them into closed rings.
+    */
+  private[graft] def erasePolySubPieces(verticesIn: Seq[(Double, Double)],
+      subsIn: Seq[Seq[(Double, Double)]]): Seq[LinePiece] = {
+    val zEdges = convexZoneEdges(verticesIn)
+    val (subs, candidatesNear) = subPruneIndex(subsIn)
+    val zonePieces = zEdges.flatMap { case ((ax, ay), (bx, by)) =>
+      zoneEdgePieces(ax, ay, bx, by,
+        mergeIntervals(candidatesNear(ax, ay, bx, by)
+          .flatMap(k => segInPolyIntervals(ax, ay, bx, by, subs(k)))))
+    }
+    val subPieces = subs.zipWithIndex.flatMap { case (p, k) =>
+      subEdgePieces(zEdges, p, { i =>
+        val (cx, cy) = p(i)
+        val (ex, ey) = p((i + 1) % p.size)
+        candidatesNear(cx, cy, ex, ey).filter(_ != k).map(subs)
+      })
+    }
+    zonePieces ++ subPieces
+  }
+
+  /** Stitch directed line pieces into closed boundary rings — the
+    * straight-edge analogue of [[eraseRings]]'s arc stitcher: at every
+    * boundary vertex of a manifold region exactly one piece starts
+    * where another ends, so following end → start until closure
+    * reconstructs each loop. Endpoints computed through two different
+    * parametrizations (a zone-edge crossing parameter vs the
+    * subtrahend edge's zone-clip parameter) agree to IEEE rounding;
+    * the match tolerance is 1e-9 × the coordinate scale, nearest
+    * candidate wins, and the chain FAILS loudly if no piece continues
+    * (non-manifold boundary — tangency-degenerate input, outside the
+    * general-position contract). Rings and their starting pieces are
+    * rotated / ordered by a canonical key so output is deterministic
+    * regardless of piece arrival order. Orientation falls out of
+    * construction: loops enclosing surviving area run CCW (signed
+    * area > 0), hole loops run CW (< 0), and Σ signed areas ==
+    * [[erasedAreaPolySub]] (same Green terms, re-associated only).
+    */
+  private[graft] def stitchLinePieces(
+      piecesIn: Seq[LinePiece]): Seq[Seq[LinePiece]] = {
+    val pieces = piecesIn.toIndexedSeq
+    if (pieces.isEmpty) return Seq.empty
+    val scale = pieces.iterator.flatMap(p =>
+      Iterator(p.x1.abs, p.y1.abs, p.x2.abs, p.y2.abs)).max
+    val tol = 1e-9 * math.max(1.0, scale)
+    def dist(a: (Double, Double), b: (Double, Double)): Double =
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    val hcell = 4 * tol
+    def hkey(p: (Double, Double)): (Long, Long) =
+      (math.floor(p._1 / hcell).toLong, math.floor(p._2 / hcell).toLong)
+    val byStart = scala.collection.mutable.HashMap
+      .empty[(Long, Long), List[Int]]
+    pieces.zipWithIndex.foreach { case (p, i) =>
+      val k = hkey(p.start)
+      byStart(k) = i :: byStart.getOrElse(k, Nil)
+    }
+    val used = Array.fill(pieces.size)(false)
+    def takeAt(pt: (Double, Double)): Option[Int] = {
+      val (ki, kj) = hkey(pt)
+      val cands = for {
+        dx <- -1L to 1L; dy <- -1L to 1L
+        i <- byStart.getOrElse((ki + dx, kj + dy), Nil)
+        if !used(i) && dist(pieces(i).start, pt) <= tol
+      } yield i
+      if (cands.isEmpty) None
+      else Some(cands.minBy(i => (dist(pieces(i).start, pt), i)))
+    }
+    val chains = Vector.newBuilder[Seq[LinePiece]]
+    pieces.indices.foreach { seed =>
+      if (!used(seed)) {
+        used(seed) = true
+        val first = pieces(seed)
+        val chain = scala.collection.mutable.ArrayBuffer(first)
+        var cur = first
+        while (dist(cur.end, first.start) > tol) {
+          val idx = takeAt(cur.end).getOrElse(throw new
+            IllegalArgumentException(
+              "requirement failed: stitchLinePieces: no piece starts " +
+                "at a boundary vertex — tangency-degenerate input"))
+          used(idx) = true
+          cur = pieces(idx)
+          chain += cur
+        }
+        chains += chain.toSeq
+      }
+    }
+    def key(p: LinePiece): (Int, Double, Double, Double, Double) =
+      (if (p.kind == "zone") 0 else 1, p.x1, p.y1, p.x2, p.y2)
+    val ord = Ordering.Tuple5[Int, Double, Double, Double, Double]
+    val rings = chains.result().map { ring =>
+      val i = ring.indices.minBy(j => key(ring(j)))(ord)
+      ring.drop(i) ++ ring.take(i)
+    }
+    rings.sortBy(ring => key(ring.head))(ord)
+  }
+
+  /** OUTPUT RINGS of (convex zone polygon − union of subtrahend
+    * polygons) — the feature class arcpy's Erase emits
+    * (GSheetsETL_Lab2.py:133) under its GENERAL erase-feature
+    * signature, completing the geometric contract the disk-subtrahend
+    * [[eraseRings]] covers for buffer erasure: each closed boundary
+    * loop alternates zone-edge segments (CCW) and subtrahend-edge
+    * segments (reversed / hole side) joined at edge-edge intersection
+    * points. GeoSpec pins closure, orientation, Σ ring signed areas ==
+    * [[erasedAreaPolySub]], and determinism under input order/winding.
+    */
+  private[graft] def eraseRingsPolySub(verticesIn: Seq[(Double, Double)],
+      subsIn: Seq[Seq[(Double, Double)]]): Seq[Seq[LinePiece]] =
+    stitchLinePieces(erasePolySubPieces(verticesIn, subsIn))
 
   /** GENERAL zone rings with polygon subtrahends: ear-clip the outer
     * and hole rings and sum the convex kernel per triangle — the same
@@ -857,14 +1007,26 @@ object EraseArcs {
     * erase once — same load-bearing distinct as the kernel). Zones
     * with no candidate footprint keep the exact shoelace area.
     */
-  def eraseAreaPolySub(spark: SparkSession, zones: DataFrame,
-      subs: DataFrame): DataFrame = {
+  /** Shared distributed frames of the polygon-subtrahend family
+    * ([[eraseAreaPolySub]] / [[eraseRingsPolySubPerZone]]): the
+    * driver-bounded zone catalog + per-zone edge map, and the
+    * zone-assigned CANONICAL footprint frame `zf` (CCW +
+    * rotation-normalized rings, [[canonicalRing]] — so dropDuplicates
+    * also catches re-wound / rotated copies of the same polygon), with
+    * bbox columns and the grid cell size (= the largest footprint bbox
+    * extent, one tiny agg job). The ring array is its own key
+    * downstream (r12 ADVICE: a 64-bit hash pk collision would have
+    * collapsed two rings' groups, silently dropping one ring's
+    * boundary contribution).
+    */
+  private case class PolySubFrames(
+      zcat: Seq[(Int, Seq[(Double, Double)])],
+      zEdgesMap: Map[Int, IndexedSeq[((Double, Double), (Double, Double))]],
+      zf: DataFrame, cellSz: Double)
+
+  private def polySubFrames(spark: SparkSession, zones: DataFrame,
+      subs: DataFrame): PolySubFrames = {
     import spark.implicits._
-    def shoelace(vs: Seq[(Double, Double)]): Double =
-      math.abs(vs.indices.map { i =>
-        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
-        x1 * y2 - x2 * y1
-      }.sum) / 2
     val zcat = zones.select(col("zone_id").cast("int"), col("vertices"))
       .as[(Int, Seq[(Double, Double)])]
       .collect().toSeq
@@ -876,14 +1038,6 @@ object EraseArcs {
     }.toDF("zone_id", "bcx", "bcy", "brad")
     // zone edges (bounded catalog) ride task closures
     val zEdgesMap = zcat.map { case (z, vs) => z -> convexZoneEdges(vs) }.toMap
-    // footprint frame: CANONICAL rings (CCW + rotation-normalized,
-    // [[canonicalRing]] — so dropDuplicates also catches re-wound /
-    // rotated copies of the same polygon), bbox in-frame. The ring
-    // array is its own key downstream (r12 ADVICE: the previous
-    // xxhash64 pk served as both the self-pair exclusion and the
-    // group key, and a collision between two distinct same-zone rings
-    // would have collapsed their groups, silently dropping one ring's
-    // boundary contribution — not merely widening the exclusion).
     val footCanon = subs.select(col("vertices"))
       .as[Seq[(Double, Double)]].map(canonicalRing(_)).toDF("vertices")
     val xs = transform(col("vertices"), v => v.getField("_1"))
@@ -892,7 +1046,6 @@ object EraseArcs {
       .select(col("vertices"),
         array_min(xs).as("x0"), array_min(ys).as("y0"),
         array_max(xs).as("x1"), array_max(ys).as("y1"))
-    // grid cell = the largest footprint bbox extent (one tiny agg job)
     val cellSz = math.max(1.0, Option(foot
       .agg(max(greatest(col("x1") - col("x0"), col("y1") - col("y0"))))
       .head().get(0)).map(_.asInstanceOf[Double]).getOrElse(1.0))
@@ -906,6 +1059,58 @@ object EraseArcs {
           < (col("brad") + srad) * (col("brad") + srad))
       .select(col("zone_id").cast("int"), col("vertices"),
         col("x0"), col("y0"), col("x1"), col("y1"))
+    PolySubFrames(zcat, zEdgesMap, zf, cellSz)
+  }
+
+  /** The grid-cell self-join of the zone-assigned footprint frame,
+    * grouped per (zone, footprint): each group carries the footprint's
+    * bbox-overlapping NEIGHBORS (distinct — the cell explode can
+    * deliver a neighbor once per shared cell; left_outer keeps
+    * neighbor-free footprints). Self-pair exclusion and grouping both
+    * key on the canonical ring ITSELF — exact, no hash-collision
+    * failure mode. Shared by the area and ring paths.
+    */
+  private def polySubNeighborGroups(spark: SparkSession, zf: DataFrame,
+      cellSz: Double): org.apache.spark.sql.KeyValueGroupedDataset[
+        (Int, Seq[(Double, Double)]),
+        (Int, Seq[(Double, Double)], Option[Seq[(Double, Double)]])] = {
+    import spark.implicits._
+    def withCells(df: DataFrame): DataFrame = df
+      .withColumn("cx", explode(sequence(
+        floor(col("x0") / cellSz), floor(col("x1") / cellSz))))
+      .withColumn("cy", explode(sequence(
+        floor(col("y0") / cellSz), floor(col("y1") / cellSz))))
+    val left = withCells(zf)
+    val right = withCells(zf).select(col("zone_id").as("rz"),
+      col("vertices").as("rvertices"),
+      col("x0").as("rx0"), col("y0").as("ry0"),
+      col("x1").as("rx1"), col("y1").as("ry1"),
+      col("cx").as("rcx"), col("cy").as("rcy"))
+    left.join(right,
+        col("zone_id") === col("rz") && col("cx") === col("rcx") &&
+          col("cy") === col("rcy") &&
+          col("vertices") =!= col("rvertices") &&
+          col("rx0") <= col("x1") && col("x0") <= col("rx1") &&
+          col("ry0") <= col("y1") && col("y0") <= col("ry1"),
+        "left_outer")
+      .select(col("zone_id"), col("vertices"), col("rvertices"))
+      .as[(Int, Seq[(Double, Double)], Option[Seq[(Double, Double)]])]
+      .groupByKey(r => (r._1, r._2))
+  }
+
+  def eraseAreaPolySub(spark: SparkSession, zones: DataFrame,
+      subs: DataFrame): DataFrame = {
+    import spark.implicits._
+    def shoelace(vs: Seq[(Double, Double)]): Double =
+      math.abs(vs.indices.map { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+        x1 * y2 - x2 * y1
+      }.sum) / 2
+    val frames = polySubFrames(spark, zones, subs)
+    val zcat = frames.zcat
+    val zEdgesMap = frames.zEdgesMap
+    val cellSz = frames.cellSz
+    val zf = frames.zf
     zf.cache()
     // ---- (a) zone-edge coverage intervals, merged per (zone, edge) --
     val aEdge = zf.select(col("zone_id"), col("vertices"))
@@ -938,29 +1143,7 @@ object EraseArcs {
       }.sum
     }.toMap
     // ---- (b) per-footprint contributions via a grid-cell self-join --
-    def withCells(df: DataFrame): DataFrame = df
-      .withColumn("cx", explode(sequence(
-        floor(col("x0") / cellSz), floor(col("x1") / cellSz))))
-      .withColumn("cy", explode(sequence(
-        floor(col("y0") / cellSz), floor(col("y1") / cellSz))))
-    val left = withCells(zf)
-    val right = withCells(zf).select(col("zone_id").as("rz"),
-      col("vertices").as("rvertices"),
-      col("x0").as("rx0"), col("y0").as("ry0"),
-      col("x1").as("rx1"), col("y1").as("ry1"),
-      col("cx").as("rcx"), col("cy").as("rcy"))
-    // self-pair exclusion and grouping both key on the canonical ring
-    // ITSELF — exact, no hash-collision failure mode
-    val bRows = left.join(right,
-        col("zone_id") === col("rz") && col("cx") === col("rcx") &&
-          col("cy") === col("rcy") &&
-          col("vertices") =!= col("rvertices") &&
-          col("rx0") <= col("x1") && col("x0") <= col("rx1") &&
-          col("ry0") <= col("y1") && col("y0") <= col("ry1"),
-        "left_outer")
-      .select(col("zone_id"), col("vertices"), col("rvertices"))
-      .as[(Int, Seq[(Double, Double)], Option[Seq[(Double, Double)]])]
-      .groupByKey(r => (r._1, r._2))
+    val bRows = polySubNeighborGroups(spark, zf, cellSz)
       .mapGroups { (key: (Int, Seq[(Double, Double)]),
           rows: Iterator[(Int, Seq[(Double, Double)],
             Option[Seq[(Double, Double)]])]) =>
@@ -982,6 +1165,114 @@ object EraseArcs {
       }
     }
     all.toDF("zone_id", "area_sqft")
+  }
+
+  /** OUTPUT RINGS per zone under POLYGON subtrahends (see
+    * [[eraseRingsPolySub]]) — the DISTRIBUTED plan, closing the one
+    * asymmetry the r12 verdict named (disk subtrahends emit rings via
+    * [[eraseRingsPerZone]]; polygon subtrahends emitted only area +
+    * selection). Same shape as [[eraseAreaPolySub]]: the expensive
+    * per-piece interval work distributes —
+    *
+    *   (a) zone-edge coverage intervals stream from a flatMap over the
+    *       zone-assigned footprint frame (interval endpoints, never
+    *       rings, shuffle here);
+    *   (b) each footprint's surviving edge pieces come from the shared
+    *       grid-cell neighbor self-join ([[polySubNeighborGroups]]),
+    *       bounded by local overlap density;
+    *
+    * and only the STITCH is zone-serial: one `flatMapGroups` per zone
+    * chains that zone's pieces (bounded by zone-local crossing count,
+    * not the corpus) and emits ring rows directly from executors — no
+    * driver collect on the data path (the zone catalog and the
+    * touched-zone id set are the only bounded collects). Interval
+    * merge values are order-independent (sorted merge, float `max`),
+    * and every piece's endpoint arithmetic is the kernel's own
+    * ([[zoneEdgePieces]]/[[subEdgePieces]], shared code), so the
+    * distributed output equals a driver-side [[eraseRingsPolySub]]
+    * replay exactly up to float re-association — GeoSpec pins it.
+    * Zones with no candidate footprint emit their full CCW ring.
+    * Transcendental-free but SQL-inexpressible (the clipping/stitching
+    * algorithm) — rows-only by the family's declared rule; GeoSpec
+    * pins closure, orientation, and Σ ring areas == erasedAreaPolySub.
+    */
+  def eraseRingsPolySubPerZone(spark: SparkSession, zones: DataFrame,
+      subs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val frames = polySubFrames(spark, zones, subs)
+    val zEdgesMap = frames.zEdgesMap
+    val zf = frames.zf
+    zf.cache()
+    // tagged per-zone rows: tag 0 = (a) zone-edge coverage interval
+    // (ei, s, e); tag 1 = (b) surviving footprint piece (x1,y1,x2,y2)
+    val aRows = zf.select(col("zone_id"), col("vertices"))
+      .as[(Int, Seq[(Double, Double)])]
+      .flatMap { case (z, ringIn) =>
+        val ring = normalizeCcw(ringIn)
+        zEdgesMap(z).zipWithIndex.flatMap {
+          case (((ax, ay), (bx, by)), ei) =>
+            segInPolyIntervals(ax, ay, bx, by, ring)
+              .map { case (s, e) => (z, 0, ei, s, e, 0.0, 0.0) }
+        }
+      }
+    val bRows = polySubNeighborGroups(spark, zf, frames.cellSz)
+      .flatMapGroups { (key: (Int, Seq[(Double, Double)]),
+          rows: Iterator[(Int, Seq[(Double, Double)],
+            Option[Seq[(Double, Double)]])]) =>
+        val neighbors = rows.flatMap(_._3).toSeq.distinct
+        subEdgePieces(zEdgesMap(key._1), key._2, _ => neighbors)
+          .map(p => (key._1, 1, -1, p.x1, p.y1, p.x2, p.y2))
+      }
+    // tag 2 = touched-zone seed: a zone whose candidate footprints all
+    // miss the convex ring yields no (a)/(b) rows but must still emit
+    // its full ring — the seed forces its stitch group to exist
+    val seedRows = zf.select(col("zone_id")).distinct().as[Int]
+      .map(z => (z, 2, 0, 0.0, 0.0, 0.0, 0.0))
+    val stitched = aRows.union(bRows).union(seedRows)
+      .groupByKey(_._1)
+      .flatMapGroups { (z: Int,
+          rows: Iterator[(Int, Int, Int, Double, Double, Double, Double)]) =>
+        val rs = rows.toSeq
+        val ivByEdge = rs.filter(_._2 == 0).groupBy(_._3)
+          .map { case (ei, ivs) =>
+            ei -> mergeIntervals(ivs.map(r => (r._4, r._5))) }
+        // untouched / partially-covered zone edges keep their full or
+        // surviving pieces; fully-covered edges yield none
+        val zonePieces = zEdgesMap(z).zipWithIndex.flatMap {
+          case (((ax, ay), (bx, by)), ei) =>
+            zoneEdgePieces(ax, ay, bx, by, ivByEdge.getOrElse(ei, Nil))
+        }
+        val subPieces = rs.filter(_._2 == 1)
+          .map(r => LinePiece("sub", r._4, r._5, r._6, r._7))
+        stitchLinePieces(zonePieces ++ subPieces).zipWithIndex
+          .flatMap { case (ring, ri) =>
+            val area = ring.map(_.signedArea).sum
+            ring.zipWithIndex.map { case (p, pi) =>
+              (z, ri.toLong, pi.toLong, p.kind,
+                p.x1, p.y1, p.x2, p.y2, area)
+            }
+          }
+      }
+      .toDF("zone_id", "ring_id", "piece_seq", "kind",
+        "x1_ft", "y1_ft", "x2_ft", "y2_ft", "ring_area_sqft")
+    // zones with no candidate footprint: full CCW ring (driver rows —
+    // bounded by the zone catalog, same convention as eraseAreaPolySub)
+    val touched = zf.select(col("zone_id")).distinct()
+      .as[Int].collect().toSet
+    zf.unpersist()
+    val untouched = frames.zcat.filter(z => !touched(z._1))
+      .sortBy(_._1).flatMap { case (z, vs) =>
+        eraseRingsPolySub(vs, Seq.empty).zipWithIndex.flatMap {
+          case (ring, ri) =>
+            val area = ring.map(_.signedArea).sum
+            ring.zipWithIndex.map { case (p, pi) =>
+              (z, ri.toLong, pi.toLong, p.kind,
+                p.x1, p.y1, p.x2, p.y2, area)
+            }
+        }
+      }
+    stitched.union(untouched.toDF("zone_id", "ring_id", "piece_seq",
+      "kind", "x1_ft", "y1_ft", "x2_ft", "y2_ft", "ring_area_sqft"))
   }
 
   /** One directed boundary piece of an erased-zone output ring

@@ -462,6 +462,35 @@ object Wnv {
         .select(col("c_custkey"), col("x_ft"), col("y_ft"))
         .orderBy(col("c_custkey"))),
 
+    // J2 GEOMETRY OUTPUT, POLYGON SUBTRAHENDS (round 13): the erased
+    // polygons THEMSELVES under the general erase-feature signature —
+    // per zone, the ordered boundary rings of (diamond zone − parcel
+    // footprints), each ring a sequence of directed straight segments
+    // (zone edges CCW / footprint edges reversed) stitched at
+    // edge-edge intersection points
+    // (geo/EraseArcs.eraseRingsPolySubPerZone) — closing the one
+    // geometric asymmetry the r12 verdict named (disk subtrahends had
+    // wnv_erase_rings; polygon subtrahends emitted only area +
+    // selection). Transcendental-free but SQL-inexpressible (the
+    // clipping/stitching algorithm has no SQL form) — same declared
+    // rows-only rule as the erase-geometry family; GeoSpec pins ring
+    // closure, orientation (outer CCW positive / holes CW negative),
+    // Σ ring signed areas == erasedAreaPolySub, determinism, and the
+    // distributed-path replay.
+    "wnv_erase_poly_sub_rings" -> ((s: SparkSession, d: String) =>
+      graft.geo.EraseArcs.eraseRingsPolySubPerZone(s, polygonZones(s, d),
+          parcelFootprints(s, d))
+        .select(col("zone_id"), col("ring_id"), col("piece_seq"),
+          col("kind"), XF.r6(col("x1_ft")).as("x1_ft"),
+          XF.r6(col("y1_ft")).as("y1_ft"),
+          XF.r6(col("x2_ft")).as("x2_ft"),
+          XF.r6(col("y2_ft")).as("y2_ft"),
+          XF.r6(col("ring_area_sqft")).as("ring_area_sqft"))
+        // barrier before the global sort: the range sampler would
+        // otherwise re-run the per-zone ring stitcher (flatMapGroups)
+        .repartition(col("zone_id"))
+        .orderBy(col("zone_id"), col("ring_id"), col("piece_seq"))),
+
     // J2 GEOMETRY, GENERAL polygon zones (round 9): concave rings WITH
     // holes — the full arcpy-Erase input domain (reference
     // GSheetsETL_Lab2.py:133). Each zone as a concave 4-point star

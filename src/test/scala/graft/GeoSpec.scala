@@ -799,4 +799,147 @@ class GeoSpec extends SparkSpec {
       assert(got(z) <= ringArea(vs) + 1e-6)
     }
   }
+
+  test("polygon-subtrahend rings: closure, orientation, area " +
+      "conservation, determinism") {
+    import graft.geo.EraseArcs
+    val square = Seq((-1000.0, -1000.0), (1000.0, -1000.0),
+      (1000.0, 1000.0), (-1000.0, 1000.0))
+    def sq(cx: Double, cy: Double, hw: Double) = Seq(
+      (cx - hw, cy - hw), (cx + hw, cy - hw),
+      (cx + hw, cy + hw), (cx - hw, cy + hw))
+    def checkRings(zone: Seq[(Double, Double)],
+        subs: Seq[Seq[(Double, Double)]])
+        : Seq[Seq[EraseArcs.LinePiece]] = {
+      val rings = EraseArcs.eraseRingsPolySub(zone, subs)
+      val scale = (zone ++ subs.flatten)
+        .flatMap(p => Seq(p._1.abs, p._2.abs)).max
+      val tol = 1e-9 * math.max(1.0, scale)
+      rings.foreach { ring =>
+        // closure: each piece's end is the next piece's start (cyclic)
+        ring.indices.foreach { i =>
+          val a = ring(i); val b = ring((i + 1) % ring.size)
+          val (ex, ey) = a.end; val (sx, sy) = b.start
+          assert(math.hypot(ex - sx, ey - sy) <= tol,
+            s"open ring at piece $i of $ring")
+        }
+        // orientation: hole-only loops are CW (negative signed area),
+        // loops containing a zone piece are CCW-positive
+        val area = ring.map(_.signedArea).sum
+        if (ring.exists(_.kind == "zone"))
+          assert(area > 0, s"outer ring CW: $ring")
+        else assert(area < 0, s"hole ring CCW: $ring")
+      }
+      // area conservation: Σ ring signed areas == erasedAreaPolySub
+      // (identical Green terms, re-associated only)
+      val sum = rings.flatten.map(_.signedArea).sum
+      val want = EraseArcs.erasedAreaPolySub(zone, subs)
+      assert(math.abs(sum - want) <= 1e-9 * math.max(1.0, want),
+        s"rings $sum vs erasedAreaPolySub $want")
+      rings
+    }
+    // untouched zone: ONE CCW ring of the 4 full edges
+    val r0 = checkRings(square, Nil)
+    assert(r0.size === 1 && r0.head.size === 4 &&
+      r0.head.forall(_.kind == "zone"))
+    assert(math.abs(r0.head.map(_.signedArea).sum - 4e6) < 1e-6)
+    // strictly interior subtrahend: CCW outer + a CW 4-piece hole of
+    // exactly the subtrahend's (reversed) boundary
+    val r1 = checkRings(square, Seq(sq(0, 0, 300)))
+    assert(r1.size === 2)
+    assert(r1.head.forall(_.kind == "zone") &&
+      r1(1).forall(_.kind == "sub") && r1(1).size === 4)
+    assert(math.abs(r1(1).map(_.signedArea).sum + 600.0 * 600.0) < 1e-6)
+    // subtrahend poking OUT across one zone edge: ONE mixed ring
+    // (zone-edge pieces + the subtrahend's interior pieces)
+    val r2 = checkRings(square, Seq(sq(1000, 0, 300)))
+    assert(r2.size === 1)
+    assert(r2.head.map(_.kind).toSet === Set("zone", "sub"))
+    assert(math.abs(r2.head.map(_.signedArea).sum -
+      (4e6 - 300.0 * 600.0)) < 1e-6)
+    // two OVERLAPPING interior squares (generic offset — aligned
+    // twins would share collinear boundary segments, the declared
+    // tangency-degenerate case the stitcher rejects loudly): outer +
+    // ONE merged hole of inclusion-exclusion area
+    val r3 = checkRings(square, Seq(sq(0, 0, 300), sq(200, 100, 250)))
+    assert(r3.size === 2)
+    assert(r3(1).forall(_.kind == "sub"))
+    assert(math.abs(r3(1).map(_.signedArea).sum +
+      (360000.0 + 250000.0 - 350.0 * 450.0)) < 1e-6)
+    // a pseudo-random rotated-polygon configuration (multi-ring)
+    val pent = Seq((-900.0, -700.0), (800.0, -1000.0), (1100.0, 200.0),
+      (200.0, 1000.0), (-1000.0, 500.0))
+    val subs = (1 to 10).map { i =>
+      val a = i * 2.399963229728653
+      val rad = 150.0 + (i * 173) % 900
+      val cx = rad * math.cos(a); val cy = rad * math.sin(a)
+      val rot = i * 0.7; val hw = 120.0 + (i * 37) % 180
+      val n = if (i % 2 == 0) 4 else 3
+      (0 until n).map { k =>
+        val b = rot + 2 * math.Pi / n * k
+        (cx + hw * math.cos(b), cy + hw * math.sin(b))
+      }
+    }
+    checkRings(pent, subs)
+    // deterministic output regardless of subtrahend arrival order /
+    // winding / vertex rotation
+    val canon = EraseArcs.eraseRingsPolySub(pent, subs)
+    assert(EraseArcs.eraseRingsPolySub(pent, subs.reverse) === canon)
+    assert(EraseArcs.eraseRingsPolySub(pent,
+      subs.map(_.reverse)) === canon)
+    assert(EraseArcs.eraseRingsPolySub(pent,
+      subs.map(s => s.drop(1) ++ s.take(1))) === canon)
+  }
+
+  test("polygon-subtrahend rings: the distributed path equals a " +
+      "driver-side replay") {
+    import graft.geo.EraseArcs
+    val zones = graft.ops.Wnv.polygonZones(spark, sf)
+    val subs = graft.ops.Wnv.parcelFootprints(spark, sf)
+    val got = EraseArcs.eraseRingsPolySubPerZone(spark, zones, subs)
+      .collect()
+      .map(w => (w.getInt(0), w.getLong(1), w.getLong(2)) ->
+        (w.getString(3), w.getDouble(4), w.getDouble(5), w.getDouble(6),
+          w.getDouble(7), w.getDouble(8)))
+      .toMap
+    def ring(rows: Seq[org.apache.spark.sql.Row]): Seq[(Double, Double)] =
+      rows.map(v => (v.getDouble(0), v.getDouble(1)))
+    val zs = zones.select(col("zone_id").cast("int"), col("vertices"))
+      .collect()
+      .map(w => (w.getInt(0), ring(w.getSeq[org.apache.spark.sql.Row](1))))
+    val ss = subs.select(col("vertices")).collect()
+      .map(w => ring(w.getSeq[org.apache.spark.sql.Row](0)))
+    assert(got.keys.map(_._1).toSet === zs.map(_._1).toSet)
+    zs.foreach { case (z, vs) =>
+      val cx = vs.map(_._1).sum / vs.size
+      val cy = vs.map(_._2).sum / vs.size
+      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      val near = ss.filter { s =>
+        val sx = (s.map(_._1).min + s.map(_._1).max) / 2
+        val sy = (s.map(_._2).min + s.map(_._2).max) / 2
+        val sr = math.hypot(s.map(_._1).max - s.map(_._1).min,
+          s.map(_._2).max - s.map(_._2).min) / 2
+        (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) < (rad + sr) * (rad + sr)
+      }.toSeq
+      val want = EraseArcs.eraseRingsPolySub(vs, near)
+      val wantRows = want.zipWithIndex.flatMap { case (r, ri) =>
+        val area = r.map(_.signedArea).sum
+        r.zipWithIndex.map { case (p, pi) =>
+          (z, ri.toLong, pi.toLong) ->
+            (p.kind, p.x1, p.y1, p.x2, p.y2, area)
+        }
+      }
+      assert(got.keys.count(_._1 == z) === wantRows.size, s"zone $z")
+      val tol = 1e-9 * math.max(1.0, rad + cx.abs + cy.abs)
+      wantRows.foreach { case (k, (kind, x1, y1, x2, y2, area)) =>
+        val (gk, gx1, gy1, gx2, gy2, ga) = got(k)
+        assert(gk === kind, s"$k kind")
+        assert(math.abs(gx1 - x1) <= tol && math.abs(gy1 - y1) <= tol &&
+          math.abs(gx2 - x2) <= tol && math.abs(gy2 - y2) <= tol,
+          s"$k coords: ($gx1,$gy1)->($gx2,$gy2) vs ($x1,$y1)->($x2,$y2)")
+        assert(math.abs(ga - area) <= 1e-9 * math.max(1.0, area.abs),
+          s"$k ring area $ga vs $area")
+      }
+    }
+  }
 }
