@@ -86,12 +86,14 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.map(_.toDouble).getOrElse(1.0)
     val out = args.lift(1).getOrElse(s"testdata-gen/sf$sf")
+    val flags = args.drop(2).toSet
     val spark = graft.GraftSession.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // same physical timestamp vintage as the current driver data
     spark.conf.set("spark.sql.parquet.outputTimestampType",
       "TIMESTAMP_MICROS")
-    generate(spark, sf, out)
+    generate(spark, sf, out, heapsVocab = flags("--heaps"),
+      onlyDocuments = flags("--only-documents"))
     spark.stop()
   }
 
@@ -108,7 +110,29 @@ object GenData {
     "documents" -> math.max(500, math.round(50000 * sf)),
     "embeddings" -> math.max(500, math.round(20000 * sf)))
 
-  def generate(spark: SparkSession, sf: Double, out: String): Unit = {
+  /** @param heapsVocab false (default) = the driver contract's FIXED
+    *        30-word vocabulary. true = a Heaps'-law vocabulary regime
+    *        for the `documents` table only: the vocabulary grows with
+    *        the corpus as V = K·N^β (K = 30, β = 0.5 — inside the
+    *        classic English ranges K ≈ 10–100, β ≈ 0.4–0.6; Heaps
+    *        1978), and per-token ranks are Zipf-distributed via the
+    *        closed form rank = ⌊V^u⌋ for uniform u (density ∝ 1/rank —
+    *        Zipf s = 1, so the head stays common: rank-1 frequency
+    *        ln2/lnV ≈ 6%, about English "the"). This is the
+    *        data-regime twin of the fixed-vocabulary adjudication in
+    *        BASELINE.md: under the fixed 30 words every pair-key's
+    *        joint df grows linearly with the corpus and candidate
+    *        volume is ~n²/universe² for ANY candidate generator; under
+    *        Heaps growth rare-shingle joint dfs stay O(1) and the
+    *        near-dup plans should go ~linear — measured, not argued,
+    *        in BASELINE.md round 13. All other structure (doc lengths,
+    *        the 4.7% near-dup copies, the "dup" marker, langs/sources)
+    *        is unchanged; base-vocab draws keep the same splitmix
+    *        stream so mode differences are vocabulary-only.
+    * @param onlyDocuments write just `documents.parquet` (the
+    *        vocabulary-regime study reads nothing else). */
+  def generate(spark: SparkSession, sf: Double, out: String,
+      heapsVocab: Boolean = false, onlyDocuments: Boolean = false): Unit = {
     val n = counts(sf)
     val nCust = n("customer"); val nSupp = n("supplier")
     val nPart = n("part"); val nOrd = n("orders")
@@ -127,6 +151,9 @@ object GenData {
     // the single-file fixture behave like one.
     def write(name: String, df: DataFrame, files: Int): Unit = {
       val _ = files
+      if (onlyDocuments && name != "documents") {
+        println(s"[gendata] skip $name (--only-documents)"); return
+      }
       val tmp = s"$out/.tmp_$name"
       df.repartition(1).write.mode(SaveMode.Overwrite)
         .option("parquet.block.size", 4L * 1024 * 1024)
@@ -241,10 +268,24 @@ object GenData {
     // ~4.7% of docs are near-duplicate copies of an earlier doc with
     // one "dup" token inserted (the sf0.1 structure: 234 shared-prefix
     // groups / 5000 docs, pair Jaccard ≈ 0.95, 0.16% exact copies)
+    // Heaps'-law vocabulary size for this corpus (see the generate
+    // scaladoc): V = 30·√(total tokens), tokens ≈ nDoc · E[words/doc]
+    // (= 10 + 90/2 = 55)
+    val heapsV: Int = math.max(Vocab.size,
+      math.round(30.0 * math.sqrt(nDoc * 55.0)).toInt)
+    val useHeaps = heapsVocab // avoid capturing the method param name twice
     val docs = spark.range(nDoc).as[Long].map { id =>
       def words(of: Long): IndexedSeq[String] = {
         val nW = 10 + ui(71L, of, 91)
-        (0 until nW).map(j => Vocab(ui(72L + j, of, Vocab.size)))
+        if (!useHeaps)
+          (0 until nW).map(j => Vocab(ui(72L + j, of, Vocab.size)))
+        else (0 until nW).map { j =>
+          // Zipf s=1 via the closed form rank = ⌊V^u⌋ ∈ [1, V]
+          val rank = math.min(heapsV.toLong,
+            math.max(1L, math.pow(heapsV.toDouble, u(72L + j, of)).toLong))
+          if (rank <= Vocab.size) Vocab(rank.toInt - 1)
+          else "w" + rank
+        }
       }
       val isDup = id >= 20 && u(73L, id) < 0.047
       val ws =
