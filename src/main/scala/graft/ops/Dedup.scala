@@ -74,6 +74,26 @@ object Dedup {
     * every downstream pass joins, exactly like the k-means assignment
     * memo ([[Similarity]]) and the cluster-label memo below.
     */
+  /** localCheckpoint with a storage level sized to the corpus. The
+    * memoized frames here are WRITTEN TABLES at 100 TB (each memo's
+    * scaladoc says so); in-heap deserialized caching is the right
+    * local default, but past ~10⁶ docs the 32-way concurrent unroll of
+    * row COPIES overflows a single 96 GB JVM — the round-13 sf30 probe
+    * OOM'd exactly there (`Dataset.checkpoint` →
+    * `MemoryStore.putIteratorAsValues` → `UnsafeRow.copy`, killing the
+    * context and every query after it). DISK_ONLY streams the blocks
+    * through the disk store with no unroll phase, and the OS page
+    * cache keeps hot re-reads memory-speed — which is also the closer
+    * analogue of the stored-table contract these memos document. The
+    * threshold keeps every committed bench regime (sf0.1/sf1/sf10,
+    * ≤ 500k docs) on the measured in-heap path bit-for-bit.
+    */
+  private def ckptSized(s: SparkSession, d: String,
+      df: DataFrame): DataFrame =
+    if (nDocs(s, d) <= 600000) df.localCheckpoint()
+    else df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
   private val shingleMemo =
     new graft.BoundedMemo[(SparkSession, String), DataFrame](8)
 
@@ -84,10 +104,10 @@ object Dedup {
       // whole shingle explode AND the first stage of every consumer on
       // one task (the codec-stage rule, Multimodal.pngMedia; the sf10
       // drive measured the warmup build single-threaded for minutes)
-      t(spark, d, "documents")
+      ckptSized(spark, d, t(spark, d, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"), graft.functions.ShingleHashes(col("text"), 3))
-        .localCheckpoint())
+        .select(col("doc_id"),
+          graft.functions.ShingleHashes(col("text"), 3))))
 
   /** Materialize every shared memoized artifact of this module —
     * called by Bench's UNTIMED warmup: at 100 TB these are stored
@@ -289,11 +309,10 @@ object Dedup {
       val wr = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      sh.join(freq, Seq("s"))
+      ckptSized(s, d, sh.join(freq, Seq("s"))
         .join(sizes, Seq("doc_id"))
         .withColumn("rk", row_number().over(wr))
-        .select(col("doc_id"), col("s"), col("rk"), col("n"))
-        .localCheckpoint()
+        .select(col("doc_id"), col("s"), col("rk"), col("n")))
     }
 
   /** Unordered within-doc shingle-PAIR keys `(doc_id, n, s1, s2)`
@@ -481,7 +500,7 @@ object Dedup {
 
   private def corpusSigs(s: SparkSession, d: String): DataFrame =
     sigsMemo.getOrCompute((s, d))(
-      minhashSigs(shingleDf(s, d)).localCheckpoint())
+      ckptSized(s, d, minhashSigs(shingleDf(s, d))))
 
   /** Band rows from an existing signature frame (Bands-way explode). */
   private def bandsFromSigs(mh: DataFrame): DataFrame = {
@@ -1375,10 +1394,9 @@ object Dedup {
     kgramMemo.getOrCompute((s, d)) {
       // spread before the k-gram explode (the codec-stage rule — see
       // shingleDf)
-      kgramsOf(t(s, d, "documents")
+      ckptSized(s, d, kgramsOf(t(s, d, "documents")
           .repartition(s.sparkContext.defaultParallelism))
-        .select(col("doc_id"), col("pos"), col("kh"))
-        .localCheckpoint()
+        .select(col("doc_id"), col("pos"), col("kh")))
     }
 
   /** The distinct corpus K-gram hash set — the stored index a
