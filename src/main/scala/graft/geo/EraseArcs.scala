@@ -804,9 +804,15 @@ object EraseArcs {
       }
     }
     // distinct subtrahend indices whose bbox may intersect the given
-    // segment bbox (exact superset of the covering subs)
+    // segment bbox (exact superset of the covering subs). EMPTY subs
+    // short-circuit: with no bboxes cellSz floors at 1.0 ft and the
+    // scan below would walk every 1-ft cell of the edge bbox — at
+    // state-plane coordinates that is ~10⁶ iterations per edge for a
+    // guaranteed-empty answer (measured: 36 s of driver CPU building
+    // the rings plan at sf0.001, where most zones are untouched and
+    // take the subs-free driver path).
     def candidatesNear(ax: Double, ay: Double, bx: Double,
-        by: Double): Seq[Int] = {
+        by: Double): Seq[Int] = if (subs.isEmpty) Nil else {
       val x0 = math.min(ax, bx); val x1 = math.max(ax, bx)
       val y0 = math.min(ay, by); val y1 = math.max(ay, by)
       val out = scala.collection.mutable.SortedSet.empty[Int]
@@ -974,6 +980,327 @@ object EraseArcs {
     def piece(ring: Seq[(Double, Double)]): Double =
       triangulate(ring).map(t => erasedAreaPolySub(t, subs)).sum
     math.max(0.0, piece(outer) - holes.map(piece).sum)
+  }
+
+  /** Edge pieces of ONE member ring `p` (CCW) against a GENERAL simple
+    * outer ring: the pieces of p's edges inside the outer ring and
+    * outside every OTHER member (the `others` rings, any exact
+    * superset of the actual coverers), traversed REVERSED (kept region
+    * on the left — the hole side). The general-zone analogue of
+    * [[subEdgePieces]]: the convex parametric half-plane clip is
+    * replaced by [[segInPolyIntervals]] against the outer ring, which
+    * needs no convexity (a member edge can enter and leave a concave
+    * outer ring several times — each surviving sub-interval becomes
+    * its own piece). Shared by the driver kernel and the distributed
+    * plan so their per-piece arithmetic is identical.
+    */
+  private def memberEdgePieces(outer: Seq[(Double, Double)],
+      p: Seq[(Double, Double)],
+      others: Int => Seq[Seq[(Double, Double)]]): Seq[LinePiece] =
+    p.indices.flatMap { i =>
+      val (cx, cy) = p(i)
+      val (ex, ey) = p((i + 1) % p.size)
+      val dx = ex - cx; val dy = ey - cy
+      require(dx != 0.0 || dy != 0.0,
+        s"eraseRingsConcaveSub: degenerate member edge at ($cx,$cy)")
+      val inOuter = segInPolyIntervals(cx, cy, ex, ey, outer)
+      val covered = mergeIntervals(
+        others(i).flatMap(o => segInPolyIntervals(cx, cy, ex, ey, o)))
+      def reversedPiece(s: Double, e: Double): LinePiece =
+        LinePiece("sub", cx + e * dx, cy + e * dy,
+          cx + s * dx, cy + s * dy)
+      // survivors: inOuter minus covered, each traversed e → s
+      inOuter.flatMap { case (s0, e0) =>
+        var cur = s0
+        val acc = Seq.newBuilder[LinePiece]
+        covered.foreach { case (s, e) =>
+          if (e > cur && s < e0) {
+            if (s > cur) acc += reversedPiece(cur, math.min(s, e0))
+            cur = math.max(cur, math.min(e, e0))
+          }
+        }
+        if (cur < e0) acc += reversedPiece(cur, e0)
+        acc.result()
+      }
+    }
+
+  /** ALL directed boundary pieces of (GENERAL simple zone polygon −
+    * union of member polygons), where the zone's HOLE rings are passed
+    * as members: R = outer ∖ ∪members, so holes and subtrahends are
+    * the same thing to the boundary algebra (a subtrahend overlapping
+    * a hole is resolved by the mutual member-vs-member clipping,
+    * exactly like two overlapping subtrahends in the convex kernel).
+    * Piece set: (a) outer-ring edges CCW minus the intervals covered
+    * by any member ([[zoneEdgePieces]] — already general); (b) each
+    * member's edges inside the outer ring and outside every other
+    * member, REVERSED ([[memberEdgePieces]]). [[stitchLinePieces]]
+    * chains them into closed rings. Same general-position contract as
+    * the convex path (tangency fails loudly in the stitcher —
+    * GeoPropertySpec pins the failure is never silent).
+    */
+  private[graft] def eraseGeneralPieces(outerIn: Seq[(Double, Double)],
+      membersIn: Seq[Seq[(Double, Double)]]): Seq[LinePiece] = {
+    require(outerIn.size >= 3, "polygon needs >= 3 vertices")
+    val outer = normalizeCcw(outerIn)
+    val (members, candidatesNear) = subPruneIndex(membersIn)
+    val zonePieces = outer.indices.flatMap { i =>
+      val (ax, ay) = outer(i)
+      val (bx, by) = outer((i + 1) % outer.size)
+      zoneEdgePieces(ax, ay, bx, by, mergeIntervals(
+        candidatesNear(ax, ay, bx, by)
+          .flatMap(k => segInPolyIntervals(ax, ay, bx, by, members(k)))))
+    }
+    val memberPieces = members.zipWithIndex.flatMap { case (p, k) =>
+      memberEdgePieces(outer, p, { i =>
+        val (cx, cy) = p(i)
+        val (ex, ey) = p((i + 1) % p.size)
+        candidatesNear(cx, cy, ex, ey).filter(_ != k).map(members)
+      })
+    }
+    zonePieces ++ memberPieces
+  }
+
+  /** OUTPUT RINGS of (GENERAL zone polygon − holes − union of
+    * subtrahend polygons) — ring output for CONCAVE zones (with
+    * holes), the one geometry cell [[eraseRingsPolySub]]'s convex-only
+    * stitch left uncovered (r13 verdict): each closed boundary loop
+    * alternates outer-ring segments (CCW) and member segments
+    * (reversed / hole side). GeoSpec pins closure, orientation,
+    * Σ ring signed areas == [[erasedAreaConcaveSub]] (an INDEPENDENT
+    * method — triangulation × the convex area kernel), convex
+    * agreement with [[eraseRingsPolySub]], and determinism.
+    */
+  private[graft] def eraseRingsConcaveSub(outer: Seq[(Double, Double)],
+      holes: Seq[Seq[(Double, Double)]],
+      subs: Seq[Seq[(Double, Double)]]): Seq[Seq[LinePiece]] =
+    stitchLinePieces(eraseGeneralPieces(outer, holes ++ subs))
+
+  /** Surviving area per GENERAL (concave, with holes) polygon zone
+    * under POLYGON subtrahends — the DISTRIBUTED plan, closing the
+    * last Erase input-domain cell ({concave zones} × {polygon erase
+    * features}; arcpy's Erase accepts any feature-class pair,
+    * reference GSheetsETL_Lab2.py:133). Distribution is at TRIANGLE
+    * granularity, finer than [[eraseAreaConcave]]'s per-zone groups:
+    * ear-clip each zone's outer and hole rings driver-side (the zone
+    * catalog is cluster-constant — SCALE.md), broadcast the triangle
+    * bounding circles, assign canonical deduped footprints to the
+    * triangles they can touch, and evaluate the CONVEX kernel
+    * ([[erasedAreaPolySub]]) independently per (zone, triangle) group
+    * — so a zone whose footprint over-coverage would serialize one
+    * task (the r12 sf10 lesson on the convex per-zone plan, 262 s)
+    * splits across its ~12 triangles, each group bounded by the
+    * TRIANGLE's local footprint density. Per-triangle areas are a
+    * bounded catalog (zones × triangles rows — never footprints), so
+    * the driver combine Σ sign·tri (outer +, holes −, floor 0) is the
+    * same collect class as the zone catalog itself. Exactness: the
+    * triangles PARTITION each ring ([[triangulate]]), areas add; a
+    * footprint outside a triangle's candidate circle contributes
+    * exactly 0.0 to it, so candidate pruning is lossless up to float
+    * re-association (GeoSpec pins the distributed == replay parity).
+    */
+  def eraseAreaConcaveSub(spark: SparkSession, zones: DataFrame,
+      subs: DataFrame): DataFrame = {
+    import spark.implicits._
+    def shoelace(vs: Seq[(Double, Double)]): Double =
+      math.abs(vs.indices.map { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+        x1 * y2 - x2 * y1
+      }.sum) / 2
+    val zcat = zones.select(col("zone_id").cast("int"),
+        col("vertices"), col("holes"))
+      .as[(Int, Seq[(Double, Double)], Seq[Seq[(Double, Double)]])]
+      .collect().toSeq
+    // triangle catalog: (zone, tri_id, sign, vertices) — outer-ring
+    // triangles count +, hole-ring triangles count − (holes ⊆ outer
+    // and pairwise disjoint: the erasedAreaConcaveSub identity)
+    val tcat: Seq[(Int, Int, Int, Seq[(Double, Double)])] =
+      zcat.flatMap { case (z, vs, hs) =>
+        (triangulate(vs).map(t => (1, t)) ++
+          hs.flatMap(h => triangulate(h).map(t => (-1, t))))
+          .zipWithIndex.map { case ((sgn, t), i) => (z, i, sgn, t) }
+      }
+    val bound = tcat.map { case (z, i, _, t) =>
+      val cx = t.map(_._1).sum / t.size
+      val cy = t.map(_._2).sum / t.size
+      val rad = t.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      (z, i, cx, cy, rad)
+    }.toDF("zone_id", "tri_id", "bcx", "bcy", "brad")
+    // triangle vertices ride task closures (bounded: zones × ~12 tris
+    // of 3 vertices — the zEdgesMap convention)
+    val tris = tcat.map { case (z, i, _, t) => (z, i) -> t }.toMap
+    val footCanon = subs.select(col("vertices"))
+      .as[Seq[(Double, Double)]].map(canonicalRing(_)).toDF("vertices")
+    val xs = transform(col("vertices"), v => v.getField("_1"))
+    val ys = transform(col("vertices"), v => v.getField("_2"))
+    val foot = footCanon.dropDuplicates("vertices")
+      .select(col("vertices"),
+        ((array_min(xs) + array_max(xs)) / 2).as("sx"),
+        ((array_min(ys) + array_max(ys)) / 2).as("sy"),
+        (sqrt(Geo.dist2(array_min(xs), array_min(ys),
+          array_max(xs), array_max(ys))) / 2).as("sr"))
+    val pairs = foot
+      .join(broadcast(bound),
+        Geo.dist2(col("sx"), col("sy"), col("bcx"), col("bcy"))
+          < (col("brad") + col("sr")) * (col("brad") + col("sr")))
+      .select(col("zone_id").cast("int"), col("tri_id").cast("int"),
+        col("vertices"))
+      .as[(Int, Int, Seq[(Double, Double)])]
+    val touched = pairs.groupByKey(r => (r._1, r._2))
+      .mapGroups { (k: (Int, Int),
+          rows: Iterator[(Int, Int, Seq[(Double, Double)])]) =>
+        (k._1, k._2, erasedAreaPolySub(tris(k), rows.map(_._3).toSeq))
+      }
+      .collect() // bounded: zones × triangles, areas only
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val byZone = tcat.groupBy(_._1)
+    val all = zcat.sortBy(_._1).map { case (z, _, _) =>
+      val s = byZone(z).map { case (_, i, sgn, t) =>
+        sgn * touched.getOrElse((z, i), shoelace(t))
+      }.sum
+      (z, math.max(0.0, s))
+    }
+    all.toDF("zone_id", "area_sqft")
+  }
+
+  /** OUTPUT RINGS per GENERAL (concave, with holes) zone under POLYGON
+    * subtrahends (see [[eraseRingsConcaveSub]]) — the DISTRIBUTED
+    * plan. Same shape as [[eraseRingsPolySubPerZone]], with the zone's
+    * HOLE rings injected as member rows of the zone-assigned frame
+    * (holes and subtrahends are the same thing to the boundary
+    * algebra), the convex edge catalog replaced by the general CCW
+    * outer-ring edges, and the member clip running through
+    * [[memberEdgePieces]] (segment-in-polygon intervals — no
+    * convexity). The expensive per-piece interval work distributes:
+    * (a) outer-edge coverage intervals stream from a flatMap over the
+    * member frame; (b) each member's surviving pieces come from the
+    * shared grid-cell neighbor self-join, bounded by local overlap
+    * density. Only the stitch is zone-serial (bounded by zone-local
+    * crossing count). Rows-only by the family's declared rule; GeoSpec
+    * pins the distributed == driver-replay parity and conservation
+    * against the triangulation area kernel.
+    */
+  def eraseRingsConcaveSubPerZone(spark: SparkSession, zones: DataFrame,
+      subs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val zcat = zones.select(col("zone_id").cast("int"),
+        col("vertices"), col("holes"))
+      .as[(Int, Seq[(Double, Double)], Seq[Seq[(Double, Double)]])]
+      .collect().toSeq
+    val bound = zcat.map { case (z, vs, _) =>
+      val cx = vs.map(_._1).sum / vs.size
+      val cy = vs.map(_._2).sum / vs.size
+      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      (z, cx, cy, rad)
+    }.toDF("zone_id", "bcx", "bcy", "brad")
+    // bounded catalogs ride task closures (the zEdgesMap convention)
+    val zRingMap = zcat.map { case (z, vs, _) => z -> normalizeCcw(vs) }.toMap
+    val zEdgesMap = zRingMap.map { case (z, ring) =>
+      z -> ring.indices.map(i =>
+        (ring(i), ring((i + 1) % ring.size))).toIndexedSeq
+    }
+    val zHolesMap = zcat.map { case (z, _, hs) =>
+      z -> hs.map(canonicalRing) }.toMap
+    val footCanon = subs.select(col("vertices"))
+      .as[Seq[(Double, Double)]].map(canonicalRing(_)).toDF("vertices")
+    val xs = transform(col("vertices"), v => v.getField("_1"))
+    val ys = transform(col("vertices"), v => v.getField("_2"))
+    val foot = footCanon.dropDuplicates("vertices")
+      .select(col("vertices"),
+        array_min(xs).as("x0"), array_min(ys).as("y0"),
+        array_max(xs).as("x1"), array_max(ys).as("y1"))
+    val scx = (col("x0") + col("x1")) / 2
+    val scy = (col("y0") + col("y1")) / 2
+    val srad = sqrt(Geo.dist2(col("x0"), col("y0"), col("x1"), col("y1"))) / 2
+    val zfFoot = foot
+      .join(broadcast(bound),
+        Geo.dist2(scx, scy, col("bcx"), col("bcy"))
+          < (col("brad") + srad) * (col("brad") + srad))
+      .select(col("zone_id").cast("int"), col("vertices"),
+        col("x0"), col("y0"), col("x1"), col("y1"))
+    // hole member rows: driver rows, bounded by the zone catalog
+    val holeRows = zcat.flatMap { case (z, _, hs) =>
+      hs.map { h0 =>
+        val h = canonicalRing(h0)
+        (z, h, h.map(_._1).min, h.map(_._2).min,
+          h.map(_._1).max, h.map(_._2).max)
+      }
+    }
+    // per-zone member SET: an exact duplicate (a footprint coinciding
+    // with a hole) must erase once, not twice — two identical members
+    // would each see the other covering all their edges and the union
+    // boundary would vanish (the canonicalRing pitfall)
+    val zf = zfFoot
+      .union(holeRows.toDF("zone_id", "vertices", "x0", "y0", "x1", "y1"))
+      .dropDuplicates("zone_id", "vertices")
+    zf.cache()
+    val cellSz = math.max(1.0, Option(zf
+      .agg(max(greatest(col("x1") - col("x0"), col("y1") - col("y0"))))
+      .head().get(0)).map(_.asInstanceOf[Double]).getOrElse(1.0))
+    // tag 0 = outer-edge coverage interval; tag 1 = member piece;
+    // tag 2 = seed (a zone whose members all miss still emits rings)
+    val aRows = zf.select(col("zone_id"), col("vertices"))
+      .as[(Int, Seq[(Double, Double)])]
+      .flatMap { case (z, member) =>
+        zEdgesMap(z).zipWithIndex.flatMap {
+          case (((ax, ay), (bx, by)), ei) =>
+            segInPolyIntervals(ax, ay, bx, by, member)
+              .map { case (s, e) => (z, 0, ei, s, e, 0.0, 0.0) }
+        }
+      }
+    val bRows = polySubNeighborGroups(spark, zf, cellSz)
+      .flatMapGroups { (key: (Int, Seq[(Double, Double)]),
+          rows: Iterator[(Int, Seq[(Double, Double)],
+            Option[Seq[(Double, Double)]])]) =>
+        val neighbors = rows.flatMap(_._3).toSeq.distinct
+        memberEdgePieces(zRingMap(key._1), key._2, _ => neighbors)
+          .map(p => (key._1, 1, -1, p.x1, p.y1, p.x2, p.y2))
+      }
+    val seedRows = zf.select(col("zone_id")).distinct().as[Int]
+      .map(z => (z, 2, 0, 0.0, 0.0, 0.0, 0.0))
+    val stitched = aRows.union(bRows).union(seedRows)
+      .groupByKey(_._1)
+      .flatMapGroups { (z: Int,
+          rows: Iterator[(Int, Int, Int, Double, Double, Double, Double)]) =>
+        val rs = rows.toSeq
+        val ivByEdge = rs.filter(_._2 == 0).groupBy(_._3)
+          .map { case (ei, ivs) =>
+            ei -> mergeIntervals(ivs.map(r => (r._4, r._5))) }
+        val zonePieces = zEdgesMap(z).zipWithIndex.flatMap {
+          case (((ax, ay), (bx, by)), ei) =>
+            zoneEdgePieces(ax, ay, bx, by, ivByEdge.getOrElse(ei, Nil))
+        }
+        val memberPieces = rs.filter(_._2 == 1)
+          .map(r => LinePiece("sub", r._4, r._5, r._6, r._7))
+        stitchLinePieces(zonePieces ++ memberPieces).zipWithIndex
+          .flatMap { case (ring, ri) =>
+            val area = ring.map(_.signedArea).sum
+            ring.zipWithIndex.map { case (p, pi) =>
+              (z, ri.toLong, pi.toLong, p.kind,
+                p.x1, p.y1, p.x2, p.y2, area)
+            }
+          }
+      }
+      .toDF("zone_id", "ring_id", "piece_seq", "kind",
+        "x1_ft", "y1_ft", "x2_ft", "y2_ft", "ring_area_sqft")
+    // zones with NO member at all (no holes, no candidate footprint):
+    // full CCW outer ring via the driver kernel (bounded catalog);
+    // zf stays cached — the stitched path is lazy (see
+    // eraseRingsPolySubPerZone)
+    val touched = zf.select(col("zone_id")).distinct()
+      .as[Int].collect().toSet
+    val untouched = zcat.filter(zc => !touched(zc._1))
+      .sortBy(_._1).flatMap { case (z, vs, hs) =>
+        eraseRingsConcaveSub(vs, hs, Seq.empty).zipWithIndex.flatMap {
+          case (ring, ri) =>
+            val area = ring.map(_.signedArea).sum
+            ring.zipWithIndex.map { case (p, pi) =>
+              (z, ri.toLong, pi.toLong, p.kind,
+                p.x1, p.y1, p.x2, p.y2, area)
+            }
+        }
+      }
+    stitched.union(untouched.toDF("zone_id", "ring_id", "piece_seq",
+      "kind", "x1_ft", "y1_ft", "x2_ft", "y2_ft", "ring_area_sqft"))
   }
 
   /** Surviving area per CONVEX polygon zone under POLYGON subtrahends
@@ -1259,7 +1586,15 @@ object EraseArcs {
     // bounded by the zone catalog, same convention as eraseAreaPolySub)
     val touched = zf.select(col("zone_id")).distinct()
       .as[Int].collect().toSet
-    zf.unpersist()
+    // zf stays CACHED: unlike eraseAreaPolySub (which collects every
+    // result before unpersisting), this data path is LAZY — the
+    // returned frame re-reads zf (aRows, both self-join sides,
+    // seedRows) only when the CALLER executes it, so an unpersist here
+    // would evict the cache before its real consumers run and recompute
+    // zf's canonicalize + dedup shuffle + zone-assignment join ~4×.
+    // The frame is zone-bounded (candidate footprints of a
+    // cluster-constant zone catalog); the block manager's LRU evicts
+    // it under pressure.
     val untouched = frames.zcat.filter(z => !touched(z._1))
       .sortBy(_._1).flatMap { case (z, vs) =>
         eraseRingsPolySub(vs, Seq.empty).zipWithIndex.flatMap {

@@ -88,9 +88,15 @@ object Dedup {
     * threshold keeps every committed bench regime (sf0.1/sf1/sf10,
     * ≤ 500k docs) on the measured in-heap path bit-for-bit.
     */
+  /** Boundary of the in-heap memo regime (docs). Every committed bench
+    * record at sf0.1/sf1 was measured on the in-heap path and sf10+ on
+    * the DISK_ONLY path; DedupSpec pins the shipped corpora against
+    * this constant so silent docs-count drift in the generators cannot
+    * flip a committed regime's storage path. */
+  private[graft] val MemoInHeapMaxDocs = 600000L
   private def ckptSized(s: SparkSession, d: String,
       df: DataFrame): DataFrame =
-    if (nDocs(s, d) <= 600000) df.localCheckpoint()
+    if (nDocs(s, d) <= MemoInHeapMaxDocs) df.localCheckpoint()
     else df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
 

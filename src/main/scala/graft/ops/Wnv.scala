@@ -510,6 +510,57 @@ object Wnv {
         .select(col("zone_id"), XF.r6(col("area_sqft")).as("area_sqft"))
         .orderBy(col("zone_id"))),
 
+    // J2, CONCAVE zones × POLYGON subtrahends (round 14): the last
+    // Erase input-domain cell — arcpy's Erase accepts ANY feature
+    // class pair (GSheetsETL_Lab2.py:133), and the three other
+    // quadrants ({convex, concave} zones × disk subtrahends, convex ×
+    // polygon) each already have a query. Star-with-hole zones (the
+    // wnv_erase_concave catalog) minus rotated-square parcel
+    // footprints (the wnv_erase_poly_sub erase features), via
+    // triangle-granular distribution
+    // (geo/EraseArcs.eraseAreaConcaveSub: ear-clip driver-side →
+    // broadcast triangle bounds → the convex polygon-subtrahend
+    // kernel per (zone, triangle) group → Σ sign·triangle). Same
+    // no-oracle rule as the erase-geometry family (the edge-clipping
+    // algebra has no SQL form; coordinates here are rational so the
+    // kernel is transcendental-free); GeoSpec pins hand cases,
+    // hole/notch algebra, convex-agreement, and the distributed ==
+    // driver-replay parity.
+    "wnv_erase_concave_sub" -> ((s: SparkSession, d: String) =>
+      graft.geo.EraseArcs.eraseAreaConcaveSub(s, starZones(s, d),
+          parcelFootprints(s, d))
+        .select(col("zone_id"), XF.r6(col("area_sqft")).as("area_sqft"))
+        .orderBy(col("zone_id"))),
+
+    // J2 GEOMETRY OUTPUT, CONCAVE zones × POLYGON subtrahends
+    // (round 14): the erased polygons THEMSELVES on the full general
+    // input — star-with-hole zones minus parcel footprints, each
+    // output ring a sequence of directed straight segments (outer-ring
+    // edges CCW / member edges reversed; the zone's hole ring IS a
+    // member to the boundary algebra) stitched at edge-edge
+    // intersection points
+    // (geo/EraseArcs.eraseRingsConcaveSubPerZone). With this entry the
+    // RING-OUTPUT contract matches the area contract on every
+    // polygon-subtrahend input cell; disk subtrahends keep rings on
+    // circle zones only (mixed line+arc stitching — scoped in SURVEY
+    // §2.3). Same declared rows-only rule; GeoSpec pins closure,
+    // orientation, Σ ring signed areas == the triangulation kernel
+    // (an INDEPENDENT method), convex agreement, determinism, and the
+    // distributed-path replay.
+    "wnv_erase_concave_sub_rings" -> ((s: SparkSession, d: String) =>
+      graft.geo.EraseArcs.eraseRingsConcaveSubPerZone(s, starZones(s, d),
+          parcelFootprints(s, d))
+        .select(col("zone_id"), col("ring_id"), col("piece_seq"),
+          col("kind"), XF.r6(col("x1_ft")).as("x1_ft"),
+          XF.r6(col("y1_ft")).as("y1_ft"),
+          XF.r6(col("x2_ft")).as("x2_ft"),
+          XF.r6(col("y2_ft")).as("y2_ft"),
+          XF.r6(col("ring_area_sqft")).as("ring_area_sqft"))
+        // barrier before the global sort: the range sampler would
+        // otherwise re-run the per-zone ring stitcher (flatMapGroups)
+        .repartition(col("zone_id"))
+        .orderBy(col("zone_id"), col("ring_id"), col("piece_seq"))),
+
     // J2 GEOMETRY OUTPUT (round 10): the erased polygons THEMSELVES —
     // arcpy Erase emits a feature class of clipped geometries
     // (GSheetsETL_Lab2.py:133), and this is its ring-level analogue:

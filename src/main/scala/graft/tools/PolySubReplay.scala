@@ -31,9 +31,12 @@ object PolySubReplay {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
 
-    // engine outputs under test
+    // engine outputs under test — columns selected BY NAME so a benign
+    // reorder in the Verify dump or the query's select list cannot
+    // make the replay read the wrong fields (r13 ADVICE)
     val gotArea = spark.read.parquet(s"$outDir/wnv_erase_poly_sub")
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .select(col("zone_id"), col("area_sqft")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val ringRows = spark.read.parquet(s"$outDir/wnv_erase_poly_sub_rings")
       .select(col("zone_id"), col("ring_id"), col("piece_seq"),
         col("ring_area_sqft")).collect()

@@ -469,4 +469,37 @@ class DedupSpec extends SparkSpec {
     }
     assert(!plan.toString.contains("CartesianProduct"))
   }
+
+  test("memo storage regime boundary: the shipped corpora sit on the " +
+      "committed side of the in-heap / DISK_ONLY threshold") {
+    // every committed bench record up to sf10 (500k docs) was measured
+    // with the memos localCheckpoint'ed IN-HEAP, and the sf30+ scale
+    // probes run the DISK_ONLY path (the eed4443 sf30-OOM fix). If a
+    // testdata generator drift pushed a corpus across
+    // MemoInHeapMaxDocs, the committed regimes would silently flip
+    // storage paths and every bench comparison against the records
+    // would be apples-to-oranges — pin the boundary so the flip is a
+    // red spec, not a quiet regression. Scale dirs are generated
+    // artifacts; skip the ones not present in this checkout.
+    def docsCount(dir: String): Option[Long] = {
+      val p = new java.io.File(s"$dir/documents.parquet")
+      if (p.exists()) Some(spark.read.parquet(p.getPath).count())
+      else None
+    }
+    Seq(sf -> "sf0.001", "testdata-gen/sf1" -> "sf1",
+        "testdata-gen/sf10" -> "sf10").foreach { case (dir, label) =>
+      docsCount(dir).foreach { n =>
+        assert(n <= Dedup.MemoInHeapMaxDocs,
+          s"$label docs $n crossed the in-heap boundary " +
+            s"(${Dedup.MemoInHeapMaxDocs}) — committed records through " +
+            "sf10 are in-heap measurements")
+      }
+    }
+    docsCount("testdata-gen/sf30").foreach { n =>
+      assert(n > Dedup.MemoInHeapMaxDocs,
+        s"sf30 docs $n fell under the boundary " +
+          s"(${Dedup.MemoInHeapMaxDocs}) — sf30 scale records are " +
+          "DISK_ONLY measurements")
+    }
+  }
 }

@@ -150,4 +150,56 @@ class GeoPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     })
     assert(res.passed, s"grid cross-check: ${res.status}")
   }
+
+  test("tangency-degenerate input: the ring stitcher fails LOUDLY or " +
+      "emits conserving rings — never a silently-wrong ring") {
+    // adversarial generator: axis-aligned squares on an exact integer
+    // grid whose cell edges abut EXACTLY (shared edges between
+    // neighbors, shared corners between diagonal neighbors) and whose
+    // outer cells' edges lie EXACTLY ON the zone boundary (collinear
+    // sub-edge-on-zone-edge overlap) — every coordinate is an integer
+    // double, so the tangencies are bit-exact, the worst case for
+    // endpoint matching. The stitcher's documented contract (arcpy
+    // resolves tangency via cluster tolerance; this engine does NOT —
+    // it must throw): either IllegalArgumentException, or closed rings
+    // whose Σ signed areas equals the area kernel.
+    val grid = 8; val pitch = 250.0; val hw = 125.0
+    def cellSq(i: Int, j: Int): Seq[(Double, Double)] = {
+      val cx = -1000.0 + pitch * i + hw
+      val cy = -1000.0 + pitch * j + hw
+      Seq((cx - hw, cy - hw), (cx + hw, cy - hw),
+        (cx + hw, cy + hw), (cx - hw, cy + hw))
+    }
+    val zone = Seq((-1000.0, -1000.0), (1000.0, -1000.0),
+      (1000.0, 1000.0), (-1000.0, 1000.0))
+    val genCells: Gen[List[(Int, Int)]] = for {
+      n <- Gen.choose(2, 12)
+      cells <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(0, grid - 1), Gen.choose(0, grid - 1)))
+    } yield cells.distinct
+    val p = SCTest.Parameters.default
+      .withMinSuccessfulTests(60)
+      .withInitialSeed(Seed(0x7A96L))
+    val res = SCTest.check(p, Prop.forAll(genCells) { cells =>
+      val subs = cells.map { case (i, j) => cellSq(i, j) }
+      scala.util.Try(EraseArcs.eraseRingsPolySub(zone, subs)) match {
+        case scala.util.Failure(e) =>
+          // LOUD is the contract: the declared failure type only
+          e.isInstanceOf[IllegalArgumentException]
+        case scala.util.Success(rings) =>
+          val tol = 1e-9 * 1000.0
+          val closed = rings.forall { ring =>
+            ring.indices.forall { i =>
+              val a = ring(i); val b = ring((i + 1) % ring.size)
+              val (ex, ey) = a.end; val (sx, sy) = b.start
+              math.hypot(ex - sx, ey - sy) <= 4e-6 * 2000.0
+            }
+          }
+          val sum = rings.flatten.map(_.signedArea).sum
+          val want = EraseArcs.erasedAreaPolySub(zone, subs)
+          closed && math.abs(sum - want) <= math.max(tol, 1e-9 * want)
+      }
+    })
+    assert(res.passed, s"tangency posture: ${res.status}")
+  }
 }

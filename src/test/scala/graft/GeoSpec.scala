@@ -800,6 +800,196 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("concave-zone polygon-subtrahend erase: the distributed path " +
+      "equals a driver-side replay") {
+    import graft.geo.EraseArcs
+    val zones = graft.ops.Wnv.starZones(spark, sf)
+    val subs = graft.ops.Wnv.parcelFootprints(spark, sf)
+    val got = EraseArcs.eraseAreaConcaveSub(spark, zones, subs)
+      .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+    def ring(rows: Seq[org.apache.spark.sql.Row]): Seq[(Double, Double)] =
+      rows.map(v => (v.getDouble(0), v.getDouble(1)))
+    val zs = zones.select(col("zone_id").cast("int"), col("vertices"),
+        col("holes"))
+      .collect().map { w =>
+        (w.getInt(0), ring(w.getSeq[org.apache.spark.sql.Row](1)),
+          w.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](2)
+            .map(h => ring(h.toSeq)))
+      }
+    val ss = subs.select(col("vertices")).collect()
+      .map(w => ring(w.getSeq[org.apache.spark.sql.Row](0)))
+    assert(got.keySet === zs.map(_._1).toSet)
+    assert(ss.nonEmpty, "no parcel footprints at this sf")
+    zs.foreach { case (z, vs, hs) =>
+      val cx = vs.map(_._1).sum / vs.size
+      val cy = vs.map(_._2).sum / vs.size
+      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      val near = ss.filter { s0 =>
+        val sx = (s0.map(_._1).min + s0.map(_._1).max) / 2
+        val sy = (s0.map(_._2).min + s0.map(_._2).max) / 2
+        val sr = math.hypot(s0.map(_._1).max - s0.map(_._1).min,
+          s0.map(_._2).max - s0.map(_._2).min) / 2
+        (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) < (rad + sr) * (rad + sr)
+      }.toSeq
+      val want =
+        if (near.isEmpty) ringArea(vs) - hs.map(ringArea).sum
+        else EraseArcs.erasedAreaConcaveSub(vs, hs, near)
+      assert(math.abs(got(z) - want) <= 1e-9 * math.max(1.0, want),
+        s"zone $z: spark ${got(z)} vs replay $want")
+      // monotone: surviving area never exceeds the un-erased region
+      assert(got(z) <= ringArea(vs) - hs.map(ringArea).sum + 1e-6)
+      assert(got(z) >= -1e-12)
+    }
+  }
+
+  test("concave-zone rings: closure, orientation, conservation vs the " +
+      "triangulation kernel, convex agreement, determinism") {
+    import graft.geo.EraseArcs
+    def sq(cx: Double, cy: Double, hw: Double) = Seq(
+      (cx - hw, cy - hw), (cx + hw, cy - hw),
+      (cx + hw, cy + hw), (cx - hw, cy + hw))
+    def checkRings(outer: Seq[(Double, Double)],
+        holes: Seq[Seq[(Double, Double)]],
+        subs: Seq[Seq[(Double, Double)]])
+        : Seq[Seq[EraseArcs.LinePiece]] = {
+      val rings = EraseArcs.eraseRingsConcaveSub(outer, holes, subs)
+      val scale = (outer ++ holes.flatten ++ subs.flatten)
+        .flatMap(p => Seq(p._1.abs, p._2.abs)).max
+      val tol = 1e-9 * math.max(1.0, scale)
+      rings.foreach { ring =>
+        ring.indices.foreach { i =>
+          val a = ring(i); val b = ring((i + 1) % ring.size)
+          val (ex, ey) = a.end; val (sx, sy) = b.start
+          assert(math.hypot(ex - sx, ey - sy) <= tol,
+            s"open ring at piece $i of $ring")
+        }
+        val area = ring.map(_.signedArea).sum
+        if (ring.exists(_.kind == "zone"))
+          assert(area > 0, s"outer ring CW: $ring")
+        else assert(area < 0, s"hole ring CCW: $ring")
+      }
+      // conservation against the INDEPENDENT method: ear-clip
+      // triangulation × the convex area kernel
+      val sum = rings.flatten.map(_.signedArea).sum
+      val want = EraseArcs.erasedAreaConcaveSub(outer, holes, subs)
+      assert(math.abs(sum - want) <= 1e-9 * math.max(1.0, want),
+        s"rings $sum vs erasedAreaConcaveSub $want")
+      // determinism under member order and winding
+      val again = EraseArcs.eraseRingsConcaveSub(outer,
+        holes.map(_.reverse), subs.reverse.map(_.reverse))
+      assert(again === rings, "rings depend on member order/winding")
+      rings
+    }
+    // L-shaped zone: the concave notch splits a straddling square
+    val ell = Seq((0.0, 0.0), (3000.0, 0.0), (3000.0, 1000.0),
+      (1500.0, 1000.0), (1500.0, 2000.0), (0.0, 2000.0))
+    // untouched: one CCW ring of the 6 edges
+    val r0 = checkRings(ell, Nil, Nil)
+    assert(r0.size === 1 && r0.head.size === 6 &&
+      r0.head.forall(_.kind == "zone"))
+    // hole only: CCW outer + the hole's CW 4-piece ring
+    val r1 = checkRings(ell, Seq(sq(500, 500, 150)), Nil)
+    assert(r1.size === 2 && r1(1).forall(_.kind == "sub") &&
+      r1(1).size === 4)
+    // square straddling the concave notch: ONE mixed outer ring (only
+    // the in-zone half of the square erases)
+    val r2 = checkRings(ell, Nil, Seq(sq(1500, 1500, 200)))
+    assert(r2.size === 1)
+    assert(r2.head.map(_.kind).toSet === Set("zone", "sub"))
+    // hole + interior subtrahend in disjoint regions: three rings
+    val r3 = checkRings(ell, Seq(sq(500, 500, 150)),
+      Seq(sq(2200, 500, 200)))
+    assert(r3.size === 3)
+    // subtrahend OVERLAPPING the hole (offset in BOTH axes — equal
+    // extents would make their edges collinear, which is the declared
+    // tangency-degenerate domain and fails loudly): one CW cavity
+    val r4 = checkRings(ell, Seq(sq(500, 500, 150)),
+      Seq(sq(700, 560, 150)))
+    assert(r4.size === 2, s"expected outer + one merged cavity: $r4")
+    // a member edge crossing the concave notch REGION twice: a thin
+    // horizontal bar through x ∈ [1000, 2500] at y ≈ 1500 lies inside
+    // the zone only for x < 1500 — entered and left across the notch
+    val bar = Seq((1000.0, 1400.0), (2500.0, 1400.0),
+      (2500.0, 1600.0), (1000.0, 1600.0))
+    checkRings(ell, Nil, Seq(bar))
+    // convex agreement: on a convex zone the general path matches the
+    // convex stitcher ring-for-ring, piece-for-piece (the crossing
+    // parameters come from different but algebraically-equal float
+    // expressions — parametric half-plane clip vs segment-crossing
+    // params — so coordinates agree to a few ulps, not bitwise)
+    val square = Seq((-1000.0, -1000.0), (1000.0, -1000.0),
+      (1000.0, 1000.0), (-1000.0, 1000.0))
+    val subs = Seq(sq(100, 50, 300), sq(-300, 200, 250), sq(1000, 0, 300))
+    val gen = EraseArcs.eraseRingsConcaveSub(square, Nil, subs)
+    val convex = EraseArcs.eraseRingsPolySub(square, subs)
+    assert(gen.size === convex.size)
+    gen.zip(convex).foreach { case (g, c) =>
+      assert(g.size === c.size)
+      g.zip(c).foreach { case (pg, pc) =>
+        assert(pg.kind === pc.kind)
+        assert(math.hypot(pg.x1 - pc.x1, pg.y1 - pc.y1) <= 1e-9 * 1000)
+        assert(math.hypot(pg.x2 - pc.x2, pg.y2 - pc.y2) <= 1e-9 * 1000)
+      }
+    }
+  }
+
+  test("concave-zone rings: the distributed path equals a driver-side " +
+      "replay and conserves the distributed area") {
+    import graft.geo.EraseArcs
+    val zones = graft.ops.Wnv.starZones(spark, sf)
+    val subs = graft.ops.Wnv.parcelFootprints(spark, sf)
+    val got = EraseArcs.eraseRingsConcaveSubPerZone(spark, zones, subs)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8)))
+    def ring(rows: Seq[org.apache.spark.sql.Row]): Seq[(Double, Double)] =
+      rows.map(v => (v.getDouble(0), v.getDouble(1)))
+    val zs = zones.select(col("zone_id").cast("int"), col("vertices"),
+        col("holes"))
+      .collect().map { w =>
+        (w.getInt(0), ring(w.getSeq[org.apache.spark.sql.Row](1)),
+          w.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](2)
+            .map(h => ring(h.toSeq)))
+      }
+    val ss = subs.select(col("vertices")).collect()
+      .map(w => ring(w.getSeq[org.apache.spark.sql.Row](0)))
+    val byZone = got.groupBy(_._1)
+    assert(byZone.keySet === zs.map(_._1).toSet)
+    val scale = 4e6 // state-plane feet
+    zs.foreach { case (z, vs, hs) =>
+      val cx = vs.map(_._1).sum / vs.size
+      val cy = vs.map(_._2).sum / vs.size
+      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      val near = ss.filter { s0 =>
+        val sx = (s0.map(_._1).min + s0.map(_._1).max) / 2
+        val sy = (s0.map(_._2).min + s0.map(_._2).max) / 2
+        val sr = math.hypot(s0.map(_._1).max - s0.map(_._1).min,
+          s0.map(_._2).max - s0.map(_._2).min) / 2
+        (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) < (rad + sr) * (rad + sr)
+      }.toSeq
+      val want = EraseArcs.eraseRingsConcaveSub(vs, hs, near)
+      val gotRings = byZone(z).sortBy(r => (r._2, r._3))
+        .groupBy(_._2).toSeq.sortBy(_._1).map(_._2)
+      assert(gotRings.size === want.size, s"zone $z ring count")
+      gotRings.zip(want).foreach { case (g, w) =>
+        assert(g.size === w.size, s"zone $z piece count")
+        g.zip(w).foreach { case (gp, wp) =>
+          assert(gp._4 === wp.kind, s"zone $z kind")
+          assert(math.hypot(gp._5 - wp.x1, gp._6 - wp.y1) <= 1e-9 * scale,
+            s"zone $z piece start")
+          assert(math.hypot(gp._7 - wp.x2, gp._8 - wp.y2) <= 1e-9 * scale,
+            s"zone $z piece end")
+        }
+      }
+      // Σ ring signed areas == the distributed AREA plan's value
+      val sums = byZone(z).groupBy(_._2).map(_._2.head._9).sum
+      val area = EraseArcs.erasedAreaConcaveSub(vs, hs, near)
+      assert(math.abs(sums - area) <= 1e-9 * math.max(1.0, area),
+        s"zone $z rings $sums vs area $area")
+    }
+  }
+
   test("polygon-subtrahend rings: closure, orientation, area " +
       "conservation, determinism") {
     import graft.geo.EraseArcs

@@ -14,15 +14,19 @@ Reads /tmp/r13_tails_drive_{a,b}.json (Bench headline lines) and the
 committed BENCH_TAILS_sf10.json for the prior minima.
 """
 import json
-import re
 import sys
 
 
 def parse(path):
+    """The Bench headline is ONE JSON line — parse it as JSON and fail
+    loudly if `queries` is absent (a regex scrape silently drops
+    negative/exponent-formatted values and truncates on a malformed
+    line — r13 ADVICE)."""
     txt = open(path).read().strip().splitlines()[-1]
-    m = re.search(r'"queries":\{([^}]*)\}', txt)
-    return {k: float(v) for k, v in
-            re.findall(r'"([A-Za-z0-9_]+)":([0-9.]+)', m.group(1))}
+    rec = json.loads(txt)
+    if "queries" not in rec:
+        raise SystemExit(f"{path}: headline line has no 'queries' block")
+    return {k: float(v) for k, v in rec["queries"].items()}
 
 
 drives = {d: parse(f"/tmp/r13_tails_drive_{d}.json") for d in ("a", "b")}

@@ -30,20 +30,36 @@ for q, v in d.get("queries", {}).items():
     v["method"] = "duckdb-oracle"
     queries[q] = v
 
-# wnv_erase_poly_sub_selection is EMPTY at sf10 and the ORACLE AGREES
-# (independently re-run this round: SELECT COUNT(*) over the same SQL =
-# 0) — at 10x the opt-out density every in-risk point falls inside some
-# parcel footprint (sf1 kept 3,283 rows; the disk-buffer selection was
-# already down to 39 there). check.py flags empty engine results as
-# suspicious by design; both engines agreeing exactly on the empty set
-# is the r9 graph_triangles adjudication class.
+# wnv_erase_poly_sub_selection is EMPTY at sf10 — at 10x the opt-out
+# density every in-risk point falls inside some parcel footprint (sf1
+# kept 3,283 rows; the disk-buffer selection was already down to 39
+# there). check.py flags empty engine results as suspicious by design;
+# both engines agreeing exactly on the empty set is the r9
+# graph_triangles adjudication class. The oracle agreement is CHECKED
+# HERE, not asserted: re-run the oracle SQL as COUNT(*) in DuckDB and
+# flip to ok_empty_regime only if it is exactly 0 — a regressed engine
+# wrongly emitting 0 rows against a non-empty oracle stays `fail`.
 sel = queries.get("wnv_erase_poly_sub_selection")
 if sel and sel.get("status") == "fail" and sel.get("rows") == 0:
-    sel["status"] = "ok_empty_regime"
-    sel["err"] = None
-    sel["note"] = ("engine and oracle both return 0 rows at sf10 "
-                   "(footprint density covers every in-risk point; "
-                   "sf1 row: 3,283, oracle-exact)")
+    import duckdb
+    oracle = json.load(open("/tmp/verify_sf10/oracle_sql.json"))
+    sql = oracle["wnv_erase_poly_sub_selection"]
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('testdata-gen/sf10/{t}.parquet')")
+    n_oracle = con.sql(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
+    if n_oracle == 0:
+        sel["status"] = "ok_empty_regime"
+        sel["err"] = None
+        sel["note"] = ("engine and oracle both return 0 rows at sf10 "
+                       "(oracle COUNT(*) re-run by this script; "
+                       "footprint density covers every in-risk point; "
+                       "sf1 row: 3,283, oracle-exact)")
+    else:
+        sel["note"] = (f"engine returned 0 rows but the oracle has "
+                       f"{n_oracle} — kept as fail")
 
 # dedicated tools
 for f, method in (("/tmp/r13_slice_sf10.json", "slice-oracle-K20000"),
