@@ -63,13 +63,23 @@ object Bench {
     // events_session_overlap spike was exactly this. The memos are
     // once-per-deployment stored tables, like the bucketed layouts;
     // their builds must never be timed inside one arbitrary query.
-    Seq[(org.apache.spark.sql.SparkSession, String) => Unit](
-      (s, d) => { graft.ops.Events.sessionFrame(s, d); () },
-      graft.ops.Dedup.warmArtifacts,
-      graft.ops.Relational.warmArtifacts,
-      graft.ops.Similarity.warmArtifacts)
-      .foreach(w => try w(spark, sfDir)
-        catch { case _: Throwable => () })
+    // GRAFT_BENCH_WARM=tables skips them: a TARGETED scale probe of
+    // queries that read no memo must not spend the host's bounded
+    // scratch on ~50 GB of DISK_ONLY artifacts the probe never joins —
+    // the round-14 sf30 drives measured the wnv geometry queries dying
+    // in SPILL ENOSPC purely because full warmup had eaten the
+    // headroom their own shuffles needed. A full sweep must NEVER set
+    // this (a memo build would land inside a timed query); the emitted
+    // JSON records the mode for provenance.
+    val warmTablesOnly = sys.env.get("GRAFT_BENCH_WARM").contains("tables")
+    if (!warmTablesOnly)
+      Seq[(org.apache.spark.sql.SparkSession, String) => Unit](
+        (s, d) => { graft.ops.Events.sessionFrame(s, d); () },
+        graft.ops.Dedup.warmArtifacts,
+        graft.ops.Relational.warmArtifacts,
+        graft.ops.Similarity.warmArtifacts)
+        .foreach(w => try w(spark, sfDir)
+          catch { case _: Throwable => () })
     val warmupSec = (System.nanoTime() - warmup0) / 1e9
     // steal_factor baseline: per-query times of the previous full
     // sweep AT THE SAME SCALE FACTOR, read BEFORE this run overwrites
@@ -199,7 +209,8 @@ object Bench {
       if (suspects.isEmpty) ""
       else suspects.map("\"" + _ + "\"")
         .mkString(""","suspect":[""", ",", "]")
-    val warmField = s""","warmup_sec":${r3(warmupSec)}"""
+    val warmField = s""","warmup_sec":${r3(warmupSec)}""" +
+      (if (warmTablesOnly) ""","warm":"tables"""" else "")
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = timed.map(_._2).filter(_ >= 0).sum

@@ -225,6 +225,53 @@ object Dedup {
     else docs
   }
 
+  /** EXACT row count of a [[prefixPairKeys]] frame — Σ_doc
+    * C(min(plen, n), 2) over the doc-length catalog (one partial-agg'd
+    * distinct over the checkpointed ranked frame — ~nDocs rows reach
+    * the shuffle), memoized per (session, dir, plen expression). Feeds
+    * [[boundedPairParts]]. */
+  private val pairRowsMemo = new graft.BoundedMemo[
+    (SparkSession, String, String), java.lang.Long](32)
+  private def pairKeyRows(s: SparkSession, d: String,
+      plen: org.apache.spark.sql.Column): Long =
+    pairRowsMemo.getOrCompute((s, d, plen.toString)) {
+      val p = least(plen, col("n")).cast("long")
+      java.lang.Long.valueOf(Option(rankedShingles(s, d)
+        .select(col("doc_id"), col("n")).distinct()
+        .agg(sum(when(p >= 2, (p * (p - lit(1)) / lit(2)).cast("long"))
+          .otherwise(lit(0L)))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
+    }.longValue()
+
+  /** Bytes one packed pair-key row costs inside a shuffle-hash build:
+    * (sp, doc_id, n, r2) is 24 B of columns; 36 B covers the UnsafeRow
+    * and relation-entry overhead — the sf10 measurement (468M rows ≈
+    * 527 MB/partition at 32 partitions). */
+  private val PairRowBytes = 36L
+
+  /** Partition count that keeps a pair-key frame's PER-PARTITION
+    * shuffle-hash build inside the task budget, or None when the
+    * session default already does. The pair frames keep their
+    * unconditional shuffle_hash hint (falling back to SMJ would
+    * re-introduce the measured 205 s sort — the r11 lesson), so at
+    * corpus scales where rows/defaultPartitions no longer fits the
+    * heap the EXCHANGE must grow instead: this is SCALE.md's global
+    * posture (initial partitions track input so bytes/partition stays
+    * bounded) applied inside the operator. The round-14 sf30 probe is
+    * the motivating failure: 1.5M docs × C(prefix,2) ≈ 2.1B index rows
+    * over 32 static partitions OOM'd a 96 GB heap in the hash build —
+    * the r13 DISK_ONLY memo fix had moved the wall from the checkpoint
+    * unroll to the join build. Returned counts are pinned (Some) via
+    * an explicit repartition by the join key, which AQE does not
+    * coalesce; sub-threshold corpora return None and keep the
+    * committed small-SF plans bit-identical. */
+  private def boundedPairParts(s: SparkSession, rows: Long): Option[Int] = {
+    val parts = math.max(1, s.sessionState.conf.numShufflePartitions)
+    val need = math.min(32768L,
+      rows * PairRowBytes / math.max(1L, buildBudgetBytes(s)) + 1)
+    if (need > parts) Some(need.toInt) else None
+  }
+
   /** Exact Jaccard for a given (i, j) candidate-pair frame: join each
     * side's shingle array and intersect per pair — verification cost
     * tracks candidate volume, never corpus size. The doc-set side takes
@@ -408,8 +455,13 @@ object Dedup {
     val rnk = rankedShingles(s, d)
     // ε discipline: ceil(x − ε) errs DOWNWARD on the required overlap,
     // so float rounding can only widen the prefix / keep more keys
-    val keys = prefixPairKeys(rnk,
-      col("n") - ceil(col("n") * t - 1e-9) + 2)
+    val plen = col("n") - ceil(col("n") * t - 1e-9) + 2
+    val keys0 = prefixPairKeys(rnk, plen)
+    // pin the self-join exchange to a build-bounded partition count
+    // (both sides come from the SAME repartitioned frame, so they stay
+    // co-partitioned and the join inserts no further exchange)
+    val keys = boundedPairParts(s, pairKeyRows(s, d, plen))
+      .map(n => keys0.repartition(n, col("sp"))).getOrElse(keys0)
     val ireq = ceil((col("p.n") + col("x.n")).cast(DoubleType) *
       lit(t / (1 + t)) - 1e-9)
     // shuffle_hash: the sort-merge sort of the pair-key frames is the
@@ -907,10 +959,20 @@ object Dedup {
           col("nj") >= ceil(col("ni") * tC - 1e-9) &&
           col("rj") <= col("nj") - ceil(col("ni") * tC - 1e-9) + 1)
         .select(col("i"), col("j"))
-      val probe = prefixPairKeys(
+      val probe0 = prefixPairKeys(
         rnk.filter(col("n") >= NiPair),
         col("n") - ceil(col("n") * tC - 1e-9) + 2)
-      val idx = prefixPairKeys(rnk, col("n") - lit(idxDepth) + 2)
+      val idx0 = prefixPairKeys(rnk, col("n") - lit(idxDepth) + 2)
+      // pin BOTH sides' exchanges to one build-bounded partition count
+      // (sized from the deeper INDEX frame — the side the hash relation
+      // is built from is partition-for-partition the same width): the
+      // sf30 regime where 2.1B index rows over 32 static partitions
+      // OOM'd the 96 GB drive (see boundedPairParts)
+      val (probe, idx) = boundedPairParts(s,
+          pairKeyRows(s, d, col("n") - lit(idxDepth) + 2))
+        .map(n => (probe0.repartition(n, col("sp")),
+          idx0.repartition(n, col("sp"))))
+        .getOrElse((probe0, idx0))
       val candP = probe.alias("p").hint("shuffle_hash").join(idx.alias("x"),
           col("p.sp") === col("x.sp") &&
             col("p.doc_id") =!= col("x.doc_id"))

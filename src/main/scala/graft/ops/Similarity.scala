@@ -144,6 +144,26 @@ object Similarity {
   private val pqCstepSql: String =
     "(SELECT GREATEST(1, (COUNT(*) + 255) // 256) FROM qn)"
 
+  /** In-heap row ceiling for the PQ encode artifact (the N×M×K frame —
+    * N vectors × M=8 subspaces × K≈256 codebook entries): every
+    * committed record through sf10 (200k vectors → ~410M rows) was
+    * measured on the in-heap path; sf30's 600k vectors → 1.23B rows
+    * (~50 GB deserialized) OOM'd the 96 GB drive inside the 32-way
+    * concurrent checkpoint unroll (round-14 warm probe — the same
+    * failure class as the Dedup memo OOM eed4443 fixed). Past the
+    * ceiling the memo streams DISK_ONLY — which is also the
+    * stored-table contract at 100 TB (the encode artifact is a written
+    * table every ANN consumer joins). SimilaritySpec pins the shipped
+    * corpora against this constant so generator drift cannot silently
+    * flip a committed bench regime's storage path. */
+  private[graft] val PqInHeapMaxRows = 600000000L
+
+  private val nEmbMemo =
+    new graft.BoundedMemo[(SparkSession, String), java.lang.Long](8)
+  private[graft] def nEmb(s: SparkSession, d: String): Long =
+    nEmbMemo.getOrCompute((s, d))(
+      java.lang.Long.valueOf(qEmb(s, d).count())).longValue()
+
   private def pqDist(s: SparkSession, d: String): DataFrame =
     pqMemo.getOrCompute((s, d)) {
       val cstep = pqCstep(s, d)
@@ -156,11 +176,15 @@ object Similarity {
         .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
       val cents = cells.filter(col("vec_id") % cstep === 0)
         .select(col("vec_id").as("cvid"), col("dim"), col("qv").as("cqv"))
-      cells.join(broadcast(cents), Seq("dim"))
+      val enc = cells.join(broadcast(cents), Seq("dim"))
         .withColumn("dd", col("qv") - col("cqv"))
         .groupBy(col("vec_id"), expr("dim DIV 16").as("m"), col("cvid"))
         .agg(sum(col("dd") * col("dd")).as("d2"))
-        .localCheckpoint()
+      // N × M(8) × K(≈256, by the cstep construction) rows
+      val estRows = nEmb(s, d) * 8L * 256L
+      if (estRows <= PqInHeapMaxRows) enc.localCheckpoint()
+      else enc.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
 
   /** The DuckDB CTE chain both PCA oracles share (through `x3`, the

@@ -372,4 +372,32 @@ class SimilaritySpec extends SparkSpec {
     // every corpus vector is accounted for in exactly one label row
     assert(got.values.map(_._1).sum === pcaCells.length.toLong)
   }
+
+  test("PQ encode-artifact storage regime boundary: shipped corpora " +
+      "sit on the committed side of the in-heap / DISK_ONLY ceiling") {
+    // the N×M×K encode frame is in-heap through sf10 (the committed
+    // record regime) and DISK_ONLY past PqInHeapMaxRows (the sf30
+    // warm-probe OOM fix) — pin the shipped corpora against the
+    // constant so embedding-count drift cannot silently flip a
+    // committed bench regime's storage path (the DedupSpec convention)
+    def vecs(dir: String): Option[Long] = {
+      val p = new java.io.File(s"$dir/embeddings.parquet")
+      if (p.exists()) Some(spark.read.parquet(p.getPath).count())
+      else None
+    }
+    def estRows(n: Long): Long = n * 8L * 256L
+    Seq(sf -> "sf0.001", "testdata-gen/sf1" -> "sf1",
+        "testdata-gen/sf10" -> "sf10").foreach { case (dir, label) =>
+      vecs(dir).foreach { n =>
+        assert(estRows(n) <= graft.ops.Similarity.PqInHeapMaxRows,
+          s"$label encode frame ${estRows(n)} rows crossed the in-heap " +
+            "ceiling — committed records through sf10 are in-heap")
+      }
+    }
+    vecs("testdata-gen/sf30").foreach { n =>
+      assert(estRows(n) > graft.ops.Similarity.PqInHeapMaxRows,
+        s"sf30 encode frame ${estRows(n)} rows fell under the ceiling — " +
+          "sf30 scale records are DISK_ONLY measurements")
+    }
+  }
 }
