@@ -71,6 +71,12 @@ object Bench {
     // headroom their own shuffles needed. A full sweep must NEVER set
     // this (a memo build would land inside a timed query); the emitted
     // JSON records the mode for provenance.
+    // codec first-touch (ms of work, runs in EVERY warm mode): ImageIO
+    // plugin-registry scan + PNG reader class-init otherwise land
+    // inside whichever mm query runs first — the r14 sf1 watch item
+    // (mm_decode_image 3.36 s in-sweep vs 1.64 s filtered record).
+    try graft.ops.Multimodal.warmCodec()
+    catch { case _: Throwable => () }
     val warmTablesOnly = sys.env.get("GRAFT_BENCH_WARM").contains("tables")
     if (!warmTablesOnly)
       Seq[(org.apache.spark.sql.SparkSession, String) => Unit](
@@ -228,8 +234,15 @@ object Bench {
     // divert the committed round record into a gitignored per-SF file.
     // An unfiltered run overwrites exactly the file it used as its
     // steal baseline (same-SF compare, by construction).
+    // a tables-only-warm run is a PROBE, never a record: its timings
+    // can carry memo builds inside timed queries, so it writes to its
+    // own file — a downstream assembler that only globs BENCH_PART_*
+    // or BENCH_FULL* can no longer mix probe timings into committed
+    // baselines even if it ignores the "warm" provenance field
+    // (r14 ADVICE #2).
     val fullPath =
-      if (only.nonEmpty) s"BENCH_PART_$sfBase.json" else baselineFile
+      if (warmTablesOnly) s"BENCH_PROBE_$sfBase.json"
+      else if (only.nonEmpty) s"BENCH_PART_$sfBase.json" else baselineFile
     val wrote = {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),

@@ -663,6 +663,20 @@ object EraseArcs {
     }.toIndexedSeq
   }
 
+  /** Common face of the two boundary-piece vocabularies ([[LinePiece]]
+    * straight segments, [[RingPiece]] circular arcs): traversal
+    * endpoints for endpoint-matching stitchers and the Green's-theorem
+    * term along the traversal direction. Sealed here so the MIXED
+    * stitcher ([[stitchMixedPieces]] — disk subtrahends on polygon
+    * zones, where one output ring alternates line and arc pieces) can
+    * pattern-match exhaustively.
+    */
+  private[graft] sealed trait BoundaryPiece extends Serializable {
+    def start: (Double, Double)
+    def end: (Double, Double)
+    def signedArea: Double
+  }
+
   /** One directed boundary piece of a polygon-subtrahend erased
     * region: the straight segment (x1,y1) → (x2,y2) traversed with the
     * KEPT region on the left — zone-edge pieces run along the zone's
@@ -673,7 +687,7 @@ object EraseArcs {
     * term-for-term (the area kernel sums exactly these).
     */
   private[graft] case class LinePiece(kind: String, x1: Double, y1: Double,
-      x2: Double, y2: Double) {
+      x2: Double, y2: Double) extends BoundaryPiece {
     def start: (Double, Double) = (x1, y1)
     def end: (Double, Double) = (x2, y2)
     def signedArea: Double = 0.5 * (x1 * y2 - x2 * y1)
@@ -1075,6 +1089,565 @@ object EraseArcs {
       subs: Seq[Seq[(Double, Double)]]): Seq[Seq[LinePiece]] =
     stitchLinePieces(eraseGeneralPieces(outer, holes ++ subs))
 
+  // ---- DISK SUBTRAHENDS ON POLYGON ZONES: RING OUTPUT (round 15) ----
+  // The one remaining geometry-OUTPUT cell — and the reference's
+  // literal Erase shape: arcpy erases 1500-ft DISK buffers from
+  // POLYGON high-risk zones (GSheetsETL_Lab2.py:129-133). Area and
+  // selection were exact here since rounds 8/9 ([[erasedAreaPoly]] /
+  // [[erasedAreaConcave]]); rings existed for circle zones
+  // ([[eraseRings]], arc pieces) and polygon subtrahends
+  // ([[eraseRingsPolySub]] / [[eraseRingsConcaveSub]], line pieces).
+  // This family unifies the two piece vocabularies: a boundary ring of
+  // (general polygon − holes − union of disks) alternates STRAIGHT
+  // pieces (outer-ring edges CCW / hole-ring edges reversed, minus the
+  // t-intervals covered by any disk — the same line-circle quadratic
+  // the area kernel integrates) and ARC pieces (each disk circle's
+  // intervals inside the outer ring, outside every hole and every
+  // other disk, traversed CW — hole side), joined at segment-circle
+  // and circle-circle intersection points. [[stitchMixedPieces]]
+  // chains them by endpoint matching exactly like the two
+  // single-vocabulary stitchers.
+
+  /** Raw parametric roots of ‖A + t·(dx,dy) − o‖² = r² (the covered
+    * t-window of the segment's supporting line), or None when the line
+    * misses or grazes the circle. Shared by the covered-interval and
+    * crossing-angle consumers so both see the same IEEE values.
+    */
+  private def segDiskRoots(ax: Double, ay: Double, dx: Double, dy: Double,
+      len2: Double, ox: Double, oy: Double, r: Double)
+      : Option[(Double, Double)] = {
+    val fx = ax - ox; val fy = ay - oy
+    val bq = fx * dx + fy * dy
+    val cq = fx * fx + fy * fy - r * r
+    val disc = bq * bq - len2 * cq
+    if (disc <= 0) None
+    else {
+      val sq = math.sqrt(disc)
+      Some(((-bq - sq) / len2, (-bq + sq) / len2))
+    }
+  }
+
+  /** Merged-input form of the disk cover of one segment: the clamped
+    * t-interval in [0,1], or None — the same quadratic
+    * [[erasedAreaPoly]]'s edge term integrates. */
+  private def segDiskCover(ax: Double, ay: Double, dx: Double, dy: Double,
+      len2: Double, ox: Double, oy: Double, r: Double)
+      : Option[(Double, Double)] =
+    segDiskRoots(ax, ay, dx, dy, len2, ox, oy, r).flatMap { case (t1, t2) =>
+      val s = math.max(0.0, t1); val e = math.min(1.0, t2)
+      if (s < e) Some((s, e)) else None
+    }
+
+  /** Survivors of one CCW member (hole) edge minus its covered
+    * intervals (MERGED, sorted), traversed REVERSED (kept region on
+    * the left — the hole side): the complement logic of
+    * [[zoneEdgePieces]] with the traversal flipped. */
+  private def reversedEdgePieces(cx: Double, cy: Double, ex: Double,
+      ey: Double, covered: List[(Double, Double)]): Seq[LinePiece] = {
+    val dx = ex - cx; val dy = ey - cy
+    require(dx != 0.0 || dy != 0.0,
+      s"erasePolyDisk: degenerate zero-length hole edge at ($cx,$cy)")
+    val bounds = 0.0 +: covered.flatMap { case (s, e) => Seq(s, e) } :+ 1.0
+    bounds.grouped(2).collect { case Seq(s, e) if e > s =>
+      LinePiece("sub", cx + e * dx, cy + e * dy, cx + s * dx, cy + s * dy)
+    }.toSeq
+  }
+
+  /** The arc pieces of ONE disk circle (center (ox,oy), radius r) on
+    * the boundary of (outer − holes − disks): partition the circle at
+    * every crossing angle (vs outer/hole edges — the shared quadratic
+    * roots mapped through atan2 of the SAME intersection point the
+    * line pieces end at, so stitch endpoints agree to IEEE rounding —
+    * and vs other disk circles, bearing ± acos(d/2r)), classify each
+    * sub-arc by its MIDPOINT (inside outer, outside every hole,
+    * outside every other disk — the general-polygon analogue of the
+    * convex half-plane interval algebra, valid with no convexity
+    * assumption), then MERGE adjacent kept arcs. The merge makes the
+    * output independent of the candidate set: a non-covering neighbor
+    * in a superset (the distributed plan's grid join, or a
+    * zone-assigned disk that misses this circle) adds either no
+    * crossing angles or only splits both of whose sides classify
+    * identically — so kernel and distributed plans emit the SAME
+    * maximal pieces, not merely the same union. `others` may be any
+    * superset of the disks within 2r (a disk at ≥ 2r can cover no
+    * point of this circle). Traversal is CW (`ccw = false` — the
+    * region lies outside the disk), matching [[eraseRings]]'s buffer
+    * arcs.
+    */
+  private def diskArcPieces(outer: Seq[(Double, Double)],
+      holes: Seq[Seq[(Double, Double)]], ox: Double, oy: Double,
+      r: Double, others: Seq[(Double, Double)]): Seq[RingPiece] = {
+    val tau = 2 * math.Pi
+    val ringsAll = outer +: holes
+    val segAngles = ringsAll.flatMap { ring =>
+      ring.indices.flatMap { i =>
+        val (ax, ay) = ring(i)
+        val (bx, by) = ring((i + 1) % ring.size)
+        val dx = bx - ax; val dy = by - ay
+        val len2 = dx * dx + dy * dy
+        require(len2 > 0,
+          s"erasePolyDisk: degenerate zero-length edge at ($ax,$ay)")
+        segDiskRoots(ax, ay, dx, dy, len2, ox, oy, r).toSeq
+          .flatMap { case (t1, t2) => Seq(t1, t2) }
+          .filter(t => t > 0.0 && t < 1.0)
+          .map(t => math.atan2(ay + t * dy - oy, ax + t * dx - ox))
+      }
+    }
+    val diskAngles = others.flatMap { case (qx, qy) =>
+      val dij = math.hypot(qx - ox, qy - oy)
+      if (dij >= 2 * r || dij == 0.0) Nil
+      else {
+        val th = math.atan2(qy - oy, qx - ox)
+        val al = clampAcos(dij / (2 * r))
+        Seq(th - al, th + al)
+      }
+    }
+    val angles = (segAngles ++ diskAngles)
+      .map(a => ((a % tau) + tau) % tau).distinct.sorted.toIndexedSeq
+    def keepAt(a: Double): Boolean = {
+      val px = ox + r * math.cos(a); val py = oy + r * math.sin(a)
+      pointInPoly(px, py, outer) &&
+        !holes.exists(h => pointInPoly(px, py, h)) &&
+        !others.exists { case (qx, qy) =>
+          math.hypot(px - qx, py - qy) < r }
+    }
+    val n = angles.size
+    if (n == 0) {
+      // No crossings: the circle lies entirely on one side of every
+      // boundary component — classify by CONTAINMENT, not a sampled
+      // circle point (a sample can land exactly ON a tangent boundary,
+      // where ray-cast resolution is arbitrary; the adversarial
+      // tangency property caught exactly that with an internally-
+      // tangent disk). With equal radii another disk cannot contain
+      // this circle without crossing it (only an exact duplicate
+      // could, and duplicates are deduped), so other disks never cover
+      // a crossing-free circle; a hole entirely INSIDE the disk leaves
+      // the circle untouched, while a disk inside a hole is erased
+      // from the region.
+      val outerInDisk = outer.forall { case (x, y) =>
+        math.hypot(x - ox, y - oy) < r }
+      val inHole = holes.exists { h =>
+        h.exists { case (x, y) => math.hypot(x - ox, y - oy) >= r } &&
+          pointInPoly(ox, oy, h)
+      }
+      if (!outerInDisk && pointInPoly(ox, oy, outer) && !inHole)
+        Seq(RingPiece(ccw = false, ox, oy, r, 0.0, tau))
+      else Nil
+    } else {
+      // arc i spans [ext(i), ext(i+1)) in unwrapped angle space
+      val ext = (angles ++ angles.map(_ + tau)) :+ (angles.head + 2 * tau)
+      val kept = (0 until n).map { i =>
+        keepAt(((ext(i) + ext(i + 1)) / 2) % tau)
+      }
+      if (kept.forall(identity))
+        // crossing points exist but cover nothing (grazing candidates)
+        Seq(RingPiece(ccw = false, ox, oy, r, 0.0, tau))
+      else if (!kept.exists(identity)) Nil
+      else {
+        // cyclic merge of consecutive kept arcs, starting after a
+        // non-kept arc so no run is split by the array seam
+        val start = kept.indexOf(false)
+        val merged = Vector.newBuilder[(Double, Double)]
+        var run: Option[(Double, Double)] = None
+        (0 until n).foreach { j =>
+          val i = start + 1 + j
+          if (kept(i % n)) {
+            run = run match {
+              case None => Some((ext(i), ext(i + 1)))
+              case Some((s, _)) => Some((s, ext(i + 1)))
+            }
+          } else {
+            run.foreach(merged += _); run = None
+          }
+        }
+        run.foreach(merged += _)
+        merged.result()
+          .map { case (s, e) => if (s >= tau) (s - tau, e - tau) else (s, e) }
+          .sortBy(_._1)
+          .map { case (s, e) => RingPiece(ccw = false, ox, oy, r, s, e) }
+      }
+    }
+  }
+
+  /** ALL directed boundary pieces of ((general simple zone polygon −
+    * holes) − union of DISK subtrahends): (a) outer-ring edges CCW
+    * minus the t-intervals covered by any disk ([[zoneEdgePieces]]
+    * over the shared quadratic); (b) hole-ring edges minus disk cover,
+    * REVERSED ([[reversedEdgePieces]] — holes are strictly inside the
+    * outer ring and pairwise disjoint by the family's caller contract,
+    * so disks are their only coverers); (c) per disk, its circle's
+    * surviving arcs, CW ([[diskArcPieces]]). Same general-position
+    * contract as the line-only family: tangency fails loudly in the
+    * stitcher, never silently. Disks are deduped and sorted so piece
+    * generation order is deterministic.
+    */
+  private[graft] def erasePolyDiskPieces(outerIn: Seq[(Double, Double)],
+      holesIn: Seq[Seq[(Double, Double)]],
+      disksIn: Seq[(Double, Double)], r: Double): Seq[BoundaryPiece] = {
+    require(outerIn.size >= 3, "polygon needs >= 3 vertices")
+    val outer = normalizeCcw(outerIn)
+    val holes = holesIn.map(normalizeCcw)
+    val disks = disksIn.distinct.sorted
+    val zonePieces: Seq[BoundaryPiece] = outer.indices.flatMap { i =>
+      val (ax, ay) = outer(i)
+      val (bx, by) = outer((i + 1) % outer.size)
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      require(len2 > 0,
+        s"erasePolyDisk: degenerate zero-length edge at ($ax,$ay)")
+      zoneEdgePieces(ax, ay, bx, by, mergeIntervals(
+        disks.flatMap { case (ox, oy) =>
+          segDiskCover(ax, ay, dx, dy, len2, ox, oy, r) }))
+    }
+    val holePieces: Seq[BoundaryPiece] = holes.flatMap { h =>
+      h.indices.flatMap { i =>
+        val (cx, cy) = h(i)
+        val (ex, ey) = h((i + 1) % h.size)
+        val dx = ex - cx; val dy = ey - cy
+        val len2 = dx * dx + dy * dy
+        require(len2 > 0,
+          s"erasePolyDisk: degenerate zero-length hole edge at ($cx,$cy)")
+        reversedEdgePieces(cx, cy, ex, ey, mergeIntervals(
+          disks.flatMap { case (ox, oy) =>
+            segDiskCover(cx, cy, dx, dy, len2, ox, oy, r) }))
+      }
+    }
+    val arcPieces: Seq[BoundaryPiece] = disks.zipWithIndex.flatMap {
+      case ((ox, oy), k) =>
+        diskArcPieces(outer, holes, ox, oy, r, disks.patch(k, Nil, 1))
+    }
+    zonePieces ++ holePieces ++ arcPieces
+  }
+
+  /** Stitch MIXED line+arc boundary pieces into closed rings — the
+    * unification of [[stitchLinePieces]] (straight segments) and
+    * [[eraseRings]]'s arc chain (circle arcs): full-circle arc pieces
+    * close alone; every other piece chains end → start by
+    * nearest-candidate endpoint matching through a hash grid. Line and
+    * arc endpoints at the same segment-circle intersection are
+    * computed through two parametrizations (the quadratic t-root vs
+    * the atan2→cos/sin roundtrip of the same point) and agree to IEEE
+    * rounding — well inside the 1e-9·scale tolerance. FAILS loudly
+    * when no piece continues (non-manifold boundary —
+    * tangency-degenerate input, outside the general-position
+    * contract). Rings and their starting pieces are rotated / ordered
+    * by a canonical key so output is deterministic regardless of piece
+    * arrival order. Orientation falls out of construction (outer loops
+    * CCW, holes CW) and Σ ring signed areas equals the Green's-theorem
+    * area of the region (same terms, re-associated only).
+    */
+  private[graft] def stitchMixedPieces(
+      piecesIn: Seq[BoundaryPiece]): Seq[Seq[BoundaryPiece]] = {
+    val (closedSeq, openSeq) = piecesIn.partition {
+      case rp: RingPiece => rp.isFullCircle
+      case _ => false
+    }
+    val pieces = openSeq.toIndexedSeq
+    if (pieces.isEmpty && closedSeq.isEmpty) return Seq.empty
+    val scale = (closedSeq ++ pieces).iterator.flatMap(p =>
+      Iterator(p.start._1.abs, p.start._2.abs, p.end._1.abs,
+        p.end._2.abs)).max
+    val tol = 1e-9 * math.max(1.0, scale)
+    def dist(a: (Double, Double), b: (Double, Double)): Double =
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    val hcell = 4 * tol
+    def hkey(p: (Double, Double)): (Long, Long) =
+      (math.floor(p._1 / hcell).toLong, math.floor(p._2 / hcell).toLong)
+    val byStart = scala.collection.mutable.HashMap
+      .empty[(Long, Long), List[Int]]
+    pieces.zipWithIndex.foreach { case (p, i) =>
+      val k = hkey(p.start)
+      byStart(k) = i :: byStart.getOrElse(k, Nil)
+    }
+    val used = Array.fill(pieces.size)(false)
+    def takeAt(pt: (Double, Double)): Option[Int] = {
+      val (ki, kj) = hkey(pt)
+      val cands = for {
+        dx <- -1L to 1L; dy <- -1L to 1L
+        i <- byStart.getOrElse((ki + dx, kj + dy), Nil)
+        if !used(i) && dist(pieces(i).start, pt) <= tol
+      } yield i
+      if (cands.isEmpty) None
+      else Some(cands.minBy(i => (dist(pieces(i).start, pt), i)))
+    }
+    val chains = Vector.newBuilder[Seq[BoundaryPiece]]
+    pieces.indices.foreach { seed =>
+      if (!used(seed)) {
+        used(seed) = true
+        val first = pieces(seed)
+        val chain = scala.collection.mutable.ArrayBuffer(first)
+        var cur = first
+        while (dist(cur.end, first.start) > tol) {
+          val idx = takeAt(cur.end).getOrElse(throw new
+            IllegalArgumentException(
+              "requirement failed: stitchMixedPieces: no piece starts " +
+                "at a boundary vertex — tangency-degenerate input"))
+          used(idx) = true
+          cur = pieces(idx)
+          chain += cur
+        }
+        chains += chain.toSeq
+      }
+    }
+    def key(p: BoundaryPiece): (Int, Double, Double, Double, Double) =
+      p match {
+        case lp: LinePiece =>
+          (if (lp.kind == "zone") 0 else 1, lp.x1, lp.y1, lp.x2, lp.y2)
+        case rp: RingPiece => (2, rp.cx, rp.cy, rp.s, rp.e)
+      }
+    val ord = Ordering.Tuple5[Int, Double, Double, Double, Double]
+    val rings = (closedSeq.map(Seq(_)) ++ chains.result()).map { ring =>
+      val i = ring.indices.minBy(j => key(ring(j)))(ord)
+      ring.drop(i) ++ ring.take(i)
+    }
+    rings.sortBy(ring => key(ring.head))(ord)
+  }
+
+  /** OUTPUT RINGS of ((general zone polygon − holes) − union of DISK
+    * subtrahends) — the reference's LITERAL Erase shape (1500-ft disk
+    * buffers erased from polygon high-risk zones,
+    * GSheetsETL_Lab2.py:129-133) emitted as the feature class arcpy
+    * produces: each closed boundary loop alternates straight pieces
+    * (outer edges CCW / hole edges reversed) and circle arcs (CW),
+    * joined at segment-circle and circle-circle intersection points.
+    * With this kernel the RING-OUTPUT contract matches the AREA
+    * contract on EVERY input cell ({circle, convex, concave-with-holes
+    * zones} × {disk, polygon subtrahends}). GeoSpec pins closure,
+    * orientation, Σ ring signed areas == [[erasedAreaPoly]] /
+    * [[erasedAreaConcave]] (INDEPENDENT kernels — half-plane interval
+    * algebra / triangulation), n-gon convergence to [[eraseRings]]'s
+    * circle-zone areas, determinism, and the distributed replay.
+    */
+  private[graft] def eraseRingsPolyDisk(outer: Seq[(Double, Double)],
+      holes: Seq[Seq[(Double, Double)]],
+      disks: Seq[(Double, Double)], r: Double): Seq[Seq[BoundaryPiece]] =
+    stitchMixedPieces(erasePolyDiskPieces(outer, holes, disks, r))
+
+  /** One output row of the mixed-piece ring frame: line pieces carry
+    * their endpoints and NULL arc columns; arc pieces carry traversal
+    * endpoints (start/end of the CW traversal) plus center, radius,
+    * and the CCW-parameter angle window in degrees. Shared by the
+    * distributed stitch groups and the untouched-zone driver rows so
+    * both paths emit identical encodings.
+    */
+  private def polyDiskRow(z: Int, ri: Long, pi: Long, p: BoundaryPiece,
+      area: Double): (Int, Long, Long, String, Double, Double, Double,
+        Double, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double], Double) = p match {
+    case lp: LinePiece =>
+      (z, ri, pi, lp.kind, lp.x1, lp.y1, lp.x2, lp.y2,
+        None, None, None, None, None, area)
+    case rp: RingPiece =>
+      val (sx, sy) = rp.start; val (ex, ey) = rp.end
+      (z, ri, pi, "arc", sx, sy, ex, ey, Some(rp.cx), Some(rp.cy),
+        Some(rp.rho), Some(rp.s * 180.0 / math.Pi),
+        Some(rp.e * 180.0 / math.Pi), area)
+  }
+
+  /** One cached frame per LAZY ring plan: the three ring queries
+    * return frames that re-read their cached zone-assigned member
+    * frame only when the CALLER executes them, so the plan cannot
+    * unpersist before returning — but each invocation previously
+    * cached a FRESH copy, and repeated bench iterations accumulated
+    * cached frames until block-manager LRU pressure (r14 ADVICE #3).
+    * Swapping through a one-slot registry unpersists the PREVIOUS
+    * invocation's frame at entry, so steady-state residency is one
+    * frame per plan. Unpersisting a frame a stale caller still holds
+    * is safe (Spark recomputes lineage); blocking=false keeps entry
+    * non-blocking.
+    */
+  private def swapPlanCache(
+      slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      zf: DataFrame): Unit = {
+    zf.cache()
+    val prev = slot.getAndSet(zf)
+    if (prev != null && (prev ne zf)) prev.unpersist(false)
+  }
+  private val polyDiskRingsCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val concaveSubRingsCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val polySubRingsCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** OUTPUT RINGS per GENERAL polygon zone under DISK subtrahends (see
+    * [[eraseRingsPolyDisk]]) — the DISTRIBUTED plan, same shape as the
+    * polygon-subtrahend ring plans: the per-piece interval work
+    * distributes, only the stitch is zone-serial.
+    *
+    *   (a) outer-edge and hole-edge covered t-intervals stream from a
+    *       flatMap over the zone-assigned disk frame (one row per
+    *       (disk, edge) hit — interval endpoints, never geometry,
+    *       shuffle here); the zone's edge catalogs ride task closures
+    *       (bounded: the zone catalog is cluster-constant — SCALE.md);
+    *   (b) each disk's surviving arcs come from a grid-cell neighbor
+    *       self-join at cell size 2r (only disks within 2r can cover
+    *       each other's circles — the [[boundaryDecomp]] bound), so
+    *       per-disk work tracks LOCAL disk density, and
+    *       [[diskArcPieces]]'s kept-arc merge makes the pieces
+    *       IDENTICAL to the kernel's under the grid's candidate
+    *       superset (non-coverers add nothing);
+    *
+    * then one `flatMapGroups` per zone chains that zone's pieces
+    * (bounded by zone-local crossing count) and emits ring rows from
+    * executors. Zones with no candidate disk emit their full outer CCW
+    * + hole CW rings driver-side (bounded by the zone catalog).
+    * Transcendental (atan2/acos/cos/sin) — rows-only by the erase
+    * family's declared rule; GeoSpec pins the distributed == driver
+    * replay and conservation against the independent area kernels.
+    */
+  def eraseRingsPolyDiskPerZone(spark: SparkSession, zones: DataFrame,
+      buffers: DataFrame, bufferFt: Double): DataFrame = {
+    import spark.implicits._
+    val zcat = zones.select(col("zone_id").cast("int"),
+        col("vertices"), col("holes"))
+      .as[(Int, Seq[(Double, Double)], Seq[Seq[(Double, Double)]])]
+      .collect().toSeq
+    val bound = zcat.map { case (z, vs, _) =>
+      val cx = vs.map(_._1).sum / vs.size
+      val cy = vs.map(_._2).sum / vs.size
+      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      (z, cx, cy, rad)
+    }.toDF("zone_id", "bcx", "bcy", "brad")
+    // bounded catalogs ride task closures (the zEdgesMap convention)
+    val zRingMap = zcat.map { case (z, vs, _) => z -> normalizeCcw(vs) }.toMap
+    val zHolesMap = zcat.map { case (z, _, hs) =>
+      z -> hs.map(normalizeCcw) }.toMap
+    // zone-assigned deduped disk centers (dedup == the kernel's
+    // distinct: identical circles would erase each other's boundary)
+    val zb = buffers.select(col("x_ft"), col("y_ft"))
+      .join(broadcast(bound),
+        Geo.dist2(col("x_ft"), col("y_ft"), col("bcx"), col("bcy"))
+          < (col("brad") + bufferFt) * (col("brad") + bufferFt))
+      .select(col("zone_id").cast("int"),
+        col("x_ft").as("ox"), col("y_ft").as("oy"))
+      .dropDuplicates("zone_id", "ox", "oy")
+    swapPlanCache(polyDiskRingsCache, zb)
+    // tag 0 = outer-edge interval (ei, s, e); tag 1 = hole-edge
+    // interval (hi, ei, s, e); tag 2 = arc piece (ox, oy, s, e);
+    // tag 3 = seed (a zone whose disks all miss still emits rings);
+    // row type (Int, Int, Int, Int, Double, Double, Double, Double)
+    val ivRows = zb.as[(Int, Double, Double)].flatMap { case (z, ox, oy) =>
+      val outer = zRingMap(z)
+      val outerIv = outer.indices.flatMap { i =>
+        val (ax, ay) = outer(i)
+        val (bx, by) = outer((i + 1) % outer.size)
+        val dx = bx - ax; val dy = by - ay
+        segDiskCover(ax, ay, dx, dy, dx * dx + dy * dy, ox, oy, bufferFt)
+          .map { case (s, e) => (z, 0, i, 0, s, e, 0.0, 0.0) }
+      }
+      val holeIv = zHolesMap(z).zipWithIndex.flatMap {
+        case (h, hi) =>
+          h.indices.flatMap { i =>
+            val (cx, cy) = h(i)
+            val (ex, ey) = h((i + 1) % h.size)
+            val dx = ex - cx; val dy = ey - cy
+            segDiskCover(cx, cy, dx, dy, dx * dx + dy * dy, ox, oy,
+                bufferFt)
+              .map { case (s, e) => (z, 1, hi, i, s, e, 0.0, 0.0) }
+          }
+      }
+      outerIv ++ holeIv
+    }
+    // (b) per-disk arcs via the 2r grid-cell neighbor self-join: the
+    // left side probes its 3×3 cell neighborhood, the right side sits
+    // in its own cell, so each true neighbor pair matches exactly once
+    val cell = 2 * bufferFt
+    val l = zb
+      .withColumn("dxc", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dyc", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("zone_id"), col("ox"), col("oy"),
+        (floor(col("ox") / cell).cast("long") + col("dxc")).as("cx"),
+        (floor(col("oy") / cell).cast("long") + col("dyc")).as("cy"))
+    val rt = zb.select(col("zone_id").as("rz"), col("ox").as("rox"),
+      col("oy").as("roy"),
+      floor(col("ox") / cell).cast("long").as("rcx"),
+      floor(col("oy") / cell).cast("long").as("rcy"))
+    val arcRows = l.join(rt,
+        col("zone_id") === col("rz") && col("cx") === col("rcx") &&
+          col("cy") === col("rcy") &&
+          !(col("ox") === col("rox") && col("oy") === col("roy")) &&
+          Geo.dist2(col("ox"), col("oy"), col("rox"), col("roy"))
+            < lit(4 * bufferFt * bufferFt),
+        "left_outer")
+      .select(col("zone_id"), col("ox"), col("oy"), col("rox"), col("roy"))
+      .as[(Int, Double, Double, Option[Double], Option[Double])]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroups { (k: (Int, Double, Double),
+          rows: Iterator[(Int, Double, Double, Option[Double],
+            Option[Double])]) =>
+        val (z, ox, oy) = k
+        val neighbors = rows.flatMap(r =>
+          r._4.zip(r._5)).toSeq.distinct
+        diskArcPieces(zRingMap(z), zHolesMap(z), ox, oy, bufferFt,
+            neighbors)
+          .map(p => (z, 2, 0, 0, p.s, p.e, ox, oy))
+      }
+    val seedRows = zb.select(col("zone_id")).distinct().as[Int]
+      .map(z => (z, 3, 0, 0, 0.0, 0.0, 0.0, 0.0))
+    val stitched = ivRows.union(arcRows).union(seedRows)
+      .groupByKey(_._1)
+      .flatMapGroups { (z: Int,
+          rowsIt: Iterator[(Int, Int, Int, Int, Double, Double, Double,
+            Double)]) =>
+        val rs = rowsIt.toSeq
+        val outer = zRingMap(z)
+        val outerIv = rs.filter(_._2 == 0).groupBy(_._3)
+          .map { case (ei, ivs) =>
+            ei -> mergeIntervals(ivs.map(r => (r._5, r._6))) }
+        val zonePieces: Seq[BoundaryPiece] =
+          outer.indices.flatMap { ei =>
+            val (ax, ay) = outer(ei)
+            val (bx, by) = outer((ei + 1) % outer.size)
+            zoneEdgePieces(ax, ay, bx, by, outerIv.getOrElse(ei, Nil))
+          }
+        val holeIv = rs.filter(_._2 == 1).groupBy(r => (r._3, r._4))
+          .map { case (k, ivs) =>
+            k -> mergeIntervals(ivs.map(r => (r._5, r._6))) }
+        val holePieces: Seq[BoundaryPiece] =
+          zHolesMap(z).zipWithIndex.flatMap { case (h, hi) =>
+            h.indices.flatMap { ei =>
+              val (cx, cy) = h(ei)
+              val (ex, ey) = h((ei + 1) % h.size)
+              reversedEdgePieces(cx, cy, ex, ey,
+                holeIv.getOrElse((hi, ei), Nil))
+            }
+          }
+        val arcPieces: Seq[BoundaryPiece] = rs.filter(_._2 == 2)
+          .map(r => RingPiece(ccw = false, r._7, r._8, bufferFt,
+            r._5, r._6))
+        stitchMixedPieces(zonePieces ++ holePieces ++ arcPieces)
+          .zipWithIndex.flatMap { case (ring, ri) =>
+            val area = ring.map(_.signedArea).sum
+            ring.zipWithIndex.map { case (p, pi) =>
+              polyDiskRow(z, ri.toLong, pi.toLong, p, area)
+            }
+          }
+      }
+      .toDF("zone_id", "ring_id", "piece_seq", "kind",
+        "x1_ft", "y1_ft", "x2_ft", "y2_ft", "cx_ft", "cy_ft", "rho_ft",
+        "start_deg", "end_deg", "ring_area_sqft")
+    // zones with NO candidate disk: full outer CCW + hole CW rings via
+    // the driver kernel (bounded catalog); zb stays cached past return
+    // — the stitched path is lazy, residency bounded by swapPlanCache
+    // (the eraseRingsPolySubPerZone convention)
+    val touched = zb.select(col("zone_id")).distinct()
+      .as[Int].collect().toSet
+    val untouched = zcat.filter(zc => !touched(zc._1))
+      .sortBy(_._1).flatMap { case (z, vs, hs) =>
+        eraseRingsPolyDisk(vs, hs, Seq.empty, bufferFt).zipWithIndex
+          .flatMap { case (ring, ri) =>
+            val area = ring.map(_.signedArea).sum
+            ring.zipWithIndex.map { case (p, pi) =>
+              polyDiskRow(z, ri.toLong, pi.toLong, p, area)
+            }
+          }
+      }
+    stitched.union(untouched.toDF("zone_id", "ring_id", "piece_seq",
+      "kind", "x1_ft", "y1_ft", "x2_ft", "y2_ft", "cx_ft", "cy_ft",
+      "rho_ft", "start_deg", "end_deg", "ring_area_sqft"))
+  }
+
   /** Surviving area per GENERAL (concave, with holes) polygon zone
     * under POLYGON subtrahends — the DISTRIBUTED plan, closing the
     * last Erase input-domain cell ({concave zones} × {polygon erase
@@ -1232,7 +1805,7 @@ object EraseArcs {
     val zf = zfFoot
       .union(holeRows.toDF("zone_id", "vertices", "x0", "y0", "x1", "y1"))
       .dropDuplicates("zone_id", "vertices")
-    zf.cache()
+    swapPlanCache(concaveSubRingsCache, zf)
     val cellSz = math.max(1.0, Option(zf
       .agg(max(greatest(col("x1") - col("x0"), col("y1") - col("y0"))))
       .head().get(0)).map(_.asInstanceOf[Double]).getOrElse(1.0))
@@ -1284,7 +1857,8 @@ object EraseArcs {
         "x1_ft", "y1_ft", "x2_ft", "y2_ft", "ring_area_sqft")
     // zones with NO member at all (no holes, no candidate footprint):
     // full CCW outer ring via the driver kernel (bounded catalog);
-    // zf stays cached — the stitched path is lazy (see
+    // zf stays cached past return — the stitched path is lazy, and
+    // swapPlanCache bounds residency to one frame per plan (see
     // eraseRingsPolySubPerZone)
     val touched = zf.select(col("zone_id")).distinct()
       .as[Int].collect().toSet
@@ -1529,7 +2103,7 @@ object EraseArcs {
     val frames = polySubFrames(spark, zones, subs)
     val zEdgesMap = frames.zEdgesMap
     val zf = frames.zf
-    zf.cache()
+    swapPlanCache(polySubRingsCache, zf)
     // tagged per-zone rows: tag 0 = (a) zone-edge coverage interval
     // (ei, s, e); tag 1 = (b) surviving footprint piece (x1,y1,x2,y2)
     val aRows = zf.select(col("zone_id"), col("vertices"))
@@ -1586,15 +2160,15 @@ object EraseArcs {
     // bounded by the zone catalog, same convention as eraseAreaPolySub)
     val touched = zf.select(col("zone_id")).distinct()
       .as[Int].collect().toSet
-    // zf stays CACHED: unlike eraseAreaPolySub (which collects every
-    // result before unpersisting), this data path is LAZY — the
-    // returned frame re-reads zf (aRows, both self-join sides,
-    // seedRows) only when the CALLER executes it, so an unpersist here
-    // would evict the cache before its real consumers run and recompute
-    // zf's canonicalize + dedup shuffle + zone-assignment join ~4×.
-    // The frame is zone-bounded (candidate footprints of a
-    // cluster-constant zone catalog); the block manager's LRU evicts
-    // it under pressure.
+    // zf stays CACHED past return: unlike eraseAreaPolySub (which
+    // collects every result before unpersisting), this data path is
+    // LAZY — the returned frame re-reads zf (aRows, both self-join
+    // sides, seedRows) only when the CALLER executes it, so an
+    // unpersist here would evict the cache before its real consumers
+    // run and recompute zf's canonicalize + dedup shuffle +
+    // zone-assignment join ~4×. Steady-state residency is bounded by
+    // swapPlanCache (one frame per plan — the previous invocation's
+    // frame unpersists at entry).
     val untouched = frames.zcat.filter(z => !touched(z._1))
       .sortBy(_._1).flatMap { case (z, vs) =>
         eraseRingsPolySub(vs, Seq.empty).zipWithIndex.flatMap {
@@ -1618,7 +2192,7 @@ object EraseArcs {
     * CW hole side. `s == 0 && e == 2π` is a closed full-circle ring.
     */
   private[graft] case class RingPiece(ccw: Boolean, cx: Double,
-      cy: Double, rho: Double, s: Double, e: Double) {
+      cy: Double, rho: Double, s: Double, e: Double) extends BoundaryPiece {
     private def at(a: Double): (Double, Double) =
       (cx + rho * math.cos(a), cy + rho * math.sin(a))
     def start: (Double, Double) = if (ccw) at(s) else at(e)

@@ -212,6 +212,22 @@ object Multimodal {
     */
   val decoderInits = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** JVM codec first-touch: one tiny encode + decode forces ImageIO's
+    * plugin-registry scan, the PNG reader/writer class-init, and the
+    * first compilation of the codec path — once per JVM. Bench calls
+    * this in the UNTIMED warmup: otherwise the cost lands inside
+    * whichever mm query a sweep happens to run first (the r14 sf1
+    * watch: `mm_decode_image` read 3.36 s in the full sweep vs its
+    * 1.64 s filtered record purely from this first-touch). Milliseconds
+    * of work; in local mode one JVM covers every task thread, and on a
+    * real cluster the same call belongs in an executor-startup hook.
+    */
+  def warmCodec(): Unit = {
+    val dec = new PngDecoder
+    dec.decode(pngBytes(0L))
+    ()
+  }
+
   /** The per-partition decoder handle — the thing whose construction
     * cost `mapPartitions` exists to amortize (for javax.imageio the
     * analogue of reusing reader instances instead of the static

@@ -180,8 +180,15 @@ object Similarity {
         .withColumn("dd", col("qv") - col("cqv"))
         .groupBy(col("vec_id"), expr("dim DIV 16").as("m"), col("cvid"))
         .agg(sum(col("dd") * col("dd")).as("d2"))
-      // N × M(8) × K(≈256, by the cstep construction) rows
-      val estRows = nEmb(s, d) * 8L * 256L
+      // N × M(8) × K rows, with K derived from the actual construction
+      // (K = ceil(N / cstep) ≤ 256 — the 256 constant previously used
+      // here overstated rows for small corpora, which could flip a
+      // corpus just under the true in-heap boundary to DISK_ONLY
+      // early; r14 ADVICE #4). At every committed regime the derived
+      // K equals 256 exactly (sf30: ceil(600k/2344) = 256), so no
+      // spec-pinned storage path moves.
+      val n = nEmb(s, d)
+      val estRows = n * 8L * ((n + cstep - 1L) / cstep)
       if (estRows <= PqInHeapMaxRows) enc.localCheckpoint()
       else enc.localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)

@@ -540,12 +540,12 @@ object Wnv {
     // member to the boundary algebra) stitched at edge-edge
     // intersection points
     // (geo/EraseArcs.eraseRingsConcaveSubPerZone). With this entry the
-    // RING-OUTPUT contract matches the area contract on every
-    // polygon-subtrahend input cell; disk subtrahends keep rings on
-    // circle zones only (mixed line+arc stitching — scoped in SURVEY
-    // §2.3). Same declared rows-only rule; GeoSpec pins closure,
-    // orientation, Σ ring signed areas == the triangulation kernel
-    // (an INDEPENDENT method), convex agreement, determinism, and the
+    // RING-OUTPUT contract matched the area contract on every
+    // polygon-subtrahend input cell (round 15 then closed the disk ×
+    // polygon-zone cell below — wnv_erase_poly_disk_rings). Same
+    // declared rows-only rule; GeoSpec pins closure, orientation,
+    // Σ ring signed areas == the triangulation kernel (an INDEPENDENT
+    // method), convex agreement, determinism, and the
     // distributed-path replay.
     "wnv_erase_concave_sub_rings" -> ((s: SparkSession, d: String) =>
       graft.geo.EraseArcs.eraseRingsConcaveSubPerZone(s, starZones(s, d),
@@ -555,6 +555,41 @@ object Wnv {
           XF.r6(col("y1_ft")).as("y1_ft"),
           XF.r6(col("x2_ft")).as("x2_ft"),
           XF.r6(col("y2_ft")).as("y2_ft"),
+          XF.r6(col("ring_area_sqft")).as("ring_area_sqft"))
+        // barrier before the global sort: the range sampler would
+        // otherwise re-run the per-zone ring stitcher (flatMapGroups)
+        .repartition(col("zone_id"))
+        .orderBy(col("zone_id"), col("ring_id"), col("piece_seq"))),
+
+    // J2 GEOMETRY OUTPUT, DISK subtrahends on POLYGON zones
+    // (round 15): the reference's LITERAL Erase shape — arcpy erases
+    // 1500-ft DISK buffers from POLYGON high-risk zones
+    // (GSheetsETL_Lab2.py:129-133) — emitted as ordered boundary
+    // rings. The one previously-scoped-out geometry-OUTPUT cell: each
+    // ring ALTERNATES straight pieces (star outer edges CCW / hole
+    // edges reversed, minus the line-circle quadratic's covered
+    // t-intervals) and circle arcs (each disk's surviving intervals,
+    // CW), joined at segment-circle and circle-circle intersection
+    // points by the MIXED stitcher
+    // (geo/EraseArcs.eraseRingsPolyDiskPerZone). With this entry the
+    // ring-output contract matches the area contract on EVERY input
+    // cell. Transcendental (atan2/acos/cos/sin) — rows-only by the
+    // family's declared rule; GeoSpec pins closure, orientation,
+    // Σ ring signed areas == erasedAreaConcave (the INDEPENDENT
+    // triangulation kernel), n-gon convergence to the circle-zone
+    // kernel, determinism, and the distributed-path replay.
+    "wnv_erase_poly_disk_rings" -> ((s: SparkSession, d: String) =>
+      graft.geo.EraseArcs.eraseRingsPolyDiskPerZone(s, starZones(s, d),
+          optOut(s, d).select(col("x_ft"), col("y_ft")), BufferFt)
+        .select(col("zone_id"), col("ring_id"), col("piece_seq"),
+          col("kind"), XF.r6(col("x1_ft")).as("x1_ft"),
+          XF.r6(col("y1_ft")).as("y1_ft"),
+          XF.r6(col("x2_ft")).as("x2_ft"),
+          XF.r6(col("y2_ft")).as("y2_ft"),
+          XF.r6(col("cx_ft")).as("cx_ft"),
+          XF.r6(col("cy_ft")).as("cy_ft"),
+          XF.r6(col("start_deg")).as("start_deg"),
+          XF.r6(col("end_deg")).as("end_deg"),
           XF.r6(col("ring_area_sqft")).as("ring_area_sqft"))
         // barrier before the global sort: the range sampler would
         // otherwise re-run the per-zone ring stitcher (flatMapGroups)

@@ -480,26 +480,36 @@ class DedupSpec extends SparkSpec {
     // storage paths and every bench comparison against the records
     // would be apples-to-oranges — pin the boundary so the flip is a
     // red spec, not a quiet regression. Scale dirs are generated
-    // artifacts; skip the ones not present in this checkout.
+    // artifacts; a checkout without them CANCELS loudly (naming what
+    // was not covered) instead of counting the skip as a pass
+    // (r14 ADVICE #1).
     def docsCount(dir: String): Option[Long] = {
       val p = new java.io.File(s"$dir/documents.parquet")
       if (p.exists()) Some(spark.read.parquet(p.getPath).count())
       else None
     }
+    val missing = Seq.newBuilder[String]
     Seq(sf -> "sf0.001", "testdata-gen/sf1" -> "sf1",
         "testdata-gen/sf10" -> "sf10").foreach { case (dir, label) =>
-      docsCount(dir).foreach { n =>
-        assert(n <= Dedup.MemoInHeapMaxDocs,
-          s"$label docs $n crossed the in-heap boundary " +
-            s"(${Dedup.MemoInHeapMaxDocs}) — committed records through " +
-            "sf10 are in-heap measurements")
+      docsCount(dir) match {
+        case Some(n) =>
+          assert(n <= Dedup.MemoInHeapMaxDocs,
+            s"$label docs $n crossed the in-heap boundary " +
+              s"(${Dedup.MemoInHeapMaxDocs}) — committed records through " +
+              "sf10 are in-heap measurements")
+        case None => missing += label
       }
     }
-    docsCount("testdata-gen/sf30").foreach { n =>
-      assert(n > Dedup.MemoInHeapMaxDocs,
-        s"sf30 docs $n fell under the boundary " +
-          s"(${Dedup.MemoInHeapMaxDocs}) — sf30 scale records are " +
-          "DISK_ONLY measurements")
+    docsCount("testdata-gen/sf30") match {
+      case Some(n) =>
+        assert(n > Dedup.MemoInHeapMaxDocs,
+          s"sf30 docs $n fell under the boundary " +
+            s"(${Dedup.MemoInHeapMaxDocs}) — sf30 scale records are " +
+            "DISK_ONLY measurements")
+      case None => missing += "sf30"
     }
+    val miss = missing.result()
+    if (miss.nonEmpty) cancel("scale dirs not generated in this " +
+      s"checkout — boundary pin NOT checked for: ${miss.mkString(", ")}")
   }
 }

@@ -24,7 +24,8 @@ class EntrySpec extends SparkSpec {
     assert(noOracle === Set("agg_approx_distinct", "wnv_erase_arcs",
       "wnv_erase_poly", "wnv_erase_concave", "wnv_erase_rings",
       "wnv_erase_poly_sub", "wnv_erase_poly_sub_rings",
-      "wnv_erase_concave_sub", "wnv_erase_concave_sub_rings"))
+      "wnv_erase_concave_sub", "wnv_erase_concave_sub_rings",
+      "wnv_erase_poly_disk_rings"))
   }
 
   test("every query returns at least one row at sf0.001 (driver gate)") {

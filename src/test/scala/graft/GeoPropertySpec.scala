@@ -202,4 +202,52 @@ class GeoPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     })
     assert(res.passed, s"tangency posture: ${res.status}")
   }
+
+  test("tangency-degenerate input, MIXED stitcher: disks exactly " +
+      "tangent to zone edges / each other fail LOUDLY or conserve") {
+    // adversarial generator for the line+arc stitcher: disks of
+    // integer radius whose centers sit on an exact integer grid so
+    // that (a) a disk at distance EXACTLY r from a zone edge is
+    // bit-exactly tangent to it, (b) two disks at distance EXACTLY 2r
+    // are bit-exactly tangent to each other, and (c) a disk centered
+    // ON the zone boundary crosses it through a vertex-free exact
+    // midpoint. Contract as for the line stitcher: either
+    // IllegalArgumentException, or closed rings whose Σ signed areas
+    // equals the INDEPENDENT area kernel.
+    val zone = Seq((-1000.0, -1000.0), (1000.0, -1000.0),
+      (1000.0, 1000.0), (-1000.0, 1000.0))
+    val r = 250.0
+    // grid pitch r: adjacent grid disks are at distance r (overlap),
+    // 2r (exact tangency), or farther; disks in the outermost in-zone
+    // row sit exactly r from the zone edge (boundary tangency)
+    val genDisks: Gen[List[(Int, Int)]] = for {
+      n <- Gen.choose(1, 10)
+      cells <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(-4, 4), Gen.choose(-4, 4)))
+    } yield cells.distinct
+    val p = SCTest.Parameters.default
+      .withMinSuccessfulTests(60)
+      .withInitialSeed(Seed(0x5C41L))
+    val res = SCTest.check(p, Prop.forAll(genDisks) { cells =>
+      val disks = cells.map { case (i, j) => (r * i, r * j) }
+      scala.util.Try(EraseArcs.eraseRingsPolyDisk(zone, Nil, disks, r))
+        .map { rings =>
+          val closed = rings.forall { ring =>
+            ring.indices.forall { i =>
+              val a = ring(i); val b = ring((i + 1) % ring.size)
+              val (ex, ey) = a.end; val (sx, sy) = b.start
+              math.hypot(ex - sx, ey - sy) <= 4e-6 * 2000.0
+            }
+          }
+          val sum = rings.flatten.map(_.signedArea).sum
+          val want = EraseArcs.erasedAreaPoly(zone, disks, r)
+          closed && math.abs(sum - want) <= 1e-6 * math.max(1.0, want)
+        } match {
+        case scala.util.Failure(e) =>
+          e.isInstanceOf[IllegalArgumentException]
+        case scala.util.Success(ok) => ok
+      }
+    })
+    assert(res.passed, s"mixed tangency posture: ${res.status}")
+  }
 }

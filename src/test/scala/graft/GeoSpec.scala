@@ -1132,4 +1132,176 @@ class GeoSpec extends SparkSpec {
       }
     }
   }
+
+  test("mixed line+arc rings (disk subtrahends on polygon zones): " +
+      "closure, orientation, conservation, determinism") {
+    import graft.geo.EraseArcs
+    def checkRings(outer: Seq[(Double, Double)],
+        holes: Seq[Seq[(Double, Double)]],
+        disks: Seq[(Double, Double)], r: Double)
+        : Seq[Seq[EraseArcs.BoundaryPiece]] = {
+      val rings = EraseArcs.eraseRingsPolyDisk(outer, holes, disks, r)
+      val scale = (outer ++ holes.flatten ++ disks)
+        .flatMap(p => Seq(p._1.abs, p._2.abs)).max
+      val tol = 1e-9 * math.max(1.0, scale)
+      rings.foreach { ring =>
+        ring.indices.foreach { i =>
+          val a = ring(i); val b = ring((i + 1) % ring.size)
+          val (ex, ey) = a.end; val (sx, sy) = b.start
+          assert(math.hypot(ex - sx, ey - sy) <= tol,
+            s"open ring at piece $i of $ring")
+        }
+        val area = ring.map(_.signedArea).sum
+        val hasZone = ring.exists {
+          case lp: EraseArcs.LinePiece => lp.kind == "zone"
+          case _ => false
+        }
+        if (hasZone) assert(area > 0, s"outer ring CW: $ring")
+        else assert(area < 0, s"hole ring CCW: $ring")
+      }
+      // conservation against the INDEPENDENT area kernels (half-plane
+      // interval algebra / ear-clip triangulation — no shared terms
+      // with the crossing-angle midpoint classification)
+      val sum = rings.flatten.map(_.signedArea).sum
+      val want = EraseArcs.erasedAreaConcave(outer, holes, disks, r)
+      assert(math.abs(sum - want) <= 1e-9 * math.max(1.0, want),
+        s"rings $sum vs erasedAreaConcave $want")
+      // determinism under disk order
+      val again = EraseArcs.eraseRingsPolyDisk(outer, holes,
+        disks.reverse, r)
+      assert(again === rings, "rings depend on disk order")
+      rings
+    }
+    def isArc(p: EraseArcs.BoundaryPiece): Boolean = p match {
+      case _: EraseArcs.RingPiece => true
+      case _ => false
+    }
+    val square = Seq((-1000.0, -1000.0), (1000.0, -1000.0),
+      (1000.0, 1000.0), (-1000.0, 1000.0))
+    // untouched: one CCW ring of the 4 edges, no arcs
+    val r0 = checkRings(square, Nil, Nil, 300.0)
+    assert(r0.size === 1 && r0.head.size === 4 && !r0.head.exists(isArc))
+    // one disk straddling an edge: ONE mixed outer ring (line pieces +
+    // one arc bridging the bite)
+    val r1 = checkRings(square, Nil, Seq((1000.0, 100.0)), 300.0)
+    assert(r1.size === 1)
+    assert(r1.head.exists(isArc) && r1.head.count(!isArc(_)) >= 4)
+    // disk strictly inside: CCW outer + a full-circle CW hole; exact
+    // area square − πr²
+    val r2 = checkRings(square, Nil, Seq((0.0, 0.0)), 300.0)
+    assert(r2.size === 2)
+    assert(r2.exists(ring => ring.size == 1 && (ring.head match {
+      case rp: EraseArcs.RingPiece => rp.isFullCircle && !rp.ccw
+      case _ => false
+    })))
+    val a2 = r2.flatten.map(_.signedArea).sum
+    assert(math.abs(a2 - (4e6 - math.Pi * 9e4)) <= 1e-4)
+    // disk covering a corner: both adjacent edges clipped, one arc
+    val r3 = checkRings(square, Nil, Seq((1000.0, 1000.0)), 300.0)
+    assert(r3.size === 1 && r3.head.count(isArc) === 1)
+    // two overlapping interior disks: one merged CW cavity of two arcs
+    val r4 = checkRings(square, Nil,
+      Seq((-100.0, 0.0), (150.0, 60.0)), 300.0)
+    assert(r4.size === 2)
+    assert(r4.exists(ring => ring.size == 2 && ring.forall(isArc)))
+    // hole + disk overlapping the hole: one merged cavity (hole edges
+    // + arcs), plus conservation on the full general input
+    val hole = Seq((-200.0, -200.0), (200.0, -200.0),
+      (200.0, 200.0), (-200.0, 200.0))
+    val r5 = checkRings(square, Seq(hole), Seq((350.0, 80.0)), 300.0)
+    assert(r5.size === 2, s"expected outer + merged cavity: ${r5.size}")
+    assert(r5.exists(ring => ring.exists(isArc) && ring.exists {
+      case lp: EraseArcs.LinePiece => lp.kind == "sub"
+      case _ => false
+    }))
+    // disk strictly inside the hole: erases nothing
+    val r6 = checkRings(square, Seq(hole), Seq((0.0, 0.0)), 100.0)
+    assert(r6.flatten.count(isArc) === 0)
+    // concave star with hole × several disks (the query's shape)
+    val star = Seq((1000.0, 0.0), (350.0, 350.0), (0.0, 1000.0),
+      (-350.0, 350.0), (-1000.0, 0.0), (-350.0, -350.0),
+      (0.0, -1000.0), (350.0, -350.0))
+    val hole2 = Seq((150.0, 150.0), (-150.0, 150.0),
+      (-150.0, -150.0), (150.0, -150.0))
+    checkRings(star, Seq(hole2),
+      Seq((700.0, 100.0), (-300.0, 500.0), (50.0, -600.0),
+        (1100.0, 300.0)), 280.0)
+    // circle-zone convergence: a fine n-gon zone's mixed rings
+    // conserve toward the pure circle kernel ([[eraseRings]] family)
+    val ngon = (0 until 512).map { k =>
+      val a = 2 * math.Pi * k / 512
+      (1000.0 * math.cos(a), 1000.0 * math.sin(a))
+    }
+    val disks = Seq((800.0, 150.0), (-200.0, 400.0), (-900.0, -500.0))
+    val got = EraseArcs.eraseRingsPolyDisk(ngon, Nil, disks, 300.0)
+      .flatten.map(_.signedArea).sum
+    val want = EraseArcs.erasedArea(1000.0, disks, 300.0)
+    assert(math.abs(got - want) / want < 1e-3,
+      s"ngon rings $got vs circle kernel $want")
+  }
+
+  test("mixed line+arc rings: the distributed path equals a " +
+      "driver-side replay and conserves the concave area kernel") {
+    import graft.geo.EraseArcs
+    val zones = graft.ops.Wnv.starZones(spark, sf)
+    val buffers = graft.ops.Wnv.optOut(spark, sf)
+      .select(col("x_ft"), col("y_ft"))
+    val r = graft.ops.Wnv.BufferFt
+    val got = EraseArcs.eraseRingsPolyDiskPerZone(spark, zones, buffers, r)
+      .collect()
+      .map(w => (w.getInt(0), w.getLong(1), w.getLong(2)) ->
+        (w.getString(3), w.getDouble(4), w.getDouble(5), w.getDouble(6),
+          w.getDouble(7), w.getDouble(13)))
+      .toMap
+    def ring(rows: Seq[org.apache.spark.sql.Row]): Seq[(Double, Double)] =
+      rows.map(v => (v.getDouble(0), v.getDouble(1)))
+    val zs = zones.select(col("zone_id").cast("int"), col("vertices"),
+        col("holes"))
+      .collect().map { w =>
+        (w.getInt(0), ring(w.getSeq[org.apache.spark.sql.Row](1)),
+          w.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](2)
+            .map(h => ring(h.toSeq)))
+      }
+    val bs = buffers.collect().map(w => (w.getDouble(0), w.getDouble(1)))
+    assert(got.keys.map(_._1).toSet === zs.map(_._1).toSet)
+    val scale = 4e6 // state-plane feet
+    val tol = 1e-9 * scale
+    zs.foreach { case (z, vs, hs) =>
+      val cx = vs.map(_._1).sum / vs.size
+      val cy = vs.map(_._2).sum / vs.size
+      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      // the distributed plan's own candidate rule (bounding circle)
+      val near = bs.filter { case (ox, oy) =>
+        (ox - cx) * (ox - cx) + (oy - cy) * (oy - cy) < (rad + r) * (rad + r)
+      }.toSeq
+      val want = EraseArcs.eraseRingsPolyDisk(vs, hs, near, r)
+      val wantRows = want.zipWithIndex.flatMap { case (rg, ri) =>
+        val area = rg.map(_.signedArea).sum
+        rg.zipWithIndex.map { case (p, pi) =>
+          val (kind, x1, y1, x2, y2) = p match {
+            case lp: EraseArcs.LinePiece =>
+              (lp.kind, lp.x1, lp.y1, lp.x2, lp.y2)
+            case rp: EraseArcs.RingPiece =>
+              ("arc", rp.start._1, rp.start._2, rp.end._1, rp.end._2)
+          }
+          (z, ri.toLong, pi.toLong) -> (kind, x1, y1, x2, y2, area)
+        }
+      }
+      assert(got.keys.count(_._1 == z) === wantRows.size, s"zone $z rows")
+      wantRows.foreach { case (k, (kind, x1, y1, x2, y2, area)) =>
+        val (gk, gx1, gy1, gx2, gy2, ga) = got(k)
+        assert(gk === kind, s"$k kind")
+        assert(math.abs(gx1 - x1) <= tol && math.abs(gy1 - y1) <= tol &&
+          math.abs(gx2 - x2) <= tol && math.abs(gy2 - y2) <= tol,
+          s"$k coords: ($gx1,$gy1)->($gx2,$gy2) vs ($x1,$y1)->($x2,$y2)")
+        assert(math.abs(ga - area) <= 1e-9 * math.max(1.0, area.abs),
+          s"$k ring area $ga vs $area")
+      }
+      // Σ ring signed areas == the INDEPENDENT triangulation kernel
+      val sums = wantRows.groupBy(_._1._2).map(_._2.head._2._6).sum
+      val areaK = EraseArcs.erasedAreaConcave(vs, hs, near, r)
+      assert(math.abs(sums - areaK) <= 1e-9 * math.max(1.0, areaK),
+        s"zone $z rings $sums vs concave kernel $areaK")
+    }
+  }
 }

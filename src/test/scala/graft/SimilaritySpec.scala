@@ -380,24 +380,39 @@ class SimilaritySpec extends SparkSpec {
     // warm-probe OOM fix) — pin the shipped corpora against the
     // constant so embedding-count drift cannot silently flip a
     // committed bench regime's storage path (the DedupSpec convention)
+    // absent scale dirs cancel loudly instead of silently passing
+    // (r14 ADVICE #1 — the DedupSpec convention)
     def vecs(dir: String): Option[Long] = {
       val p = new java.io.File(s"$dir/embeddings.parquet")
       if (p.exists()) Some(spark.read.parquet(p.getPath).count())
       else None
     }
-    def estRows(n: Long): Long = n * 8L * 256L
+    // mirrors the memo's own estimate: K derived from the cstep
+    // construction (ceil(n / ceil(n/256)) ≤ 256), not the 256 bound
+    def estRows(n: Long): Long = {
+      val cstep = math.max(1L, (n + 255L) / 256L)
+      n * 8L * ((n + cstep - 1L) / cstep)
+    }
+    val missing = Seq.newBuilder[String]
     Seq(sf -> "sf0.001", "testdata-gen/sf1" -> "sf1",
         "testdata-gen/sf10" -> "sf10").foreach { case (dir, label) =>
-      vecs(dir).foreach { n =>
-        assert(estRows(n) <= graft.ops.Similarity.PqInHeapMaxRows,
-          s"$label encode frame ${estRows(n)} rows crossed the in-heap " +
-            "ceiling — committed records through sf10 are in-heap")
+      vecs(dir) match {
+        case Some(n) =>
+          assert(estRows(n) <= graft.ops.Similarity.PqInHeapMaxRows,
+            s"$label encode frame ${estRows(n)} rows crossed the in-heap " +
+              "ceiling — committed records through sf10 are in-heap")
+        case None => missing += label
       }
     }
-    vecs("testdata-gen/sf30").foreach { n =>
-      assert(estRows(n) > graft.ops.Similarity.PqInHeapMaxRows,
-        s"sf30 encode frame ${estRows(n)} rows fell under the ceiling — " +
-          "sf30 scale records are DISK_ONLY measurements")
+    vecs("testdata-gen/sf30") match {
+      case Some(n) =>
+        assert(estRows(n) > graft.ops.Similarity.PqInHeapMaxRows,
+          s"sf30 encode frame ${estRows(n)} rows fell under the ceiling — " +
+            "sf30 scale records are DISK_ONLY measurements")
+      case None => missing += "sf30"
     }
+    val miss = missing.result()
+    if (miss.nonEmpty) cancel("scale dirs not generated in this " +
+      s"checkout — boundary pin NOT checked for: ${miss.mkString(", ")}")
   }
 }

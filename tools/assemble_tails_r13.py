@@ -41,15 +41,24 @@ for q, v in d.get("queries", {}).items():
 # wrongly emitting 0 rows against a non-empty oracle stays `fail`.
 sel = queries.get("wnv_erase_poly_sub_selection")
 if sel and sel.get("status") == "fail" and sel.get("rows") == 0:
-    import duckdb
-    oracle = json.load(open("/tmp/verify_sf10/oracle_sql.json"))
-    sql = oracle["wnv_erase_poly_sub_selection"]
-    con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('testdata-gen/sf10/{t}.parquet')")
-    n_oracle = con.sql(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
+    # the re-run NEEDS the verify dump + the sf10 tables; if either is
+    # absent the query must STAY fail with an explanatory note — a
+    # traceback here would abort the whole assembly (r14 ADVICE #5)
+    try:
+        import duckdb
+        oracle = json.load(open("/tmp/verify_sf10/oracle_sql.json"))
+        sql = oracle["wnv_erase_poly_sub_selection"]
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('testdata-gen/sf10/{t}.parquet')")
+        n_oracle = con.sql(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
+    except Exception as e:
+        n_oracle = None
+        sel["note"] = ("engine returned 0 rows; oracle COUNT(*) re-run "
+                       f"unavailable ({e}) — kept as fail")
     if n_oracle == 0:
         sel["status"] = "ok_empty_regime"
         sel["err"] = None
@@ -57,7 +66,7 @@ if sel and sel.get("status") == "fail" and sel.get("rows") == 0:
                        "(oracle COUNT(*) re-run by this script; "
                        "footprint density covers every in-risk point; "
                        "sf1 row: 3,283, oracle-exact)")
-    else:
+    elif n_oracle is not None:
         sel["note"] = (f"engine returned 0 rows but the oracle has "
                        f"{n_oracle} — kept as fail")
 
