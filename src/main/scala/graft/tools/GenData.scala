@@ -92,8 +92,17 @@ object GenData {
     // same physical timestamp vintage as the current driver data
     spark.conf.set("spark.sql.parquet.outputTimestampType",
       "TIMESTAMP_MICROS")
+    // --tables=a,b,c: write only the named tables (e.g. the sf30
+    // PairCount instrument reads nothing but `customer`; generating
+    // 180M lineitem rows for it would waste minutes and ~10 GB of the
+    // host's bounded scratch). Determinism is per-(table, row id), so
+    // a partial dir is bit-identical to the same tables in a full one.
+    val tableFilter = args.drop(2).collectFirst {
+      case a if a.startsWith("--tables=") =>
+        a.stripPrefix("--tables=").split(",").toSet
+    }
     generate(spark, sf, out, heapsVocab = flags("--heaps"),
-      onlyDocuments = flags("--only-documents"))
+      onlyDocuments = flags("--only-documents"), tables = tableFilter)
     spark.stop()
   }
 
@@ -130,9 +139,13 @@ object GenData {
     *        is unchanged; base-vocab draws keep the same splitmix
     *        stream so mode differences are vocabulary-only.
     * @param onlyDocuments write just `documents.parquet` (the
-    *        vocabulary-regime study reads nothing else). */
+    *        vocabulary-regime study reads nothing else).
+    * @param tables if set, write only the named tables (scale
+    *        instruments that read one table should not pay for the
+    *        others — see the main's --tables flag). */
   def generate(spark: SparkSession, sf: Double, out: String,
-      heapsVocab: Boolean = false, onlyDocuments: Boolean = false): Unit = {
+      heapsVocab: Boolean = false, onlyDocuments: Boolean = false,
+      tables: Option[Set[String]] = None): Unit = {
     val n = counts(sf)
     val nCust = n("customer"); val nSupp = n("supplier")
     val nPart = n("part"); val nOrd = n("orders")
@@ -153,6 +166,9 @@ object GenData {
       val _ = files
       if (onlyDocuments && name != "documents") {
         println(s"[gendata] skip $name (--only-documents)"); return
+      }
+      if (tables.exists(!_.contains(name))) {
+        println(s"[gendata] skip $name (--tables)"); return
       }
       val tmp = s"$out/.tmp_$name"
       df.repartition(1).write.mode(SaveMode.Overwrite)
