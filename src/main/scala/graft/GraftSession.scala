@@ -104,6 +104,12 @@ object GraftSession {
       // rendering gigabytes of tree text.
       .config("spark.sql.maxPlanStringLength", "100000")
       .getOrCreate()
+    // post-subquery-rewrite tier: EXISTS predicates only become the
+    // semi/anti joins BoundAntiJoinRule matches in Catalyst's final
+    // RewriteSubquery batch, so this rule must ride
+    // experimental.extraOptimizations (the "User Provided Optimizers"
+    // batch, after it) — injectOptimizerRule would run too early.
+    graft.plans.BoundAntiJoinRule.register(s)
     s.sparkContext.setLogLevel("WARN")
     // Silence WindowExec's generic "No Partition Defined" WARN (round-9
     // verdict item): every single-partition window in this repo is a
