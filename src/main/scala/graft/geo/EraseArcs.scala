@@ -451,47 +451,65 @@ object EraseArcs {
   def eraseAreaConcave(spark: SparkSession, zones: DataFrame,
       buffers: DataFrame, bufferFt: Double): DataFrame = {
     import spark.implicits._
-    def shoelace(vs: Seq[(Double, Double)]): Double =
-      math.abs(vs.indices.map { i =>
-        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
-        x1 * y2 - x2 * y1
-      }.sum) / 2
     val zcat = zones.select(col("zone_id").cast("int"),
         col("vertices"), col("holes"))
       .as[(Int, Seq[(Double, Double)], Seq[Seq[(Double, Double)]])]
       .collect().toSeq
-    val bound = zcat.map { case (z, vs, _) =>
-      val cx = vs.map(_._1).sum / vs.size
-      val cy = vs.map(_._2).sum / vs.size
-      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
-      (z, cx, cy, rad)
-    }.toDF("zone_id", "bcx", "bcy", "brad")
-    val rings = zcat.map { case (z, vs, hs) => z -> ((vs, hs)) }.toMap
-    val pairs = buffers.select(col("x_ft"), col("y_ft"))
-      .join(broadcast(bound),
-        Geo.dist2(col("x_ft"), col("y_ft"), col("bcx"), col("bcy"))
-          < (col("brad") + bufferFt) * (col("brad") + bufferFt))
-      .select(col("zone_id").cast("int"), col("x_ft"), col("y_ft"))
-      .as[(Int, Double, Double)]
-    val touched = pairs.groupByKey(_._1).mapGroups { (zid, rows) =>
-      val (vs, hs) = rings(zid)
-      zid -> erasedAreaConcave(vs, hs,
-        rows.map(t => (t._2, t._3)).toSeq, bufferFt)
-    }.collect().toMap
-    val all = zcat.sortBy(_._1).map { case (z, vs, hs) =>
-      (z, touched.getOrElse(z, shoelace(vs) - hs.map(shoelace).sum))
-    }
-    all.toDF("zone_id", "area_sqft")
+    eraseAreaDiskTri(spark, zcat, buffers, bufferFt)
   }
 
-  /** Surviving area per POLYGON zone in square feet (see
-    * [[erasedAreaPoly]]): zones arrive as vertex rings
-    * (zone_id, vertex ring as array of (x_ft, y_ft) structs); the
-    * same broadcast-join candidate generation as [[eraseArea]], with
-    * the touch predicate on the zone's bounding circle. Zones with no
-    * candidate buffer keep the exact shoelace area.
+  /** Longest-edge midpoint subdivision until the triangle's bounding
+    * radius (max vertex distance from the centroid) is ≤ maxRad.
+    * Areas add exactly (the midpoint split partitions the triangle),
+    * so any subdivision depth computes the same erased area — the knob
+    * only bounds how much of the zone one task's kernel call sees.
     */
-  def eraseAreaPoly(spark: SparkSession, zones: DataFrame,
+  private[graft] def subdivide(t: Seq[(Double, Double)],
+      maxRad: Double): Seq[Seq[(Double, Double)]] = {
+    val cx = t.map(_._1).sum / t.size
+    val cy = t.map(_._2).sum / t.size
+    val rad = t.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+    if (rad <= maxRad || t.size != 3) Seq(t)
+    else {
+      def d2(a: (Double, Double), b: (Double, Double)) =
+        (a._1 - b._1) * (a._1 - b._1) + (a._2 - b._2) * (a._2 - b._2)
+      val i = (0 until 3).maxBy(k => d2(t(k), t((k + 1) % 3)))
+      val a = t(i); val b = t((i + 1) % 3); val c = t((i + 2) % 3)
+      val m = ((a._1 + b._1) / 2, (a._2 + b._2) / 2)
+      subdivide(Seq(a, m, c), maxRad) ++ subdivide(Seq(m, b, c), maxRad)
+    }
+  }
+
+  /** Shared TRIANGLE-GRANULAR distributed plan for DISK subtrahends on
+    * polygon zones (the disk twin of [[eraseAreaConcaveSub]]'s plan):
+    * ear-clip each ring driver-side, SUBDIVIDE each triangle to a
+    * bounding radius ≤ 2·bufferFt, broadcast the triangle-bound
+    * catalog, and run the convex kernel per (zone, triangle) group
+    * with only the disks whose centers sit within brad + bufferFt of
+    * that triangle. Hole-ring triangles count negative (holes ⊆ outer,
+    * pairwise disjoint — the [[erasedAreaConcave]] identity).
+    *
+    * The subdivision is the scale lever: the per-group kernel is
+    * quadratic in its CANDIDATE count (every surviving arc is clipped
+    * against every overlapping neighbor), so a whole-zone group costs
+    * (zone's disks)² on ONE task — measured 83 s for the star catalog
+    * at sf10's opt-out density (70× its sf1 time; round-15 sweep).
+    * With triangle extents pinned at O(bufferFt), each group sees only
+    * the disks overlapping its neighborhood — work per group is
+    * (local density)², group count tracks zone area, and the job
+    * parallelizes across every core/executor. Same plan at 100 TB:
+    * the broadcast triangle catalog is |zones|·O((R/r)²) rows and the
+    * disk side streams.
+    *
+    * Float note: each far disk contributes NO term to a kernel sum
+    * (not a 0.0 term), so candidate pruning is value-exact; the
+    * per-group buffer list is SORTED so the arc-term summation order
+    * is deterministic under any partitioning. Association across
+    * triangles differs from the whole-zone kernel at the ulp level —
+    * inside GeoSpec's existing 1e-9-relative replay pins.
+    */
+  private def eraseAreaDiskTri(spark: SparkSession,
+      zcat: Seq[(Int, Seq[(Double, Double)], Seq[Seq[(Double, Double)]])],
       buffers: DataFrame, bufferFt: Double): DataFrame = {
     import spark.implicits._
     def shoelace(vs: Seq[(Double, Double)]): Double =
@@ -499,35 +517,64 @@ object EraseArcs {
         val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
         x1 * y2 - x2 * y1
       }.sum) / 2
-    // zone catalog with a bounding circle for the touch join
-    val zcat = zones.select(col("zone_id").cast("int"),
-        col("vertices")) // array<struct<x:double,y:double>>
-      .as[(Int, Seq[(Double, Double)])]
-      .collect().toSeq
-    val bound = zcat.map { case (z, vs) =>
-      val cx = vs.map(_._1).sum / vs.size
-      val cy = vs.map(_._2).sum / vs.size
-      val rad = vs.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
-      (z, cx, cy, rad)
-    }.toDF("zone_id", "bcx", "bcy", "brad")
-    // vertex catalog rides the task closure (bounded: |zones| rings of
-    // a few vertices); the area evaluates INSIDE mapGroups so only
-    // (zone_id, area) pairs — never buffer lists — reach the driver
-    val verts = zcat.toMap
+    val maxRad = 2.0 * bufferFt
+    val tcat: Seq[(Int, Int, Int, Seq[(Double, Double)])] =
+      zcat.flatMap { case (z, vs, hs) =>
+        (triangulate(vs).flatMap(subdivide(_, maxRad)).map(t => (1, t)) ++
+          hs.flatMap(h => triangulate(h).flatMap(subdivide(_, maxRad))
+            .map(t => (-1, t))))
+          .zipWithIndex.map { case ((sgn, t), i) => (z, i, sgn, t) }
+      }
+    val bound = tcat.map { case (z, i, _, t) =>
+      val cx = t.map(_._1).sum / t.size
+      val cy = t.map(_._2).sum / t.size
+      val rad = t.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
+      (z, i, cx, cy, rad)
+    }.toDF("zone_id", "tri_id", "bcx", "bcy", "brad")
+    // triangle vertices ride task closures (bounded: zones × O((R/r)²)
+    // triangles of 3 vertices — the zEdgesMap convention)
+    val tris = tcat.map { case (z, i, _, t) => (z, i) -> t }.toMap
     val pairs = buffers.select(col("x_ft"), col("y_ft"))
       .join(broadcast(bound),
         Geo.dist2(col("x_ft"), col("y_ft"), col("bcx"), col("bcy"))
           < (col("brad") + bufferFt) * (col("brad") + bufferFt))
-      .select(col("zone_id").cast("int"), col("x_ft"), col("y_ft"))
-      .as[(Int, Double, Double)]
-    val touched = pairs.groupByKey(_._1).mapGroups { (zid, rows) =>
-      zid -> erasedAreaPoly(verts(zid),
-        rows.map(t => (t._2, t._3)).toSeq, bufferFt)
-    }.collect().toMap
-    val all = zcat.sortBy(_._1).map { case (z, vs) =>
-      (z, touched.getOrElse(z, shoelace(vs)))
+      .select(col("zone_id").cast("int"), col("tri_id").cast("int"),
+        col("x_ft"), col("y_ft"))
+      .as[(Int, Int, Double, Double)]
+    val touched = pairs.groupByKey(r => (r._1, r._2))
+      .mapGroups { (k: (Int, Int), rows: Iterator[(Int, Int, Double, Double)]) =>
+        (k._1, k._2,
+          erasedAreaPoly(tris(k), rows.map(r => (r._3, r._4)).toSeq.sorted,
+            bufferFt))
+      }
+      .collect() // bounded: zones × triangles, areas only
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val byZone = tcat.groupBy(_._1)
+    val all = zcat.sortBy(_._1).map { case (z, _, _) =>
+      val s = byZone(z).map { case (_, i, sgn, t) =>
+        sgn * touched.getOrElse((z, i), shoelace(t))
+      }.sum
+      (z, math.max(0.0, s))
     }
     all.toDF("zone_id", "area_sqft")
+  }
+
+  /** Surviving area per POLYGON zone in square feet (see
+    * [[erasedAreaPoly]]): zones arrive as vertex rings
+    * (zone_id, vertex ring as array of (x_ft, y_ft) structs).
+    * Distributed via the shared triangle-granular plan
+    * ([[eraseAreaDiskTri]]); triangles with no candidate disk keep the
+    * exact shoelace area.
+    */
+  def eraseAreaPoly(spark: SparkSession, zones: DataFrame,
+      buffers: DataFrame, bufferFt: Double): DataFrame = {
+    import spark.implicits._
+    val zcat = zones.select(col("zone_id").cast("int"),
+        col("vertices")) // array<struct<x:double,y:double>>
+      .as[(Int, Seq[(Double, Double)])]
+      .collect().toSeq
+      .map { case (z, vs) => (z, vs, Seq.empty[Seq[(Double, Double)]]) }
+    eraseAreaDiskTri(spark, zcat, buffers, bufferFt)
   }
 
   // ---- GENERAL POLYGON SUBTRAHEND (round 12) -------------------------
