@@ -29,11 +29,25 @@ object Similarity {
 
   private val TopK = 5
 
-  /** K-means: cluster count and fixed Lloyd iteration count (unrolled
-    * verbatim in the SQL oracle — same seeds, same rounds, same floor).
+  /** K-means: cluster-count floor and fixed Lloyd iteration count
+    * (unrolled verbatim in the SQL oracle — same seeds, same rounds,
+    * same floor). The EFFECTIVE K is corpus-relative:
+    * K = max(KmK, ⌈N / KmTarget⌉), i.e. the mean cluster SIZE is
+    * pinned at ≤ KmTarget as the corpus grows — the SemDeDup posture
+    * (Abbas et al. 2023 scale K with N; LAION used ~11k clusters).
+    * A FIXED K would make `dedup_semantic`'s within-cluster pair join
+    * Σ|c|² ≈ N²/K — quadratic in the corpus, measured as 62 s at
+    * sf10's 200k vectors (57× its sf1 time) in the round-15 full
+    * sweep; with cluster size pinned, pair volume is ~N·KmTarget,
+    * linear. Every shipped sf ≤ 1 corpus sits at or under
+    * KmK·KmTarget = 20k vectors, so their K stays 8 and every
+    * committed small-SF record and oracle result is bit-identical.
+    * The oracle computes the same K from the same corpus via a scalar
+    * subquery on the seed CTE.
     */
   private val KmK = 8
   private val KmIters = 3
+  private val KmTarget = 2500
 
   /** Per-cluster member cap for cluster-balanced sampling. */
   private val KmCap = 40
@@ -103,7 +117,11 @@ object Similarity {
         x => x.getField("cv")).as("cq"))
       .withColumn("ccn2", idot(col("cq"), col("cq")))
       .localCheckpoint()
-    var cents = corpus.filter(col("vec_id") < KmK)
+    // corpus-relative K (see KmTarget): one count job per memoized
+    // assignment, matching the oracle's scalar subquery on the seed
+    val k = math.max(KmK.toLong,
+      math.ceil(corpus.count() / KmTarget.toDouble).toLong)
+    var cents = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("q").as("cq"),
         col("n2").as("ccn2"))
     for (_ <- 1 to KmIters) cents = update(assign(cents))
@@ -1048,9 +1066,14 @@ object Similarity {
     // k-means cluster and drop the higher id of every pair with cosine
     // ≥ SemThresh — the sub-quadratic embedding-dedup scale path: the
     // pair join is an equi-join on cid, so global pair volume is
-    // Σ|cluster|², bounded by the clustering instead of corpus². The
-    // cross-cluster complement (near-dups straddling a boundary) is the
-    // documented recall trade, tuned by K exactly like nprobe for ANN.
+    // Σ|cluster|² ≈ N·KmTarget with the corpus-relative K (see KmTarget
+    // — a FIXED K makes this N²/K, the quadratic the round-15 sf10
+    // sweep measured). The assign pass itself costs N·K distance evals
+    // per Lloyd round (= N²/KmTarget); past ~10⁷ vectors the honest
+    // next step is a two-level (IVF-style) centroid index for the
+    // assign, same plan shape. The cross-cluster complement (near-dups
+    // straddling a boundary) is the documented recall trade, tuned by
+    // KmTarget exactly like nprobe for ANN.
     "dedup_semantic" -> ((s: SparkSession, d: String) => {
       val a = kmeansFinalAssign(s, d)
       val l = a.select(col("cid"), col("vec_id").as("i"),
@@ -1517,7 +1540,9 @@ object Similarity {
       assignSql(s"c${i - 1}", s"a$i") + ",\n" + updateSql(s"a$i", s"c$i"))
       .mkString(",\n")
     s"""$qEmbSql,
-       |c0 AS (SELECT vec_id AS cid, q, n2 FROM qn WHERE vec_id < $KmK),
+       |c0 AS (SELECT vec_id AS cid, q, n2 FROM qn
+       |       WHERE vec_id < (SELECT GREATEST($KmK,
+       |         CEIL(COUNT(*) / CAST($KmTarget AS DOUBLE))) FROM qn)),
        |$rounds,
        |${assignSql(s"c$KmIters", "afinal")}""".stripMargin
   }
