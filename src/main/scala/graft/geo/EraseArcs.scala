@@ -465,7 +465,14 @@ object EraseArcs {
     * only bounds how much of the zone one task's kernel call sees.
     */
   private[graft] def subdivide(t: Seq[(Double, Double)],
-      maxRad: Double): Seq[Seq[(Double, Double)]] = {
+      maxRad: Double, depth: Int = 0): Seq[Seq[(Double, Double)]] = {
+    // each split halves the longest edge, so 64 levels shrink any
+    // finite triangle below any positive maxRad; hitting the cap means
+    // a non-positive/denormal maxRad or NaN vertices — fail loudly
+    // instead of recursing to an exponential triangle count
+    require(depth < 64,
+      s"subdivide: depth cap hit (maxRad=$maxRad, t=$t) — " +
+        "non-positive radius bound or degenerate vertices?")
     val cx = t.map(_._1).sum / t.size
     val cy = t.map(_._2).sum / t.size
     val rad = t.map { case (x, y) => math.hypot(x - cx, y - cy) }.max
@@ -476,7 +483,8 @@ object EraseArcs {
       val i = (0 until 3).maxBy(k => d2(t(k), t((k + 1) % 3)))
       val a = t(i); val b = t((i + 1) % 3); val c = t((i + 2) % 3)
       val m = ((a._1 + b._1) / 2, (a._2 + b._2) / 2)
-      subdivide(Seq(a, m, c), maxRad) ++ subdivide(Seq(m, b, c), maxRad)
+      subdivide(Seq(a, m, c), maxRad, depth + 1) ++
+        subdivide(Seq(m, b, c), maxRad, depth + 1)
     }
   }
 
@@ -511,6 +519,9 @@ object EraseArcs {
   private def eraseAreaDiskTri(spark: SparkSession,
       zcat: Seq[(Int, Seq[(Double, Double)], Seq[Seq[(Double, Double)]])],
       buffers: DataFrame, bufferFt: Double): DataFrame = {
+    // maxRad = 2·bufferFt below: a non-positive radius would make
+    // subdivide recurse toward its depth cap on every triangle
+    require(bufferFt > 0, s"eraseAreaDiskTri: bufferFt=$bufferFt must be > 0")
     import spark.implicits._
     def shoelace(vs: Seq[(Double, Double)]): Double =
       math.abs(vs.indices.map { i =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.BooleanType
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, FloatType, MapType, StructType}
 
 /** Optimizer rule: decorrelate a MONOTONE SCALAR BOUND in a semi/anti
   * join into a per-key max/min aggregate join.
@@ -88,6 +88,18 @@ object BoundAntiJoinRule extends Rule[LogicalPlan] {
       rewrite(j, cond, anti = false).getOrElse(j)
   }
 
+  /** True if the type contains a float/double anywhere (top-level or
+    * nested) — mirrors NormalizeFloatingNumbers' needNormalize scope.
+    */
+  private def hasFloatingPoint(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case a: ArrayType => hasFloatingPoint(a.elementType)
+    case m: MapType =>
+      hasFloatingPoint(m.keyType) || hasFloatingPoint(m.valueType)
+    case s: StructType => s.fields.exists(f => hasFloatingPoint(f.dataType))
+    case _ => false
+  }
+
   private def splitAnd(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitAnd(l) ++ splitAnd(r)
     case other => Seq(other)
@@ -153,6 +165,17 @@ object BoundAntiJoinRule extends Rule[LogicalPlan] {
       return None
 
     val keys = equi.result()
+    // This rule runs in the user-provided batch, AFTER Catalyst's
+    // NormalizeFloatingNumbers pass — so the Aggregate grouping keys
+    // and EqualTo join keys synthesized here would never be
+    // normalized. A float/double key holding both 0.0 and -0.0 (or
+    // distinct NaN bit patterns) would then split into multiple
+    // aggregate groups, a stream row could match more than one agg
+    // row, and the rewrite would change multiplicity. Skip those keys
+    // (the reference workload's equi keys are all integral).
+    if (keys.exists { case (lk, rk) =>
+      hasFloatingPoint(lk.dataType) || hasFloatingPoint(rk.dataType)
+    }) return None
     val keyAliases = keys.zipWithIndex.map { case ((_, rk), i) =>
       Alias(rk, s"${KeyPrefix}_k$i")()
     }
@@ -165,13 +188,19 @@ object BoundAntiJoinRule extends Rule[LogicalPlan] {
       EqualTo(lk, ka.toAttribute)
     }.reduce[Expression](And(_, _))
     val existsPred = b.mk(mxAlias.toAttribute, b.leftExpr)
+    // The stream side survives intact, so its hint survives; the
+    // build subtree is REPLACED by its per-key aggregate (≤ |keys|
+    // rows), so a right-side hint aimed at the original table is
+    // deliberately dropped — broadcast eligibility re-derives from the
+    // aggregate's (far smaller) stats.
+    val hint = JoinHint(j.hint.leftHint, None)
     val rewritten =
       if (anti) {
-        val outer = Join(j.left, agg, LeftOuter, Some(joinCond), JoinHint.NONE)
+        val outer = Join(j.left, agg, LeftOuter, Some(joinCond), hint)
         val keep = Not(Coalesce(Seq(existsPred, Literal(false, BooleanType))))
         Filter(keep, outer)
       } else {
-        val inner = Join(j.left, agg, Inner, Some(joinCond), JoinHint.NONE)
+        val inner = Join(j.left, agg, Inner, Some(joinCond), hint)
         Filter(existsPred, inner)
       }
     Some(Project(j.left.output, rewritten))

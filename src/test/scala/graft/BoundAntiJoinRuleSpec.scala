@@ -125,4 +125,37 @@ class BoundAntiJoinRuleSpec extends SparkSpec {
     // and the two-bound answer still matches brute force via the hash join
     assert(got2 === expected(anti = true, (c, s) => c > s && c < s * 3))
   }
+
+  test("guard: float/double equi keys don't fire (NormalizeFloatingNumbers " +
+    "runs before the user batch, so ±0.0 would split synthesized groups)") {
+    // build side holds BOTH zero bit patterns under the same SQL key
+    // value; an unguarded rewrite groups them separately and a semi→
+    // inner rewrite would emit the stream row TWICE (multiplicity bug)
+    val right = Seq((0.0, 10.0), (-0.0, 20.0), (1.5, 5.0))
+      .toDF("rk", "rv")
+    val left = Seq((0.0, 1.0), (1.5, 99.0)).toDF("lk", "lv")
+    val df = left.join(right,
+      col("lk") === col("rk") && col("rv") > col("lv"), "left_semi")
+    val rows = df.collect()
+    val plan = planString(df)
+    assert(plan.contains("LeftSemi"), plan) // guard held: no rewrite
+    assert(rows.length === 1 && rows.head.getDouble(0) === 0.0)
+  }
+
+  test("stream-side broadcast hint survives the rewrite") {
+    val hinted = broadcast(suppliers).join(customers,
+      col("cnat") === col("snat") && col("cbal") > col("sbal"), "left_anti")
+      .select(col("sk"))
+    val opt = hinted.queryExecution.optimizedPlan
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // rewrite fired (no anti join left) AND the stream side's hint
+    // rode along onto the synthesized outer join
+    assert(joins.nonEmpty && joins.forall(_.joinType !=
+      org.apache.spark.sql.catalyst.plans.LeftAnti), opt.toString)
+    assert(joins.exists(_.hint.leftHint.isDefined), opt.toString)
+    assert(hinted.collect().map(_.getLong(0)).toSet ===
+      expected(anti = true, (c, s) => c > s))
+  }
 }

@@ -24,7 +24,7 @@ Round-9 additions for the sf1 (100x gate) scale-up:
 The value compare is vectorized (numpy/pandas) — the elementwise Python
 loop was fine at sf0.01 but took minutes per 1.5M-row result at sf1.
 """
-import json, math, sys, threading, time
+import json, math, os, sys, threading, time
 import duckdb
 import numpy as np
 import pandas as pd
@@ -80,14 +80,18 @@ con = duckdb.connect()
 if "mem" in opts:
     con.sql(f"SET memory_limit='{opts['mem']}'")
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
-for t in TABLES:
-    # documents-only scale dirs (the Heaps-regime corpora) ship no
-    # relational tables; queries checked against them read only
-    # `documents`, so missing views are fine to skip (an oracle that
-    # does reference a skipped table fails loudly at query time).
-    import os
-    if not os.path.exists(f"{SF}/{t}.parquet"):
-        continue
+# documents-only scale dirs (the Heaps-regime corpora) ship no
+# relational tables; queries checked against them read only
+# `documents`. That is the ONLY dir shape where a missing table is
+# fine to skip — in a full relational corpus a missing parquet means
+# generation failed, and skipping it would surface later as a
+# confusing view-not-found error at query time. Fail loudly instead.
+_present = {t for t in TABLES if os.path.exists(f"{SF}/{t}.parquet")}
+_missing = [t for t in TABLES if t not in _present]
+if _missing and _present != {"documents"}:
+    sys.exit(f"check.py: {SF} is missing tables {_missing} but is not a "
+             "documents-only (Heaps) corpus — truncated generation?")
+for t in _present:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 
