@@ -864,6 +864,51 @@ object Dedup {
     })
   }
 
+  /** Count-only scale instrument for the MINHASH family
+    * (`dedup_minhash_lsh` / `dedup_minhash_estimate`): one JSON line
+    * with the candidate-volume decomposition their at-scale cost is
+    * made of — band-bucket collision mass Σ C(|bucket|,2) (the
+    * pre-distinct pair stream postingPairs emits), distinct candidate
+    * pairs, exact-verification mass Σ(n_i + n_j) over candidates (the
+    * two-pointer merge work verifyJaccard actually does), and ≥0.7
+    * survivors. Everything reduces to aggregates — no pair
+    * materialization — so the instrument runs where the full queries
+    * are disk-bound. Drives the fixed-vocab-vs-Heaps regime rows in
+    * BASELINE.md (the sf10 ratio adjudication).
+    */
+  private[graft] def profileMinhash(s: SparkSession, d: String): String = {
+    val sh = shingleDf(s, d)
+    val nDocs = t(s, d, "documents").count()
+    val bands = minhashBands(s, d)
+    val buckets = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") >= 2)
+    val bstats = buckets.agg(
+      count(lit(1)).as("nb"),
+      sum(col("bn") * (col("bn") - 1) / 2).as("collisions"),
+      max(col("bn")).as("maxb")).head()
+    val cand = postingPairs(minhashBands(s, d)
+        .groupBy(col("band"), col("sig"))
+        .agg(collect_list(col("doc_id")).as("ds")))
+      .select(col("a").as("i"), col("b").as("j")).distinct()
+      .localCheckpoint()
+    val nCand = cand.count()
+    val sizes = docSets(sh).select(col("doc_id"), col("n"))
+    val vmass = cand
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")),
+        Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")),
+        Seq("j"))
+      .agg(sum(col("ni") + col("nj")).as("m")).head().getLong(0)
+    val nSurv = verifyJaccard(s, d, cand, docSets(sh))
+      .filter(col("jac") >= 0.7).count()
+    s"""{"metric":"minhash_profile","docs":$nDocs,""" +
+      s""""buckets_ge2":${bstats.getLong(0)},""" +
+      s""""collision_mass":${bstats.getDouble(1).toLong},""" +
+      s""""max_bucket":${bstats.getLong(2)},""" +
+      s""""distinct_candidates":$nCand,"verify_mass":$vmass,""" +
+      s""""survivors_070":$nSurv,"sf":"$d"}"""
+  }
+
   // ---- driver-contract queries ---------------------------------------
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
