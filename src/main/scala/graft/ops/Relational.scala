@@ -535,10 +535,24 @@ object Relational {
     // (its default 0.05 measured 5.7% off on this data — a 1-sigma
     // target, not a bound) and at that precision benched 10× slower
     // than the Datasketches update path.
+    // Deduplicate (status, custkey) FIRST, then count + sketch the
+    // distinct pairs: countDistinct alongside another aggregate makes
+    // Catalyst plan an Expand (every input row duplicated per
+    // aggregate path — 2× the table through the shuffle), while HLL is
+    // idempotent on duplicates (registers are max-merged per hashed
+    // value), so the sketch over the distinct set is bit-identical to
+    // the sketch over the raw rows and the calibration contract is
+    // unchanged. One (status, custkey) exchange with map-side partial
+    // dedup + a 3-group reduce replaces the doubled scan — measured
+    // 9.8 → 2.0 s at sf10 (quiet), same rows, same oracle.
     "agg_approx_calibration" -> ((s: SparkSession, d: String) =>
-      t(s, d, "orders").groupBy(col("o_orderstatus"))
+      t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_custkey"))
+        .where(col("o_custkey").isNotNull) // countDistinct skips nulls
+        .distinct()
+        .groupBy(col("o_orderstatus"))
         .agg(
-          countDistinct(col("o_custkey")).as("exact_cust"),
+          count(col("o_custkey")).as("exact_cust"),
           hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(14))).as("est"))
         .select(col("o_orderstatus"), col("exact_cust"),
           (abs(col("est") - col("exact_cust")).cast(DoubleType) <=
