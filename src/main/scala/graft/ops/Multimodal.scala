@@ -471,9 +471,17 @@ object Multimodal {
           XF.h32(col("text")
             .substr(col("frame_no") * FrameBytes + lit(1), lit(FrameBytes)))
             .as("frame_fp"))
+        // two-level (the agg_count_distinct pattern): grouping by
+        // (frame_fp, doc_id) first avoids the Expand a mixed
+        // distinct/plain aggregate plans, and every output aggregate
+        // recovers exactly from the pair rows — n_docs = count of pair
+        // rows, n_frames = sum of pair counts, kept_doc_id = min over
+        // pair keys
+        .groupBy(col("frame_fp"), col("doc_id"))
+        .agg(count(lit(1)).as("cnt"))
         .groupBy(col("frame_fp"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_frames"),
+        .agg(count(col("doc_id")).as("n_docs"),
+          sum(col("cnt")).as("n_frames"),
           min(col("doc_id")).as("kept_doc_id"))
         .filter(col("n_docs") >= 2)
         .orderBy(col("frame_fp"))),

@@ -508,11 +508,23 @@ object Relational {
           davg(col("c_acctbal")).as("avg_bal"))
         .orderBy(col("c_mktsegment"))),
 
+    // two-level instead of countDistinct-alongside-count: the mixed
+    // distinct/plain aggregate makes Catalyst plan an Expand (input
+    // doubled per aggregate path). Grouping by (status, custkey) first
+    // collapses the exchange map-side to the distinct-pair count, then
+    // a 3-group reduce recovers BOTH aggregates exactly: n_cust =
+    // count(custkey) over pair rows (the NULL-custkey group — its own
+    // pair row — is skipped by count, matching countDistinct's
+    // null-skip), n = sum of pair counts (includes the null group,
+    // matching count(*)). Same rows, one un-doubled exchange.
     "agg_count_distinct" -> ((s: SparkSession, d: String) =>
-      t(s, d, "orders").groupBy(col("o_orderstatus"))
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderstatus"))
         .agg(
-          countDistinct(col("o_custkey")).as("n_cust"),
-          count(lit(1)).as("n"))
+          count(col("o_custkey")).as("n_cust"),
+          sum(col("cnt")).as("n"))
         .orderBy(col("o_orderstatus"))),
 
     // HLL sketch — implementation-specific values, so no SQL oracle
