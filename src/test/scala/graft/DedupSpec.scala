@@ -33,6 +33,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("profileMinhash counts agree with the queries they instrument") {
+    // the scale instrument's JSON must describe the REAL pipeline:
+    // distinct_candidates is the LSH candidate frame the queries
+    // verify, and survivors_070 is exactly dedup_minhash_lsh's output
+    // row count (same corpus, same threshold) — a drifted instrument
+    // would silently invalidate every BASELINE regime row it feeds
+    val line = Dedup.profileMinhash(spark, sf)
+    val m = """"([a-z_0-9]+)":(\d+)""".r
+      .findAllMatchIn(line).map(x => x.group(1) -> x.group(2).toLong).toMap
+    val lshRows = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).count()
+    assert(m("survivors_070") === lshRows, line)
+    val estRows = SparkEntry.queries("dedup_minhash_estimate")(spark, sf)
+      .count()
+    assert(m("distinct_candidates") === estRows, line)
+    // collision mass upper-bounds distinct candidates (pre-distinct
+    // stream, each unordered pair counted once per shared bucket)
+    assert(m("collision_mass") >= m("distinct_candidates"), line)
+    assert(m("docs") > 0 && m("verify_mass") > 0, line)
+  }
+
   test("exact dedup is idempotent") {
     val once = graft.SparkEntry.queries("dedup_exact")(spark, sf)
     val kept = once.select(col("kept_doc_id"))
