@@ -268,18 +268,24 @@ object Curation {
           round(col("o_totalprice") * 100).cast(LongType).as("w"),
           XF.h32(concat(lit("pps:"), col("o_orderkey").cast(StringType)))
             .as("hv"))
+      // NO checkpoint on cum (round 17): the prefix-sum frame now has
+      // exactly ONE consumer (the selection filter), so the former
+      // eager localCheckpoint was a corpus-sized materialization job
+      // paid inside every timed run only so the step derivation could
+      // read max(cum) off blocks. sum(w) over the 2-column pushed scan
+      // IS the same grand total (w ≥ 0 and cum is its prefix sum, so
+      // max(cum) = Σw), at the cost of one map-side-combined scan
+      // instead of a full window-pipeline materialization.
       val cum = Scan.runningOver(ob, v = col("hv"), desc = false,
         order = Seq(col("hv"), col("o_orderkey")),
         outs = Seq(("cum", col("w"))))
-        .localCheckpoint() // feeds the step derivation AND the filter
-      // the prefix sum's maximum IS the grand total — no separate
-      // total-weight pass over the input. Degenerate-input guard: a
+      // Degenerate-input guard: a
       // grand total under 1000 cents floors step to 0 — Spark's
       // comparisons against a null/zero step would silently return
       // ZERO rows while the DuckDB oracle errors on // 0; fail loudly
       // instead (the same discipline as Scan.withQuantileBucket's
       // null-key guard).
-      val step = cum.agg(max(col("cum")).as("tw"))
+      val step = ob.agg(sum(col("w")).as("tw"))
         .select(when(col("tw") < 1000L, raise_error(lit(
             "sample_weighted: grand total weight under 1000 cents — " +
             "step = total div 1000 would be 0; the PPS grid needs " +
@@ -466,11 +472,16 @@ object Curation {
         .select(col("doc_id"), col("lang"),
           (XF.h32(col("token")) % 64).as("dim"))
         .localCheckpoint()
-      val raw = tk.groupBy(col("dim")).agg(count(lit(1)).as("nr"))
-      val tgt = tk.filter(col("lang") === "en")
-        .groupBy(col("dim")).agg(count(lit(1)).as("nt"))
-      val lw = raw.join(tgt, Seq("dim"), "left")
-        .na.fill(0L, Seq("nt"))
+      // BOTH distributions in ONE aggregation pass (round 17): the raw
+      // and target counts formerly aggregated the token frame twice and
+      // left-joined; a conditional count inside the same groupBy is
+      // row-equivalent (count(when(en)) = 0 exactly where the left join
+      // filled 0, and target dims are a subset of raw dims by
+      // construction) and halves the reads of the checkpointed frame —
+      // guide §2.3, aggregate before you shuffle / fewer passes.
+      val lw = tk.groupBy(col("dim"))
+        .agg(count(lit(1)).as("nr"),
+          count(when(col("lang") === "en", 1)).as("nt"))
         .withColumn("tr", sum(col("nr")).over(w64))
         .withColumn("tt", sum(col("nt")).over(w64))
         .select(col("dim"),

@@ -560,7 +560,14 @@ object Relational {
     "agg_approx_calibration" -> ((s: SparkSession, d: String) =>
       t(s, d, "orders")
         .select(col("o_orderstatus"), col("o_custkey"))
-        .where(col("o_custkey").isNotNull) // countDistinct skips nulls
+        // countDistinct skips nulls. Caveat (r16 ADVICE #2): a status
+        // group whose custkeys are ALL null would drop out entirely
+        // here, where the original groupBy emitted it with
+        // exact_cust = 0 — row-equivalent only because o_custkey is
+        // never null in TPC-H; a nullable-key deployment keeps group
+        // coverage by re-joining the null-filtered aggregate onto the
+        // full status set.
+        .where(col("o_custkey").isNotNull)
         .distinct()
         .groupBy(col("o_orderstatus"))
         .agg(
@@ -1635,19 +1642,39 @@ object Relational {
       val pairs = copurchasePairs(s, d)
       val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
         .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
-      val ed = edges
-        .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")),
-          Seq("src"))
+      // Round 17 (guide §2.4/§3.1). Two structural changes, same
+      // integer trajectory:
+      //  • the |V|-row DEGREE table is checkpointed on its own and
+      //    feeds |V| and the initial ranks directly — the former
+      //    `ed.select(src).distinct().count()` + `distinct()` pair ran
+      //    an extra full-edge-frame distinct exchange AND an extra
+      //    count job per invocation for a key set the degree aggregate
+      //    already holds (deg's key set = ed's src set: ed is the
+      //    inner join of edges with deg on src).
+      //  • each iteration's join builds a hash relation from the
+      //    |V|-row RANK side (shuffle_hash hint; rank rows are two
+      //    longs, |V|/shuffle-partitions per build — the bounded-build
+      //    rationale of Dedup's pair-key frames), so the edge frame is
+      //    never re-SORTED per iteration (previously a SortMergeJoin
+      //    per round re-sorted the full edge frame 3×). Its exchange
+      //    survives in the plan (localCheckpoint yields
+      //    UnknownPartitioning, verified in the formatted plan) but the
+      //    three copies are canonically identical and runtime exchange
+      //    reuse materializes it once.
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
-      val nV = ed.select(col("src")).distinct().count()
+      val ed = edges.join(deg.hint("shuffle_hash"), Seq("src"))
+        .localCheckpoint()
+      val nV = deg.count()
       // micro-units: 1e6 = total rank mass 1.0; floor division
       // throughout (documented — the spec of this operator is the
       // integer trajectory, identical in any engine).
-      var ranks = ed.select(col("src").as("node")).distinct()
+      var ranks = deg.select(col("src").as("node"))
         .withColumn("ru", lit(1000000L / nV))
       for (_ <- 1 to 3) {
         ranks = ed
-          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .join(ranks.withColumnRenamed("node", "src")
+            .hint("shuffle_hash"), Seq("src"))
           .groupBy(col("dst"))
           .agg((lit(150000L / nV) +
             expr("85 * sum(ru DIV deg) DIV 100")).as("ru"))

@@ -86,30 +86,47 @@ object Text {
     // keeps the theta form, fine at oracle scale). Margins are
     // vocab-bounded and join back onto the floor-filtered pair set.
     "text_cooc_lift" -> ((s: SparkSession, d: String) => {
-      // four consumers fan into the tokenized frame (both pair-join
-      // sides, the margins, the total) — materialize it once, the same
-      // single-computation rule as the shingle index.
-      // spread before the tokenize explode: the checkpointed frame
-      // otherwise inherits the single-row-group scan's ONE partition
-      // (the codec-stage rule, Multimodal.pngMedia)
-      val tk = t(s, d, "documents")
+      // Round 17 (guide §2.4, remove shuffles outright): the (doc, pos)
+      // window pairs are generated PER DOCUMENT from the token array —
+      // for k = 1..3, zip the array against itself shifted by k — the
+      // identical (w[i], w[i+k]) multiset the former positional
+      // self-join produced, with NO equi-join on (doc_id, p2) (which
+      // shuffled 3N probe + N index rows), NO checkpointed positional
+      // frame (an eager corpus-sized materialization inside every timed
+      // run), and map-side partial aggregation collapsing the pair
+      // stream to the vocab²-bounded count table before its single
+      // exchange. The tokenized array sits behind a projection boundary
+      // (non-cheap alias, multiply referenced — CollapseProject keeps
+      // it) so split() runs once per row, not once per slice.
+      val n = size(col("ws"))
+      def pairsAt(k: Int) = zip_with(
+        slice(col("ws"), lit(1), greatest(n - k, lit(0))),
+        slice(col("ws"), lit(k + 1), greatest(n - k, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      val pairs = t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), posexplode(toks(col("text")))
-          .as(Seq("pos", "w")))
-        .localCheckpoint()
-      val pairs = tk
-        .select(col("doc_id"), col("pos"), col("w").as("w1"),
-          explode(array(lit(1), lit(2), lit(3))).as("k"))
-        .withColumn("p2", col("pos") + col("k"))
-        .join(tk.select(col("doc_id"), col("pos").as("p2"),
-          col("w").as("w2")), Seq("doc_id", "p2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_co"))
+        .select(toks(col("text")).as("ws"))
+        .select(explode(concat(pairsAt(1), pairsAt(2), pairsAt(3)))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n_co"))
         .filter(col("n_co") >= 10L)
-      val nw = tk.groupBy(col("w")).agg(count(lit(1)).as("nw"))
-      val total = tk.agg(count(lit(1)).as("n_total"))
+      // margins from ONE more corpus pass, materialized once (the
+      // vocab-bounded count table — same tiny-table rule as
+      // text_surprisal's cBi): both margin joins and the total read it
+      // as blocks, so the corpus is scanned exactly twice end to end.
+      val nw = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(toks(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+        .localCheckpoint()
+      // Σ nw IS the total token count — no third corpus pass.
+      val total = nw.agg(sum(col("nw")).as("n_total"))
       pairs
-        .join(nw.select(col("w").as("w1"), col("nw").as("nw1")), Seq("w1"))
-        .join(nw.select(col("w").as("w2"), col("nw").as("nw2")), Seq("w2"))
+        .join(broadcast(nw.select(col("w").as("w1"), col("nw").as("nw1"))),
+          Seq("w1"))
+        .join(broadcast(nw.select(col("w").as("w2"), col("nw").as("nw2"))),
+          Seq("w2"))
         .crossJoin(broadcast(total))
         .select(col("w1"), col("w2"), col("n_co"),
           XF.r6((col("n_co").cast(DoubleType) *

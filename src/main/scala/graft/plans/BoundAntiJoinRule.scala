@@ -188,11 +188,15 @@ object BoundAntiJoinRule extends Rule[LogicalPlan] {
       EqualTo(lk, ka.toAttribute)
     }.reduce[Expression](And(_, _))
     val existsPred = b.mk(mxAlias.toAttribute, b.leftExpr)
-    // The stream side survives intact, so its hint survives; the
+    // The stream side survives intact, so its hint is preserved; the
     // build subtree is REPLACED by its per-key aggregate (≤ |keys|
     // rows), so a right-side hint aimed at the original table is
     // deliberately dropped — broadcast eligibility re-derives from the
-    // aggregate's (far smaller) stats.
+    // aggregate's (far smaller) stats. Caveat (r16 ADVICE #3): the
+    // preserved LEFT hint is only actionable in the semi→Inner branch;
+    // on the anti path's synthesized LeftOuter join, JoinSelection
+    // cannot build-broadcast the preserved (left) side, so the hint is
+    // inert there — carried through for uniformity, not effect.
     val hint = JoinHint(j.hint.leftHint, None)
     val rewritten =
       if (anti) {
