@@ -1651,19 +1651,18 @@ object Relational {
       //    count job per invocation for a key set the degree aggregate
       //    already holds (deg's key set = ed's src set: ed is the
       //    inner join of edges with deg on src).
-      //  • each iteration's join builds a hash relation from the
-      //    |V|-row RANK side (shuffle_hash hint; rank rows are two
-      //    longs, |V|/shuffle-partitions per build — the bounded-build
-      //    rationale of Dedup's pair-key frames), so the edge frame is
-      //    never re-SORTED per iteration (previously a SortMergeJoin
-      //    per round re-sorted the full edge frame 3×). Its exchange
-      //    survives in the plan (localCheckpoint yields
-      //    UnknownPartitioning, verified in the formatted plan) but the
-      //    three copies are canonically identical and runtime exchange
-      //    reuse materializes it once.
+      //  • the per-iteration join STRATEGY is deliberately left to the
+      //    planner: AQE converts the statically-planned SortMergeJoin
+      //    to a broadcast join at runtime while the rank frame is small
+      //    (measured at sf0.1–sf1), and at cluster scale — where |V|
+      //    outgrows a broadcast — the sort-merge fallback spills
+      //    gracefully. A forced shuffle_hash hint was measured WORSE at
+      //    sf1 (+0.3–0.4 s: it suppresses exactly that runtime
+      //    broadcast conversion) and is the kind of local-regime pin
+      //    the optimization brief bars.
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
-      val ed = edges.join(deg.hint("shuffle_hash"), Seq("src"))
+      val ed = edges.join(deg, Seq("src"))
         .localCheckpoint()
       val nV = deg.count()
       // micro-units: 1e6 = total rank mass 1.0; floor division
@@ -1673,8 +1672,7 @@ object Relational {
         .withColumn("ru", lit(1000000L / nV))
       for (_ <- 1 to 3) {
         ranks = ed
-          .join(ranks.withColumnRenamed("node", "src")
-            .hint("shuffle_hash"), Seq("src"))
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst"))
           .agg((lit(150000L / nV) +
             expr("85 * sum(ru DIV deg) DIV 100")).as("ru"))
